@@ -1,0 +1,158 @@
+"""Shared layers: torch-default-matching initializers, weight-normalized
+dense, FFNO FeedForward, pointwise-conv MLPs.
+
+Parity targets:
+  - WNLinear: models/custom_layer.py:70-108 (weight_norm over output rows).
+  - FeedForward: models/custom_layer.py:49-68 (factor expansion, GELU
+    between layers, optional LayerNorm on the last layer, dropout).
+  - MLP1d/MLP2d: models/fno_blocks.py:35-45, 73-82 (1x1 conv MLPs — here
+    plain Dense on channels-last, which XLA maps to MXU matmuls).
+
+Initializers reproduce torch.nn.Linear / ConvNd defaults (kaiming-uniform
+weights with a=sqrt(5) => bound sqrt(1/fan_in); uniform bias with the same
+bound) so training dynamics are comparable to the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_kernel_init(rng, shape, dtype=jnp.float32):
+    """U(-sqrt(1/fan_in), sqrt(1/fan_in)) for a (fan_in, ..., fan_out) kernel.
+
+    flax Dense kernels are (in, out); torch Linear stores (out, in) and uses
+    kaiming_uniform_(a=sqrt(5)) => bound = sqrt(1/fan_in). Distributionally
+    identical under transpose.
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    bound = float(np.sqrt(1.0 / fan_in))
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = float(np.sqrt(1.0 / fan_in))
+
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def xavier_normal_init(rng, shape, dtype=jnp.float32):
+    """torch.nn.init.xavier_normal_ on a (d_out, d_in, ...) complex-pair
+    weight: std = sqrt(2 / (fan_in + fan_out)) with fan over the first two
+    axes and receptive field = prod of the rest (matches torch semantics for
+    the FFNO fourier weight (d, d, modes, 2), spectral_convolution.py:129)."""
+    receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_in = shape[1] * receptive
+    fan_out = shape[0] * receptive
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return std * jax.random.normal(rng, shape, dtype)
+
+
+def gelu(x):
+    """Exact (erf-based) GELU, matching torch's default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch.nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class WNDense(nn.Module):
+    """Dense with optional weight normalization over output rows.
+
+    With wnorm: kernel = g * v / ||v||_rows where g is initialized to
+    ||v||_rows so the layer starts identical to the unnormalized one
+    (torch weight_norm semantics, models/custom_layer.py:70-79).
+    """
+
+    features: int
+    use_bias: bool = True
+    wnorm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        if not self.wnorm:
+            return TorchLinear(self.features, self.use_bias)(x)
+        v = self.param("v", torch_kernel_init, (fan_in, self.features))
+        g = self.param(
+            "g", lambda rng, shape: jnp.linalg.norm(v, axis=0), (self.features,)
+        )
+        norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+        kernel = v * (g[None, :] / (norm + 1e-12))
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class FeedForward(nn.Module):
+    """FFNO feed-forward: n_layers linear layers with `factor` expansion.
+
+    Layer i: Linear -> Dropout -> GELU (if not last) -> LayerNorm (if last
+    and layer_norm). Matches models/custom_layer.py:49-68.
+    """
+
+    dim: int
+    factor: int = 4
+    n_layers: int = 2
+    ff_weight_norm: bool = False
+    layer_norm: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.n_layers):
+            out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
+            x = WNDense(out_dim, wnorm=self.ff_weight_norm)(x)
+            if self.dropout > 0.0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            if i < self.n_layers - 1:
+                x = gelu(x)
+            elif self.layer_norm:
+                x = nn.LayerNorm()(x)
+        return x
+
+
+class PointwiseMLP(nn.Module):
+    """Two 1x1 convs with GELU between (MLP1d/MLP2d), channels-last Dense."""
+
+    out_features: int
+    mid_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchLinear(self.mid_features)(x)
+        x = gelu(x)
+        return TorchLinear(self.out_features)(x)

@@ -1,0 +1,54 @@
+"""Model registry: maps the reference's hydra `_target_` dotted paths and
+short names to flax modules, so reference configs port directly
+(conf/model/*/_target_, e.g. `models.ffno.FFNO1D`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+_REGISTRY: Dict[str, Any] = {}
+
+
+def register(name: str, cls=None):
+    """Register a model class under `name` (decorator or direct call)."""
+
+    def wrap(c):
+        _REGISTRY[name] = c
+        return c
+
+    if cls is not None:
+        return wrap(cls)
+    return wrap
+
+
+def get_model(name: str):
+    """Look up by short name or reference `_target_` dotted path."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    # Accept reference-style dotted path: take the class name, match suffix.
+    short = name.rsplit(".", 1)[-1]
+    if short in _REGISTRY:
+        return _REGISTRY[short]
+    raise KeyError(
+        f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+    )
+
+
+def _populate():
+    from resolution_pde_tpu.models import fno, ffno
+
+    register("FNO1d", fno.FNO1d)
+    register("FNO2d", fno.FNO2d)
+    register("FFNO1D", ffno.FFNO1D)
+    register("FFNO2D", ffno.FFNO2D)
+    # Reference _target_ aliases (conf/model/*/*.yaml).
+    register("models.fno.FNO1d", fno.FNO1d)
+    register("models.fno.FNO2d", fno.FNO2d)
+    register("models.ffno.FFNO1D", ffno.FFNO1D)
+    register("models.ffno.FFNO2D", ffno.FFNO2D)
+
+
+_populate()
+
+MODEL_REGISTRY = _REGISTRY

@@ -1,0 +1,98 @@
+"""Data normalizers, registered as JAX pytrees so they can cross jit
+boundaries and be stored in checkpoints.
+
+Parity targets:
+  - SimpleNormalizer: global scalar mean/std with eps=1e-8
+    (reference dataloaders/ks_naive_markov.py:396-409).
+  - UnitGaussianNormalizer: per-location mean/std with eps=1e-5
+    (reference models/custom_layer.py:19-47).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class SimpleNormalizer:
+    """Global scalar standardization: encode = (x - mean) / (std + eps)."""
+
+    def __init__(self, mean, std, eps: float = 1e-8):
+        self.mean = jnp.asarray(mean, dtype=jnp.float32)
+        self.std = jnp.asarray(std, dtype=jnp.float32)
+        self.eps = eps
+
+    @classmethod
+    def fit(cls, x, eps: float = 1e-8) -> "SimpleNormalizer":
+        x = jnp.asarray(x)
+        return cls(jnp.mean(x), jnp.std(x), eps=eps)
+
+    def encode(self, x):
+        return (x - self.mean) / (self.std + self.eps)
+
+    def decode(self, x):
+        return x * (self.std + self.eps) + self.mean
+
+    def tree_flatten(self):
+        return (self.mean, self.std), (self.eps,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mean, std = children
+        obj = cls.__new__(cls)
+        obj.mean, obj.std = mean, std
+        obj.eps = aux[0]
+        return obj
+
+    def __repr__(self):
+        return f"SimpleNormalizer(mean={self.mean}, std={self.std}, eps={self.eps})"
+
+
+@jax.tree_util.register_pytree_node_class
+class UnitGaussianNormalizer:
+    """Per-location standardization over the batch axis.
+
+    ``fit`` computes mean/std over axis 0 (std with the same ddof=1 Bessel
+    correction torch.std uses, reference models/custom_layer.py:23-24).
+    """
+
+    def __init__(self, mean, std, eps: float = 1e-5):
+        self.mean = jnp.asarray(mean, dtype=jnp.float32)
+        self.std = jnp.asarray(std, dtype=jnp.float32)
+        self.eps = eps
+
+    @classmethod
+    def fit(cls, x, eps: float = 1e-5) -> "UnitGaussianNormalizer":
+        x = jnp.asarray(x, dtype=jnp.float32)
+        mean = jnp.mean(x, axis=0)
+        std = jnp.std(x, axis=0, ddof=1)
+        return cls(mean, std, eps=eps)
+
+    def encode(self, x):
+        return (x - self.mean) / (self.std + self.eps)
+
+    def decode(self, x):
+        return x * (self.std + self.eps) + self.mean
+
+    def tree_flatten(self):
+        return (self.mean, self.std), (self.eps,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mean, std = children
+        obj = cls.__new__(cls)
+        obj.mean, obj.std = mean, std
+        obj.eps = aux[0]
+        return obj
+
+    def __repr__(self):
+        return (
+            f"UnitGaussianNormalizer(mean.shape={self.mean.shape}, "
+            f"std.shape={self.std.shape}, eps={self.eps})"
+        )
+
+
+def minmax_denormalize(x, min_val, max_val):
+    """Min-max denormalization (reference train/training.py:90-91)."""
+    return x * (max_val - min_val) + min_val

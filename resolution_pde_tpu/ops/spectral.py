@@ -1,0 +1,135 @@
+"""Spectral convolutions: the core FNO/FFNO ops.
+
+Parity targets in the reference:
+  - SpectralConv1d: models/spectral_convolution.py:24-55
+      rfft -> complex einsum over the first `modes` frequencies -> zero-pad
+      -> irfft(n=X), default ('backward') FFT norm.
+  - SpectralConv2d: models/spectral_convolution.py:61-98
+      rfft2 with two weight blocks multiplying the low (+) and high (-)
+      frequency corners along the first spatial axis.
+  - FSpectralConv1d/2d (FFNO): models/spectral_convolution.py:108-318
+      per-axis rfft with norm='ortho' and resolution-adaptive
+      ``effective_modes = min(n_modes, available_modes)`` weight slicing --
+      the property that lets one weight set serve any resolution. Shapes are
+      static under jit, so the slice is resolved at trace time and each
+      resolution bucket gets its own compiled program.
+
+TPU design notes:
+  - FFTs lower to XLA's FFT op; the mode-truncated contraction is expressed
+    as an einsum so XLA maps it onto the MXU (complex matmul decomposes into
+    four real matmuls).
+  - Weights are stored as real arrays with a trailing dim of 2 (real, imag),
+    like the reference's FFNO storage, to keep optimizers real-valued.
+  - A fused Pallas path for the truncated contraction lives in
+    resolution_pde_tpu.ops.pallas and is selected via `use_pallas`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def as_complex(w):
+    """View a real array with trailing dim 2 as complex (torch.view_as_complex)."""
+    return jax.lax.complex(w[..., 0], w[..., 1])
+
+
+def _mode_matmul(x_ft, w, subscript):
+    """Complex contraction over the channel axis on a truncated spectrum."""
+    return jnp.einsum(subscript, x_ft, w)
+
+
+def spectral_conv_1d(x, weights, modes: int):
+    """Full 1D spectral conv (FNO). x: (B, C_in, X) real; weights:
+    (C_in, C_out, modes, 2) real-as-complex. Returns (B, C_out, X).
+
+    Matches models/spectral_convolution.py:38-55 with backward-norm FFT.
+    """
+    n = x.shape[-1]
+    n_freq = n // 2 + 1
+    if modes > n_freq:
+        raise ValueError(f"modes={modes} exceeds available frequencies {n_freq}")
+    w = as_complex(weights)
+    x_ft = jnp.fft.rfft(x, axis=-1)
+    out_ft = _mode_matmul(x_ft[:, :, :modes], w, "bix,iox->box")
+    out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - modes)))
+    return jnp.fft.irfft(out_ft, n=n, axis=-1)
+
+
+def spectral_conv_2d(x, weights1, weights2, modes1: int, modes2: int):
+    """Full 2D spectral conv (FNO). x: (B, C_in, H, W) real; weights{1,2}:
+    (C_in, C_out, modes1, modes2, 2). Returns (B, C_out, H, W).
+
+    weights1 multiplies the low-frequency corner [:modes1, :modes2]; weights2
+    the high-frequency corner [-modes1:, :modes2] along the first spatial
+    axis (models/spectral_convolution.py:85-97).
+    """
+    h, w_sz = x.shape[-2], x.shape[-1]
+    n_freq = w_sz // 2 + 1
+    if modes1 > h // 2 + 1 or modes2 > n_freq:
+        raise ValueError(
+            f"modes ({modes1},{modes2}) exceed spectrum ({h // 2 + 1},{n_freq})"
+        )
+    w1 = as_complex(weights1)
+    w2 = as_complex(weights2)
+    x_ft = jnp.fft.rfft2(x, axes=(-2, -1))
+    lo = _mode_matmul(x_ft[:, :, :modes1, :modes2], w1, "bixy,ioxy->boxy")
+    hi = _mode_matmul(x_ft[:, :, -modes1:, :modes2], w2, "bixy,ioxy->boxy")
+    b, c_out = lo.shape[0], lo.shape[1]
+    mid = jnp.zeros((b, c_out, h - 2 * modes1, modes2), dtype=lo.dtype)
+    left = jnp.concatenate([lo, mid, hi], axis=2)  # (B, O, H, modes2)
+    out_ft = jnp.pad(left, ((0, 0), (0, 0), (0, 0), (0, n_freq - modes2)))
+    return jnp.fft.irfft2(out_ft, s=(h, w_sz), axes=(-2, -1))
+
+
+def factorized_spectral_conv_1d(x, weight, n_modes: int, fft_norm: str = "ortho"):
+    """Factorized 1D spectral conv (FFNO), channels-last.
+
+    x: (B, X, C) real; weight: (C, C, n_modes, 2). Returns (B, X, C).
+    Resolution-adaptive: uses min(n_modes, X//2+1) modes with the weight
+    sliced to match (models/spectral_convolution.py:183-196).
+    """
+    n = x.shape[-2]
+    n_freq = n // 2 + 1
+    m = min(n_modes, n_freq)
+    w = as_complex(weight[:, :, :m])
+    xc = jnp.swapaxes(x, -1, -2)  # (B, C, X)
+    x_ft = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
+    out_ft = _mode_matmul(x_ft[:, :, :m], w, "bix,iox->box")
+    out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - m)))
+    out = jnp.fft.irfft(out_ft, n=n, axis=-1, norm=fft_norm)
+    return jnp.swapaxes(out, -1, -2)
+
+
+def factorized_spectral_conv_2d(x, weight_y, weight_x, n_modes: int,
+                                fft_norm: str = "ortho"):
+    """Factorized 2D spectral conv (FFNO), channels-last.
+
+    x: (B, H, W, C) real; weight_y/weight_x: (C, C, n_modes, 2).
+    Performs independent 1D spectral passes along each spatial axis and sums
+    the results in physical space (models/spectral_convolution.py:256-318).
+    Each axis uses min(n_modes, axis_freqs) modes.
+    """
+    h, w_sz = x.shape[-3], x.shape[-2]
+    xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+
+    # --- y (last) axis pass ---
+    n_freq_y = w_sz // 2 + 1
+    m_y = min(n_modes, n_freq_y)
+    wy = as_complex(weight_y[:, :, :m_y])
+    x_fty = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
+    out_y = _mode_matmul(x_fty[:, :, :, :m_y], wy, "bixy,ioy->boxy")
+    out_y = jnp.pad(out_y, ((0, 0), (0, 0), (0, 0), (0, n_freq_y - m_y)))
+    yy = jnp.fft.irfft(out_y, n=w_sz, axis=-1, norm=fft_norm)
+
+    # --- x (second-to-last) axis pass ---
+    n_freq_x = h // 2 + 1
+    m_x = min(n_modes, n_freq_x)
+    wx = as_complex(weight_x[:, :, :m_x])
+    x_ftx = jnp.fft.rfft(xc, axis=-2, norm=fft_norm)
+    out_x = _mode_matmul(x_ftx[:, :, :m_x, :], wx, "bixy,iox->boxy")
+    out_x = jnp.pad(out_x, ((0, 0), (0, 0), (0, n_freq_x - m_x), (0, 0)))
+    xx = jnp.fft.irfft(out_x, n=h, axis=-2, norm=fft_norm)
+
+    return jnp.moveaxis(xx + yy, 1, -1)

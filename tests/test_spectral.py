@@ -1,0 +1,156 @@
+"""Spectral conv parity tests against an independent torch formulation of the
+reference semantics (models/spectral_convolution.py)."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from resolution_pde_tpu.ops import (
+    spectral_conv_1d,
+    spectral_conv_2d,
+    factorized_spectral_conv_1d,
+    factorized_spectral_conv_2d,
+)
+
+
+def _torch_spectral_conv_1d(x, w, modes):
+    """Reference semantics: rfft -> truncated complex einsum -> irfft."""
+    xt = torch.from_numpy(x)
+    wt = torch.view_as_complex(torch.from_numpy(w))
+    x_ft = torch.fft.rfft(xt)
+    out_ft = torch.zeros(
+        x.shape[0], w.shape[1], x.shape[-1] // 2 + 1, dtype=torch.cfloat
+    )
+    out_ft[:, :, :modes] = torch.einsum("bix,iox->box", x_ft[:, :, :modes], wt)
+    return torch.fft.irfft(out_ft, n=x.shape[-1]).numpy()
+
+
+def test_spectral_conv_1d_parity(rng):
+    b, ci, co, n, modes = 3, 4, 5, 64, 12
+    x = rng.standard_normal((b, ci, n)).astype(np.float32)
+    w = rng.standard_normal((ci, co, modes, 2)).astype(np.float32) * 0.1
+    expected = _torch_spectral_conv_1d(x, w, modes)
+    got = np.asarray(spectral_conv_1d(jnp.asarray(x), jnp.asarray(w), modes))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def _torch_spectral_conv_2d(x, w1, w2, m1, m2):
+    xt = torch.from_numpy(x)
+    wt1 = torch.view_as_complex(torch.from_numpy(w1))
+    wt2 = torch.view_as_complex(torch.from_numpy(w2))
+    x_ft = torch.fft.rfft2(xt)
+    out_ft = torch.zeros(
+        x.shape[0], w1.shape[1], x.shape[-2], x.shape[-1] // 2 + 1,
+        dtype=torch.cfloat,
+    )
+    out_ft[:, :, :m1, :m2] = torch.einsum(
+        "bixy,ioxy->boxy", x_ft[:, :, :m1, :m2], wt1)
+    out_ft[:, :, -m1:, :m2] = torch.einsum(
+        "bixy,ioxy->boxy", x_ft[:, :, -m1:, :m2], wt2)
+    return torch.fft.irfft2(out_ft, s=x.shape[-2:]).numpy()
+
+
+def test_spectral_conv_2d_parity(rng):
+    b, ci, co, n, m = 2, 3, 4, 32, 8
+    x = rng.standard_normal((b, ci, n, n)).astype(np.float32)
+    w1 = rng.standard_normal((ci, co, m, m, 2)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((ci, co, m, m, 2)).astype(np.float32) * 0.1
+    expected = _torch_spectral_conv_2d(x, w1, w2, m, m)
+    got = np.asarray(
+        spectral_conv_2d(jnp.asarray(x), jnp.asarray(w1), jnp.asarray(w2), m, m)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def _torch_ffno_1d(x_cl, w, n_modes):
+    """x_cl: (B, X, C) channels-last; ortho-norm per-axis pass with
+    effective-mode slicing (spectral_convolution.py:158-204)."""
+    xt = torch.from_numpy(x_cl).permute(0, 2, 1)  # (B, C, X)
+    n = xt.shape[-1]
+    m = min(n_modes, n // 2 + 1)
+    wt = torch.view_as_complex(torch.from_numpy(w[:, :, :m].copy()))
+    x_ft = torch.fft.rfft(xt, dim=-1, norm="ortho")
+    out_ft = torch.zeros_like(x_ft)
+    out_ft[:, :, :m] = torch.einsum("bix,iox->box", x_ft[:, :, :m], wt)
+    out = torch.fft.irfft(out_ft, n=n, dim=-1, norm="ortho")
+    return out.permute(0, 2, 1).numpy()
+
+
+def test_factorized_1d_parity(rng):
+    b, c, n, n_modes = 2, 6, 48, 16
+    x = rng.standard_normal((b, n, c)).astype(np.float32)
+    w = rng.standard_normal((c, c, n_modes, 2)).astype(np.float32) * 0.1
+    expected = _torch_ffno_1d(x, w, n_modes)
+    got = np.asarray(
+        factorized_spectral_conv_1d(jnp.asarray(x), jnp.asarray(w), n_modes)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_factorized_1d_effective_modes_slicing(rng):
+    """When the resolution drops below 2*n_modes, only the available modes
+    are used — the resolution-generalization trick."""
+    b, c, n_modes = 2, 4, 16
+    w = rng.standard_normal((c, c, n_modes, 2)).astype(np.float32) * 0.1
+    for n in (16, 24, 64):  # 16//2+1=9 < 16 exercises the slice
+        x = rng.standard_normal((b, n, c)).astype(np.float32)
+        expected = _torch_ffno_1d(x, w, n_modes)
+        got = np.asarray(
+            factorized_spectral_conv_1d(jnp.asarray(x), jnp.asarray(w), n_modes)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def _torch_ffno_2d(x_cl, wy, wx, n_modes):
+    xt = torch.from_numpy(x_cl).permute(0, 3, 1, 2)  # (B, C, H, W)
+    B, I, M, N = xt.shape
+
+    my = min(n_modes, N // 2 + 1)
+    wty = torch.view_as_complex(torch.from_numpy(wy[:, :, :my].copy()))
+    x_fty = torch.fft.rfft(xt, dim=-1, norm="ortho")
+    out_ft = torch.zeros_like(x_fty)
+    out_ft[:, :, :, :my] = torch.einsum(
+        "bixy,ioy->boxy", x_fty[:, :, :, :my], wty)
+    yy = torch.fft.irfft(out_ft, n=N, dim=-1, norm="ortho")
+
+    mx = min(n_modes, M // 2 + 1)
+    wtx = torch.view_as_complex(torch.from_numpy(wx[:, :, :mx].copy()))
+    x_ftx = torch.fft.rfft(xt, dim=-2, norm="ortho")
+    out_ft = torch.zeros_like(x_ftx)
+    out_ft[:, :, :mx, :] = torch.einsum(
+        "bixy,iox->boxy", x_ftx[:, :, :mx, :], wtx)
+    xx = torch.fft.irfft(out_ft, n=M, dim=-2, norm="ortho")
+
+    return (xx + yy).permute(0, 2, 3, 1).numpy()
+
+
+def test_factorized_2d_parity(rng):
+    b, c, h, w_sz, n_modes = 2, 4, 24, 32, 10
+    x = rng.standard_normal((b, h, w_sz, c)).astype(np.float32)
+    wy = rng.standard_normal((c, c, n_modes, 2)).astype(np.float32) * 0.1
+    wx = rng.standard_normal((c, c, n_modes, 2)).astype(np.float32) * 0.1
+    expected = _torch_ffno_2d(x, wy, wx, n_modes)
+    got = np.asarray(
+        factorized_spectral_conv_2d(
+            jnp.asarray(x), jnp.asarray(wy), jnp.asarray(wx), n_modes
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_factorized_2d_small_resolution(rng):
+    """Effective-mode slicing at a resolution below 2*n_modes in 2D."""
+    b, c, n_modes = 1, 3, 16
+    x = (np.random.default_rng(1).standard_normal((b, 16, 16, c))
+         .astype(np.float32))
+    wy = (np.random.default_rng(2).standard_normal((c, c, n_modes, 2))
+          .astype(np.float32) * 0.1)
+    wx = (np.random.default_rng(3).standard_normal((c, c, n_modes, 2))
+          .astype(np.float32) * 0.1)
+    expected = _torch_ffno_2d(x, wy, wx, n_modes)
+    got = np.asarray(
+        factorized_spectral_conv_2d(
+            jnp.asarray(x), jnp.asarray(wy), jnp.asarray(wx), n_modes
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
