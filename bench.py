@@ -1,0 +1,99 @@
+"""Headline benchmark: FFNO2D Navier-Stokes-256 training throughput
+(samples/sec/chip), the BASELINE.json north-star metric.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}.
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison point is an analytic estimate of the PyTorch reference on one
+A100: the train step costs ~3x forward FLOPs; we assume 25% MFU at 312
+TFLOP/s bf16 for an eager FFT+einsum+GEMM mix (generous to the reference —
+its einsums run in fp32 cuFFT/cuBLAS). vs_baseline = measured / estimate;
+the north star is >= 3.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def model_flops_per_sample(res: int, width: int, n_layers: int, n_modes: int,
+                           factor: int, n_ff_layers: int) -> float:
+    """Forward FLOPs per sample for FFNO2D (einsum + feedforward; FFTs add
+    ~5N log N per transform, included)."""
+    pts = res * res
+    m = min(n_modes, res // 2 + 1)
+    # per layer, per axis: complex contraction (B? no — per sample):
+    # y-pass: res * m * width * width complex MACs, 8 real flops each
+    einsum = 2 * (res * m * width * width * 8)
+    # feedforward: n_ff_layers linears over `pts` points
+    dims = [width] + [width * factor] * (n_ff_layers - 1) + [width]
+    ff = sum(2 * dims[i] * dims[i + 1] for i in range(n_ff_layers)) * pts
+    # FFTs: 4 transforms of length `res` over (res*width) rows, ~5 N log2 N
+    fft = 4 * (res * width) * 5 * res * np.log2(res)
+    return n_layers * (einsum + ff + fft)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO2D
+    from resolution_pde_tpu.train import Trainer
+
+    RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS = 256, 64, 4, 64, 4, 3
+    BATCH = 8
+
+    model = FFNO2D(
+        in_channels=1,
+        out_channels=1,
+        width=WIDTH,
+        n_layers=LAYERS,
+        n_modes=MODES,
+        factor=FACTOR,
+        ff_weight_norm=True,
+        n_ff_layers=FF_LAYERS,
+        layer_norm=True,
+        dropout=0.0,
+        remat=False,  # batch 8 fits v5e HBM without remat and is ~40% faster
+    )
+    trainer = Trainer(model, learning_rate=1e-3)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)), jnp.float32)
+    y = jnp.roll(x, 7, axis=-1)
+    state = trainer.init(x[:1])
+
+    # warmup / compile; fetch the value so backend errors surface here
+    for _ in range(3):
+        state, loss = trainer._train_step(state, x, y, None)
+    warm_loss = float(loss)
+    assert np.isfinite(warm_loss), f"non-finite warmup loss {warm_loss}"
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = trainer._train_step(state, x, y, None)
+    final_loss = float(loss)  # full fetch: forces execution of the chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    n_chips = max(jax.device_count(), 1)
+    samples_per_sec_per_chip = BATCH * n_steps / dt / n_chips
+
+    fwd = model_flops_per_sample(RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS)
+    train_flops = 3.0 * fwd
+    a100_est = 0.25 * 312e12 / train_flops  # samples/sec at 25% MFU
+
+    print(json.dumps({
+        "metric": "ffno2d_ns256_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec_per_chip, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec_per_chip / a100_est, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,6 +183,7 @@ class FFNO2D(nn.Module):
     dropout: float = 0.0
     mode: str = "full"
     use_grid: bool = True
+    remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -190,8 +191,13 @@ class FFNO2D(nn.Module):
         if self.use_grid:
             x = concat_grid_2d(x, 0.0, 1.0)
         x = WNDense(self.width, wnorm=self.ff_weight_norm)(x)
+        layer_cls = (
+            nn.remat(FSpectralConv2d, static_argnums=(2,))
+            if self.remat
+            else FSpectralConv2d
+        )
         for _ in range(self.n_layers):
-            x_new = FSpectralConv2d(
+            x_new = layer_cls(
                 self.width,
                 self.n_modes,
                 self.factor,
@@ -200,7 +206,7 @@ class FFNO2D(nn.Module):
                 self.layer_norm,
                 self.dropout,
                 self.mode,
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
             x = x + x_new
         x = WNDense(self.out_channels, wnorm=self.ff_weight_norm)(x)
         return jnp.moveaxis(x, -1, 1)

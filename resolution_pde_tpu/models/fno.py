@@ -115,7 +115,8 @@ class FNO1d(nn.Module):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        del deterministic  # FNO has no dropout; kwarg kept for harness uniformity
         x = jnp.swapaxes(x, -1, -2)  # (B, X, C)
         x = concat_grid_1d(x, 0.0, 2.0 * jnp.pi)
         x = TorchLinear(self.width)(x)  # lifting (1x1 conv)
@@ -140,7 +141,8 @@ class FNO2d(nn.Module):
     activation: str = "gelu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        del deterministic  # FNO has no dropout; kwarg kept for harness uniformity
         x = jnp.moveaxis(x, 1, -1)  # (B, H, W, C)
         x = concat_grid_2d(x, 0.0, 1.0)
         x = TorchLinear(self.width)(x)

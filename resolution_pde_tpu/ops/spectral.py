@@ -35,9 +35,19 @@ def as_complex(w):
     return jax.lax.complex(w[..., 0], w[..., 1])
 
 
-def _mode_matmul(x_ft, w, subscript):
-    """Complex contraction over the channel axis on a truncated spectrum."""
-    return jnp.einsum(subscript, x_ft, w)
+def _mode_matmul(x_ft, w_pair, subscript):
+    """Complex contraction over the channel axis on a truncated spectrum.
+
+    Decomposed into four real einsums ((a+bi)(c+di) = (ac-bd) + (ad+bc)i):
+    complex dots are not universally lowered on TPU backends, and explicit
+    real contractions land directly on the MXU with f32 accumulation.
+    w_pair is the real storage (..., 2) = (re, im).
+    """
+    xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
+    wr, wi = w_pair[..., 0], w_pair[..., 1]
+    out_r = jnp.einsum(subscript, xr, wr) - jnp.einsum(subscript, xi, wi)
+    out_i = jnp.einsum(subscript, xr, wi) + jnp.einsum(subscript, xi, wr)
+    return jax.lax.complex(out_r, out_i)
 
 
 def spectral_conv_1d(x, weights, modes: int):
@@ -50,9 +60,8 @@ def spectral_conv_1d(x, weights, modes: int):
     n_freq = n // 2 + 1
     if modes > n_freq:
         raise ValueError(f"modes={modes} exceeds available frequencies {n_freq}")
-    w = as_complex(weights)
     x_ft = jnp.fft.rfft(x, axis=-1)
-    out_ft = _mode_matmul(x_ft[:, :, :modes], w, "bix,iox->box")
+    out_ft = _mode_matmul(x_ft[:, :, :modes], weights, "bix,iox->box")
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - modes)))
     return jnp.fft.irfft(out_ft, n=n, axis=-1)
 
@@ -71,11 +80,9 @@ def spectral_conv_2d(x, weights1, weights2, modes1: int, modes2: int):
         raise ValueError(
             f"modes ({modes1},{modes2}) exceed spectrum ({h // 2 + 1},{n_freq})"
         )
-    w1 = as_complex(weights1)
-    w2 = as_complex(weights2)
     x_ft = jnp.fft.rfft2(x, axes=(-2, -1))
-    lo = _mode_matmul(x_ft[:, :, :modes1, :modes2], w1, "bixy,ioxy->boxy")
-    hi = _mode_matmul(x_ft[:, :, -modes1:, :modes2], w2, "bixy,ioxy->boxy")
+    lo = _mode_matmul(x_ft[:, :, :modes1, :modes2], weights1, "bixy,ioxy->boxy")
+    hi = _mode_matmul(x_ft[:, :, -modes1:, :modes2], weights2, "bixy,ioxy->boxy")
     b, c_out = lo.shape[0], lo.shape[1]
     mid = jnp.zeros((b, c_out, h - 2 * modes1, modes2), dtype=lo.dtype)
     left = jnp.concatenate([lo, mid, hi], axis=2)  # (B, O, H, modes2)
@@ -93,10 +100,9 @@ def factorized_spectral_conv_1d(x, weight, n_modes: int, fft_norm: str = "ortho"
     n = x.shape[-2]
     n_freq = n // 2 + 1
     m = min(n_modes, n_freq)
-    w = as_complex(weight[:, :, :m])
     xc = jnp.swapaxes(x, -1, -2)  # (B, C, X)
     x_ft = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
-    out_ft = _mode_matmul(x_ft[:, :, :m], w, "bix,iox->box")
+    out_ft = _mode_matmul(x_ft[:, :, :m], weight[:, :, :m], "bix,iox->box")
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - m)))
     out = jnp.fft.irfft(out_ft, n=n, axis=-1, norm=fft_norm)
     return jnp.swapaxes(out, -1, -2)
@@ -117,18 +123,16 @@ def factorized_spectral_conv_2d(x, weight_y, weight_x, n_modes: int,
     # --- y (last) axis pass ---
     n_freq_y = w_sz // 2 + 1
     m_y = min(n_modes, n_freq_y)
-    wy = as_complex(weight_y[:, :, :m_y])
     x_fty = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
-    out_y = _mode_matmul(x_fty[:, :, :, :m_y], wy, "bixy,ioy->boxy")
+    out_y = _mode_matmul(x_fty[:, :, :, :m_y], weight_y[:, :, :m_y], "bixy,ioy->boxy")
     out_y = jnp.pad(out_y, ((0, 0), (0, 0), (0, 0), (0, n_freq_y - m_y)))
     yy = jnp.fft.irfft(out_y, n=w_sz, axis=-1, norm=fft_norm)
 
     # --- x (second-to-last) axis pass ---
     n_freq_x = h // 2 + 1
     m_x = min(n_modes, n_freq_x)
-    wx = as_complex(weight_x[:, :, :m_x])
     x_ftx = jnp.fft.rfft(xc, axis=-2, norm=fft_norm)
-    out_x = _mode_matmul(x_ftx[:, :, :m_x, :], wx, "bixy,iox->boxy")
+    out_x = _mode_matmul(x_ftx[:, :, :m_x, :], weight_x[:, :, :m_x], "bixy,iox->boxy")
     out_x = jnp.pad(out_x, ((0, 0), (0, 0), (0, n_freq_x - m_x), (0, 0)))
     xx = jnp.fft.irfft(out_x, n=h, axis=-2, norm=fft_norm)
 

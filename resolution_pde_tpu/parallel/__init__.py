@@ -1,0 +1,18 @@
+"""Parallelism: device meshes and sharding rules.
+
+The reference's only parallelism is single-process nn.DataParallel
+(main_2d.py:146-149). Here scaling is expressed TPU-natively: a
+jax.sharding.Mesh with named axes, batch sharded over the data axis (ICI
+collectives inserted by XLA), optional spatial-axis sharding for grids that
+outgrow one chip, and DCN-ready axis ordering for multi-slice data
+parallelism.
+"""
+
+from resolution_pde_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

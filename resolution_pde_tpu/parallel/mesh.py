@@ -1,0 +1,71 @@
+"""Mesh construction and sharding helpers.
+
+Axis conventions:
+  - "data":    data parallelism (batch axis). Maps to ICI within a slice;
+               put DCN-connected devices on this axis for multi-slice DP.
+  - "spatial": optional model/sequence parallelism over one spatial axis of
+               the PDE grid (distributed FFT via XLA collectives).
+
+With a (data, spatial) mesh, a train step jitted with batch sharded over
+"data" and activations constrained over "spatial" gets all collectives
+(psum for grads, all-to-all/all-gather for sharded FFTs) inserted by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Mapping[str, int] | None = None, devices=None) -> Mesh:
+    """Create a Mesh. Default: all devices on a single "data" axis.
+
+    axes: ordered {name: size} with size -1 meaning "all remaining devices".
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if axes is None:
+        axes = {"data": n}
+    names = list(axes.keys())
+    sizes = list(axes.values())
+    unknown = [i for i, s in enumerate(sizes) if s == -1]
+    if len(unknown) > 1:
+        raise ValueError("at most one axis may be -1")
+    if unknown:
+        known = int(np.prod([s for s in sizes if s != -1])) or 1
+        if n % known:
+            raise ValueError(f"{n} devices not divisible by {known}")
+        sizes[unknown[0]] = n // known
+    total = int(np.prod(sizes))
+    if total != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=tuple(names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
+                   spatial_axis: int | None = None) -> NamedSharding:
+    """Sharding with the batch dim over "data" (and optionally one spatial
+    dim over "spatial" when that axis exists in the mesh)."""
+    spec: list = [None] * ndim
+    spec[batch_axis] = "data"
+    if spatial_axis is not None and "spatial" in mesh.axis_names:
+        spec[spatial_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of (B, ...) arrays with B sharded over "data"."""
+
+    def put(x):
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,237 @@
+"""Jitted training/evaluation harness.
+
+Reference semantics being reproduced (train/training.py:19-147):
+  - per-batch: forward, optional y_normalizer.decode of pred AND target
+    before the loss, relative-L2 (batch mean), AdamW step;
+  - per-epoch: average of per-batch losses; validation loop with the same
+    decode; scheduler stepped once per epoch (ReduceLROnPlateau gets the
+    val loss);
+  - evaluate(): per-batch mean rel-L2 averaged over batches, with 'simple'
+    (gaussian) or 'minmax' denormalization.
+
+TPU design:
+  - One compiled program per (shape, normalizer-presence) bucket — jax.jit's
+    shape-keyed cache implements the reference's ResolutionGroupedDataLoader
+    "uniform-resolution batch" contract without recompilation churn.
+  - The learning rate is an optax.inject_hyperparams hyperparameter, so
+    per-epoch host-side schedules reuse the same compiled step.
+  - Batches are sharded over the mesh's "data" axis; parameters are
+    replicated; XLA inserts the gradient psum over ICI.
+  - Donated state: params/opt_state buffers are reused in place.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from resolution_pde_tpu.ops.losses import relative_l2
+from resolution_pde_tpu.parallel.mesh import make_mesh, shard_batch
+from resolution_pde_tpu.train.schedules import ReduceLROnPlateau
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    dropout_key: jnp.ndarray
+
+
+@dataclass
+class History:
+    train_loss: list = field(default_factory=list)
+    val_loss: list = field(default_factory=list)
+    lr: list = field(default_factory=list)
+    epoch_time_s: list = field(default_factory=list)
+
+
+def _set_lr(opt_state, lr: float):
+    """Functionally set the inject_hyperparams learning rate."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+class Trainer:
+    """Builds and runs jitted train/eval steps for a flax model.
+
+    model.apply signature contract: apply(params, x, deterministic=...,
+    rngs={'dropout': key}) -> prediction with the same layout as y.
+    """
+
+    def __init__(
+        self,
+        model,
+        learning_rate: float = 1e-3,
+        weight_decay: float = 1e-4,
+        mesh=None,
+        use_normalizer: bool = False,
+        y_normalizer=None,
+        grad_clip: Optional[float] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.use_normalizer = use_normalizer
+        self.y_normalizer = y_normalizer
+        tx = optax.adamw
+        chain = [optax.clip_by_global_norm(grad_clip)] if grad_clip else []
+        self.optimizer = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                *chain, tx(learning_rate, weight_decay=weight_decay)
+            )
+        )(learning_rate=learning_rate)
+        self.seed = seed
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- state ------------------------------------------------------------
+    def init(self, sample_x) -> TrainState:
+        # jit the whole init: some backends (and all TPU runs) want traced
+        # programs, and it avoids materializing fp32 intermediates eagerly.
+        params = jax.jit(self.model.init)(
+            jax.random.key(self.seed), jnp.asarray(sample_x)
+        )
+        opt_state = jax.jit(self.optimizer.init)(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            dropout_key=jax.random.key(self.seed + 1),
+        )
+
+    def set_lr(self, state: TrainState, lr: float) -> TrainState:
+        return state.replace(opt_state=_set_lr(state.opt_state, lr))
+
+    def current_lr(self, state: TrainState) -> float:
+        return float(state.opt_state.hyperparams["learning_rate"])
+
+    # -- compiled steps ----------------------------------------------------
+    def _decode_for_loss(self, pred, y, y_normalizer):
+        if self.use_normalizer and y_normalizer is not None:
+            pred = y_normalizer.decode(pred)
+            y = y_normalizer.decode(y)
+        return pred, y
+
+    def _build_train_step(self):
+        model = self.model
+        optimizer = self.optimizer
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, x, y, y_normalizer):
+            key = jax.random.fold_in(state.dropout_key, state.step)
+
+            def loss_fn(params):
+                pred = model.apply(
+                    params, x, deterministic=False, rngs={"dropout": key}
+                )
+                pred, target = self._decode_for_loss(pred, y, y_normalizer)
+                return relative_l2(pred, target)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            return new_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, x, y, y_normalizer):
+            pred = model.apply(params, x, deterministic=True)
+            pred, target = self._decode_for_loss(pred, y, y_normalizer)
+            return relative_l2(pred, target)
+
+        return eval_step
+
+    # -- loops ---------------------------------------------------------
+    def train_epoch(self, state: TrainState, loader: Iterable) -> tuple:
+        total, n = 0.0, 0
+        losses = []
+        for x, y in loader:
+            x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
+            state, loss = self._train_step(state, x, y, self.y_normalizer)
+            losses.append(loss)
+            n += 1
+        # one host sync per epoch, not per batch
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        return state, total / max(n, 1)
+
+    def evaluate(self, state: TrainState, loader: Iterable,
+                 y_normalizer="trainer") -> float:
+        """Average per-batch mean rel-L2 (reference evaluate(),
+        train/training.py:105-146)."""
+        if y_normalizer == "trainer":
+            y_normalizer = self.y_normalizer
+        total, n = 0.0, 0
+        for x, y in loader:
+            x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
+            total += float(self._eval_step(state.params, x, y, y_normalizer))
+            n += 1
+        return total / max(n, 1)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_loader_fn: Callable[[], Iterable] | Iterable,
+        val_loader_fn: Callable[[], Iterable] | Iterable | None = None,
+        epochs: int = 1,
+        schedule: Callable[[int], float] | ReduceLROnPlateau | None = None,
+        log_fn: Callable[[dict], None] | None = None,
+    ) -> tuple:
+        """Epoch loop with per-epoch scheduler step (train/training.py:26-88).
+
+        Loaders may be passed as factories (called each epoch, so shuffling
+        pipelines re-draw) or as re-iterable objects.
+        """
+        history = History()
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            loader = (
+                train_loader_fn() if callable(train_loader_fn) else train_loader_fn
+            )
+            state, train_loss = self.train_epoch(state, loader)
+            history.train_loss.append(train_loss)
+
+            val_loss = float("nan")
+            if val_loader_fn is not None:
+                vloader = (
+                    val_loader_fn() if callable(val_loader_fn) else val_loader_fn
+                )
+                val_loss = self.evaluate(state, vloader)
+            history.val_loss.append(val_loss)
+
+            # scheduler: stepped AFTER the epoch, plateau sees val loss
+            if isinstance(schedule, ReduceLROnPlateau):
+                state = self.set_lr(state, schedule.step(val_loss))
+            elif schedule is not None:
+                state = self.set_lr(state, schedule(epoch + 1))
+            history.lr.append(self.current_lr(state))
+            history.epoch_time_s.append(time.perf_counter() - t0)
+
+            if log_fn is not None:
+                log_fn(
+                    {
+                        "epoch": epoch,
+                        "train_loss": train_loss,
+                        "val_loss": val_loss,
+                        "lr": history.lr[-1],
+                        "epoch_time_s": history.epoch_time_s[-1],
+                    }
+                )
+        return state, history

@@ -1,0 +1,171 @@
+"""Trainer harness tests: convergence, schedules (torch semantics),
+normalizer decode path, multi-device data parallelism, checkpointing."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.models import FNO1d, FFNO1D
+from resolution_pde_tpu.ops import SimpleNormalizer
+from resolution_pde_tpu.parallel import make_mesh
+from resolution_pde_tpu.train import (
+    Trainer,
+    cosine_annealing_lr,
+    step_lr,
+    ReduceLROnPlateau,
+)
+
+
+def _toy_data(rng, n=64, res=32):
+    """Markov pairs for periodic advection: y = roll(x)."""
+    t = np.arange(res) / res
+    freqs = rng.integers(1, 5, size=(n, 2))
+    amps = rng.standard_normal((n, 2)).astype(np.float32)
+    x = np.einsum("nk,nkx->nx", amps,
+                  np.sin(2 * np.pi * freqs[:, :, None] * t[None, None, :]))
+    y = np.roll(x, res // 8, axis=-1)
+    return x[:, None, :].astype(np.float32), y[:, None, :].astype(np.float32)
+
+
+def _batches(x, y, bs):
+    return [(x[i:i + bs], y[i:i + bs]) for i in range(0, len(x), bs)]
+
+
+def test_trainer_converges(rng):
+    x, y = _toy_data(rng)
+    model = FNO1d(in_channels=1, out_channels=1, modes=8, width=16, n_blocks=2)
+    trainer = Trainer(model, learning_rate=2e-3)
+    state = trainer.init(x[:2])
+    loader = _batches(x, y, 32)
+    state, hist = trainer.fit(state, lambda: loader, lambda: loader, epochs=15)
+    assert hist.train_loss[-1] < 0.5 * hist.train_loss[0]
+    assert hist.val_loss[-1] < 1.0
+
+
+def test_cosine_annealing_matches_torch():
+    import torch
+
+    lr0, t_max, eta_min = 1e-3, 100, 1e-5
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max,
+                                                       eta_min=eta_min)
+    ours = cosine_annealing_lr(lr0, t_max, eta_min)
+    for epoch in range(1, 120):
+        opt.step()
+        sched.step()
+        if epoch <= t_max:  # torch recurrence deviates past T_max by design
+            torch_lr = opt.param_groups[0]["lr"]
+            assert abs(ours(epoch) - torch_lr) < 1e-9, epoch
+
+
+def test_step_lr_matches_torch():
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-3)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=30, gamma=0.5)
+    ours = step_lr(1e-3, 30, 0.5)
+    for epoch in range(1, 100):
+        opt.step()
+        sched.step()
+        assert abs(ours(epoch) - opt.param_groups[0]["lr"]) < 1e-12
+
+
+def test_reduce_lr_on_plateau():
+    sched = ReduceLROnPlateau(1e-3, factor=0.5, patience=2)
+    sched.step(1.0)  # first metric becomes best
+    for _ in range(2):
+        sched.step(1.0)  # bad epochs 1, 2 (== patience, no reduction yet)
+    assert sched.lr == pytest.approx(1e-3)
+    sched.step(1.0)  # bad epoch 3 > patience -> reduce (torch semantics)
+    assert sched.lr == pytest.approx(5e-4)
+
+
+def test_trainer_lr_schedule_applied(rng):
+    x, y = _toy_data(rng, n=8)
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8, n_blocks=1)
+    trainer = Trainer(model, learning_rate=1e-3)
+    state = trainer.init(x[:2])
+    sched = cosine_annealing_lr(1e-3, 100, 1e-5)
+    state, hist = trainer.fit(state, lambda: _batches(x, y, 8), None,
+                              epochs=3, schedule=sched)
+    assert hist.lr == pytest.approx([sched(1), sched(2), sched(3)])
+
+
+def test_trainer_normalizer_decode_path(rng):
+    """use_normalizer decodes pred+target before the loss
+    (train/training.py:38-40): loss must equal rel-L2 in PHYSICAL units."""
+    x, y = _toy_data(rng, n=16)
+    y_norm = SimpleNormalizer.fit(y)
+    y_enc = np.asarray(y_norm.encode(y))
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8, n_blocks=1)
+    trainer = Trainer(model, use_normalizer=True, y_normalizer=y_norm)
+    state = trainer.init(x[:2])
+    loss_norm = trainer.evaluate(state, [(x, y_enc)])
+    # manually: decode(pred) vs decode(y_enc)=y
+    pred = model.apply(state.params, jnp.asarray(x))
+    from resolution_pde_tpu.ops import relative_l2
+
+    expected = float(relative_l2(y_norm.decode(pred), jnp.asarray(y)))
+    assert loss_norm == pytest.approx(expected, rel=1e-5)
+
+
+def test_trainer_multidevice_data_parallel(rng):
+    """Batch sharded over 8 CPU devices must produce the same training
+    trajectory as single-device (psum-of-grads == full-batch grads)."""
+    assert jax.device_count() >= 8
+    x, y = _toy_data(rng, n=32)
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8, n_blocks=1)
+
+    mesh8 = make_mesh({"data": 8})
+    mesh1 = make_mesh({"data": 1}, devices=jax.devices()[:1])
+    t8 = Trainer(model, mesh=mesh8)
+    t1 = Trainer(model, mesh=mesh1)
+    s8 = t8.init(x[:2])
+    s1 = t1.init(x[:2])
+    loader = _batches(x, y, 16)
+    s8, l8 = t8.train_epoch(s8, loader)
+    s1, l1 = t1.train_epoch(s1, loader)
+    assert l8 == pytest.approx(l1, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s8.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_multires_buckets(rng):
+    """FFNO trains on mixed-resolution buckets: one jit entry per shape."""
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=8)
+    trainer = Trainer(model)
+    x32, y32 = _toy_data(rng, n=16, res=32)
+    x64, y64 = _toy_data(rng, n=16, res=64)
+    state = trainer.init(x32[:2])
+    loader = [(x32, y32), (x64, y64)]
+    state, loss = trainer.train_epoch(state, loader)
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from resolution_pde_tpu.train.checkpoint import (
+        save_checkpoint,
+        restore_checkpoint,
+    )
+
+    x, y = _toy_data(rng, n=8)
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8, n_blocks=1)
+    trainer = Trainer(model)
+    state = trainer.init(x[:2])
+    state, _ = trainer.train_epoch(state, _batches(x, y, 8))
+    save_checkpoint(str(tmp_path / "ckpt"), state,
+                    history={"train_loss": [0.5, 0.4]})
+
+    fresh = trainer.init(x[:2])
+    restored, hist = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_allclose(np.asarray(hist["train_loss"]), [0.5, 0.4])
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
