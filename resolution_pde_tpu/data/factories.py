@@ -1,0 +1,600 @@
+"""Dataset factories mirroring the reference's per-PDE loader modules
+(dataloaders/*.py). Each returns the positional tuple the drivers consume:
+
+  'simple'/'unit_gaussian':
+     (train, val, test, rollout, x_normalizer, y_normalizer)
+  'minmax':
+     (train, val, test, rollout, min_data, max_data, min_model, max_model)
+
+train/val/test are ArrayDataset (already normalizer-encoded, like the
+reference's NormalizedDataset wrappers) or MultiResDataset for true-mres;
+rollout holds UN-normalized full trajectories (normalization is applied at
+rollout time — dataloaders/ks_naive_markov.py:436).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from resolution_pde_tpu.data import io as data_io
+from resolution_pde_tpu.data.dataset import (
+    ArrayDataset,
+    MultiResDataset,
+    TrajectoryDataset,
+    fit_normalizers,
+)
+from resolution_pde_tpu.data.transforms import (
+    markov_pairs_1d,
+    markov_pairs_2d,
+    reduce_trajectories,
+    resize_trajectories,
+    sliding_windows,
+    split_ratio_indices,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _randsplit_indices(n: int, seed: int = 42) -> np.ndarray:
+    """Permutation for the 0.8/0.1/0.1 random_split. Uses torch.randperm
+    when torch is importable so indices match the reference bit-for-bit
+    (burger_naive_markov.py:249-253); numpy fallback otherwise."""
+    try:
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        return torch.randperm(n, generator=g).numpy()
+    except ImportError:  # pragma: no cover
+        return np.random.default_rng(seed).permutation(n)
+
+
+def _split_pairs(x, y, split=(0.8, 0.1, 0.1), seed: int = 42):
+    n = len(x)
+    perm = _randsplit_indices(n, seed)
+    train_end = int(split[0] * n)
+    val_end = train_end + int(split[1] * n)
+    tr, va, te = perm[:train_end], perm[train_end:val_end], perm[val_end:]
+    return (ArrayDataset(x[tr], y[tr]), ArrayDataset(x[va], y[va]),
+            ArrayDataset(x[te], y[te]))
+
+
+def _package(train, val, test, rollout, data_normalizer: bool,
+             normalization_type: str):
+    """Fit normalizers on train, encode datasets, assemble the tuple."""
+    if not data_normalizer:
+        return train, val, test, rollout, None, None
+    if normalization_type in ("simple", "unit_gaussian"):
+        if isinstance(train, MultiResDataset):
+            xs = np.concatenate(
+                [d.x.reshape(-1) for d in train.buckets.values()])
+            ys = np.concatenate(
+                [d.y.reshape(-1) for d in train.buckets.values()])
+            stats = fit_normalizers(xs, ys, "simple")
+        else:
+            stats = fit_normalizers(train.x, train.y, normalization_type)
+        xn, yn = stats["x_normalizer"], stats["y_normalizer"]
+        return (train.encoded(xn, yn), val.encoded(xn, yn),
+                test.encoded(xn, yn), rollout, xn, yn)
+    if normalization_type == "minmax":
+        stats = fit_normalizers(train.x, train.y, "minmax")
+        from resolution_pde_tpu.data.dataset import MinMaxNormalizer
+
+        xn = MinMaxNormalizer(stats["min_data"], stats["max_data"])
+        yn = MinMaxNormalizer(stats["min_model"], stats["max_model"])
+        return (train.encoded(xn, yn), val.encoded(xn, yn),
+                test.encoded(xn, yn), rollout,
+                stats["min_data"], stats["max_data"],
+                stats["min_model"], stats["max_model"])
+    raise ValueError(f"unknown normalization_type {normalization_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# KS (separate train/valid/test files, pairing x=[:-1], y=[1:])
+# ---------------------------------------------------------------------------
+
+def _ks_load(filename, saved_folder, *, s=None, resize_method="resize",
+             **red_kw) -> np.ndarray:
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u = data_io.read_ks_h5(path)["u"]
+    u = reduce_trajectories(u, spatial_ndim=1, **red_kw)
+    if s is not None:
+        u = resize_trajectories(u, s, spatial_ndim=1, method=resize_method)
+    return u
+
+
+def ks_markov_dataset(filename, saved_folder, data_normalizer=True,
+                      use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
+                      val_filename="KS_valid.h5", test_filename="KS_test.h5",
+                      reduced_batch=1, reduced_resolution=1,
+                      reduced_resolution_t=1, num_samples_max=-1,
+                      s=None, **kwargs):
+    """KS naive/low-pass strategy (dataloaders/ks_naive_markov.py:309);
+    pass `s` for the FFT-resize strategy (ks_resize_markov.py:206)."""
+    red = dict(reduced_batch=reduced_batch,
+               reduced_resolution=reduced_resolution,
+               reduced_resolution_t=reduced_resolution_t,
+               use_low_pass_filter=use_low_pass_filter,
+               lowpass_cutoff_ratio=lowpass_cutoff_ratio,
+               num_samples_max=num_samples_max)
+    splits = {}
+    for name, fn in (("train", filename), ("val", val_filename),
+                     ("test", test_filename)):
+        u = _ks_load(fn, saved_folder, s=s, **red)
+        splits[name] = ArrayDataset(*markov_pairs_1d(u))
+    rollout_u = _ks_load(test_filename, saved_folder, s=s, **red)
+    rollout = TrajectoryDataset(rollout_u)
+    return _package(splits["train"], splits["val"], splits["test"], rollout,
+                    data_normalizer, "simple")
+
+
+def _ks_res_dir(saved_folder, resolution, viscosity, L, lmax, et, nte, nt):
+    dir_name = f"visc_{viscosity}_L{L}_lmax{lmax}_et{et}_nte{nte}_nt{nt}"
+    return os.path.join(saved_folder, f"res_{resolution}", dir_name)
+
+
+def ks_true_multires_markov_dataset(
+        saved_folder, viscosity=0.05, L=64.0, lmax=8, et=5.0, nte=51, nt=51,
+        train_s=2048, reduced_batch=1, reduced_resolution_t=1,
+        data_mres_size: Optional[Dict[int, int]] = None,
+        add_res: Optional[Sequence[int]] = None,
+        add_res_samples: Optional[Dict[int, int]] = None,
+        downsample_from_res: Optional[int] = None,
+        use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
+        split_ratio=None, random_seed=42, data_normalizer=True,
+        normalization_type="simple", num_samples_max=-1, **kwargs):
+    """True multi-resolution KS: per-resolution directories
+    res_{R}/visc_.../KS_train_{train_s}.h5, contiguous ratio split,
+    deterministic per-(res, split) subsample, optional extra resolutions by
+    downsampling (dataloaders/ks_naive_true_multires.py:173-535).
+
+    Returns (train, val, test, rollout, x_norm, y_norm) with train/val/test
+    as MultiResDataset.
+    """
+    if split_ratio is None:
+        split_ratio = [0.8, 0.1, 0.1]
+    data_mres_size = data_mres_size or {}
+    filename = f"KS_train_{train_s}.h5"
+
+    def load_res(resolution):
+        folder = _ks_res_dir(saved_folder, resolution, viscosity, L, lmax,
+                             et, nte, nt)
+        path = os.path.join(folder, filename)
+        if not os.path.exists(path):
+            return None
+        u = data_io.read_ks_h5(path, split="train")["u"]
+        return u[::reduced_batch, ::reduced_resolution_t]
+
+    split_names = ["train", "val", "test"]
+    buckets = {name: {} for name in split_names}
+
+    for resolution, target in sorted(data_mres_size.items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        tr_end, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        parts = {"train": u[:tr_end], "val": u[tr_end:va_end],
+                 "test": u[va_end:]}
+        for si, name in enumerate(split_names):
+            part = parts[name]
+            if target > 0 and target < u.shape[0]:
+                k = int(target * split_ratio[si])
+                if k <= 0:
+                    continue
+                # deterministic per-(res, split) subsample
+                # (ks_naive_true_multires.py:341-343)
+                np.random.seed(random_seed + resolution + si)
+                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                                       replace=False)
+                part = part[idx]
+            x, y = markov_pairs_1d(part)
+            buckets[name][resolution] = ArrayDataset(x, y)
+
+    # extra resolutions downsampled from a base resolution
+    # (ks_naive_true_multires.py:395-520)
+    base_res = downsample_from_res or (max(data_mres_size) if data_mres_size
+                                       else None)
+    if add_res and add_res_samples and base_res:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            tr_end, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            parts = {"train": u_base[:tr_end], "val": u_base[tr_end:va_end],
+                     "test": u_base[va_end:]}
+            src_res = u_base.shape[-1]
+            for target_res in add_res:
+                if target_res >= src_res:
+                    continue
+                n_target = add_res_samples.get(target_res, 100)
+                for si, name in enumerate(split_names):
+                    k = int(n_target * split_ratio[si])
+                    if k <= 0:
+                        continue
+                    np.random.seed(random_seed + target_res + si + 10000)
+                    idx = np.random.choice(parts[name].shape[0], k,
+                                           replace=True)
+                    sampled = parts[name][idx]
+                    if use_low_pass_filter:
+                        cutoff = (target_res / src_res) * lowpass_cutoff_ratio
+                        from resolution_pde_tpu.ops.resize import (
+                            lowpass_filter_1d)
+
+                        down = np.asarray(
+                            lowpass_filter_1d(sampled, cutoff_ratio=cutoff))
+                    else:
+                        down = sampled[:, :, :: src_res // target_res]
+                    x, y = markov_pairs_1d(down.astype(np.float32))
+                    key = down.shape[-1]
+                    if key in buckets[name]:
+                        old = buckets[name][key]
+                        buckets[name][key] = ArrayDataset(
+                            np.concatenate([old.x, x]),
+                            np.concatenate([old.y, y]))
+                    else:
+                        buckets[name][key] = ArrayDataset(x, y)
+
+    train = MultiResDataset(buckets["train"])
+    val = MultiResDataset(buckets["val"])
+    test = MultiResDataset(buckets["test"])
+
+    # rollout: test-split trajectories at the base (highest) resolution
+    # (ks_naive_true_multires.py:32 extract_ks_test_trajectories_for_rollout)
+    rollout = None
+    if base_res is not None:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            rollout = TrajectoryDataset(
+                np.ascontiguousarray(u_base[va_end:], dtype=np.float32))
+
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+# ---------------------------------------------------------------------------
+# Burgers (PDEBench single file, pairing x=[1:-1], y=[2:])
+# ---------------------------------------------------------------------------
+
+def burger_markov_dataset(filename, saved_folder, data_normalizer=True,
+                          normalization_type="minmax",
+                          use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
+                          reduced_batch=1, reduced_resolution=1,
+                          reduced_resolution_t=1, num_samples_max=-1,
+                          s=None, **kwargs):
+    """Burgers naive/low-pass strategy (burger_naive_markov.py:204); pass
+    `s` for the FFT-resize strategy (burger_resize_markov.py:106)."""
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u = data_io.read_pdebench_h5(path)["u"]
+    u = reduce_trajectories(
+        u, reduced_batch, reduced_resolution, reduced_resolution_t,
+        use_low_pass_filter, lowpass_cutoff_ratio, num_samples_max,
+        spatial_ndim=1)
+    if s is not None:
+        u = resize_trajectories(u, s, spatial_ndim=1)
+    x = u[:, 1:-1]
+    y = u[:, 2:]
+    b, t, m = x.shape
+    x = np.ascontiguousarray(x.reshape(b * t, 1, m))
+    y = np.ascontiguousarray(y.reshape(b * t, 1, m))
+    train, val, test = _split_pairs(x, y, seed=42)
+    # rollout: test trajectories from the contiguous ratio split
+    # (burger_naive_markov.py:96-110)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(u[va_end:]))
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+def burger_true_multires_markov_dataset(
+        saved_folder, viscosity=0.001, filename_pattern="1D_Burgers_Sols_Nu*.hdf5",
+        reduced_batch=1, reduced_resolution_t=1,
+        data_mres_size: Optional[Dict[int, int]] = None,
+        add_res=None, add_res_samples=None, downsample_from_res=None,
+        use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
+        split_ratio=None, random_seed=42, data_normalizer=True,
+        normalization_type="simple", **kwargs):
+    """True multi-res Burgers: per-res dirs burgers_{res}_{viscosity}
+    globbed by filename_pattern (burger_naive_true_multires.py:61-72)."""
+    if split_ratio is None:
+        split_ratio = [0.8, 0.1, 0.1]
+    data_mres_size = data_mres_size or {}
+
+    def load_res(resolution):
+        folder = os.path.join(saved_folder, f"burgers_{resolution}_{viscosity}")
+        matches = sorted(glob.glob(os.path.join(folder, filename_pattern)))
+        if not matches:
+            return None
+        u = data_io.read_pdebench_h5(matches[0])["u"]
+        return u[::reduced_batch, ::reduced_resolution_t]
+
+    return _generic_true_multires_1d(
+        load_res, data_mres_size, add_res, add_res_samples,
+        downsample_from_res, use_low_pass_filter, lowpass_cutoff_ratio,
+        split_ratio, random_seed, data_normalizer, normalization_type,
+        pairing="burgers")
+
+
+def _generic_true_multires_1d(load_res, data_mres_size, add_res,
+                              add_res_samples, downsample_from_res,
+                              use_low_pass_filter, lowpass_cutoff_ratio,
+                              split_ratio, random_seed, data_normalizer,
+                              normalization_type, pairing="ks"):
+    pair_fn = (markov_pairs_1d if pairing == "ks"
+               else lambda u: markov_pairs_1d(u[:, 1:]))  # burgers skips t0
+    split_names = ["train", "val", "test"]
+    buckets = {name: {} for name in split_names}
+    for resolution, target in sorted((data_mres_size or {}).items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        tr_end, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        parts = {"train": u[:tr_end], "val": u[tr_end:va_end],
+                 "test": u[va_end:]}
+        for si, name in enumerate(split_names):
+            part = parts[name]
+            if 0 < target < u.shape[0]:
+                k = int(target * split_ratio[si])
+                if k <= 0:
+                    continue
+                np.random.seed(random_seed + resolution + si)
+                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                                       replace=False)
+                part = part[idx]
+            x, y = pair_fn(part.astype(np.float32))
+            buckets[name][x.shape[-1]] = ArrayDataset(x, y)
+
+    base_res = downsample_from_res or (max(data_mres_size)
+                                       if data_mres_size else None)
+    rollout = None
+    if base_res is not None:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            rollout = TrajectoryDataset(
+                np.ascontiguousarray(u_base[va_end:], dtype=np.float32))
+
+    train = MultiResDataset(buckets["train"])
+    val = MultiResDataset(buckets["val"])
+    test = MultiResDataset(buckets["test"])
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+# ---------------------------------------------------------------------------
+# Navier-Stokes (2D, pairing x=[1:-1], y=[2:])
+# ---------------------------------------------------------------------------
+
+def ns_markov_dataset(filename, saved_folder, use_low_pass_filter=False,
+                      lowpass_cutoff_ratio=1.0, data_normalizer=True,
+                      normalization_type="unit_gaussian",
+                      reduced_batch=1, reduced_resolution=1,
+                      reduced_resolution_t=1, num_samples_max=-1,
+                      s=None, **kwargs):
+    """NS vorticity, naive/low-pass (ns_naive_markov.py:325); `s` resizes."""
+    path = os.path.join(saved_folder, filename)
+    u = data_io.read_ns(path)  # (b, t, h, w)
+    u = u[..., None]  # channel dim -> (b, t, h, w, 1)
+    u = reduce_trajectories(
+        u, reduced_batch, reduced_resolution, reduced_resolution_t,
+        use_low_pass_filter, lowpass_cutoff_ratio, num_samples_max,
+        spatial_ndim=2)
+    if s is not None:
+        u_cl = np.moveaxis(u, -1, 2)  # (b, t, c, h, w)
+        u_cl = resize_trajectories(u_cl, s, spatial_ndim=2)
+        u = np.moveaxis(u_cl, 2, -1)
+    x, y = markov_pairs_2d(u)
+    train, val, test = _split_pairs(x, y, seed=42)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(
+        np.ascontiguousarray(u[va_end:, :, :, :, 0]))  # (n, t, h, w)
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+def ns_true_multires_markov_dataset(
+        saved_folder, file_map: Optional[Dict[int, str]] = None,
+        reduced_batch=1, reduced_resolution_t=1,
+        data_mres_size: Optional[Dict[int, int]] = None,
+        add_res=None, add_res_samples=None, downsample_from_res=None,
+        use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
+        split_ratio=None, random_seed=42, data_normalizer=True,
+        normalization_type="simple", **kwargs):
+    """True multi-res NS (ns_naive_true_multires.py:396): per-resolution
+    files given as file_map {res: filename} relative to saved_folder."""
+    if split_ratio is None:
+        split_ratio = [0.8, 0.1, 0.1]
+    data_mres_size = data_mres_size or {
+        r: -1 for r in (file_map or {})}
+    file_map = file_map or {}
+
+    split_names = ["train", "val", "test"]
+    buckets = {name: {} for name in split_names}
+
+    def load_res(resolution):
+        if resolution not in file_map:
+            return None
+        path = os.path.join(saved_folder, file_map[resolution])
+        if not os.path.exists(path):
+            return None
+        u = data_io.read_ns(path)[..., None]
+        return u[::reduced_batch, ::reduced_resolution_t]
+
+    for resolution, target in sorted(data_mres_size.items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        tr_end, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        parts = {"train": u[:tr_end], "val": u[tr_end:va_end],
+                 "test": u[va_end:]}
+        for si, name in enumerate(split_names):
+            part = parts[name]
+            if 0 < target < u.shape[0]:
+                k = int(target * split_ratio[si])
+                if k <= 0:
+                    continue
+                np.random.seed(random_seed + resolution + si)
+                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                                       replace=False)
+                part = part[idx]
+            x, y = markov_pairs_2d(part.astype(np.float32))
+            buckets[name][x.shape[-1]] = ArrayDataset(x, y)
+
+    # extra resolutions by spectral/naive downsampling of the base res
+    base_res = downsample_from_res or (max(file_map) if file_map else None)
+    if add_res and add_res_samples and base_res:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            src_res = u_base.shape[2]
+            tr_end, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            parts = {"train": u_base[:tr_end], "val": u_base[tr_end:va_end],
+                     "test": u_base[va_end:]}
+            for target_res in add_res:
+                if target_res >= src_res:
+                    continue
+                n_target = add_res_samples.get(target_res, 100)
+                for si, name in enumerate(split_names):
+                    k = int(n_target * split_ratio[si])
+                    if k <= 0:
+                        continue
+                    np.random.seed(random_seed + target_res + si + 10000)
+                    idx = np.random.choice(parts[name].shape[0], k,
+                                           replace=True)
+                    sampled = parts[name][idx]
+                    if use_low_pass_filter:
+                        from resolution_pde_tpu.ops.resize import (
+                            lowpass_filter_2d)
+
+                        cutoff = ((target_res / src_res)
+                                  * lowpass_cutoff_ratio)
+                        s_cf = np.moveaxis(sampled, -1, 2)
+                        s_cf = np.asarray(
+                            lowpass_filter_2d(s_cf, cutoff_ratio=cutoff))
+                        down = np.moveaxis(s_cf, 2, -1)
+                    else:
+                        f = src_res // target_res
+                        down = sampled[:, :, ::f, ::f]
+                    x, y = markov_pairs_2d(down.astype(np.float32))
+                    key = x.shape[-1]
+                    if key in buckets[name]:
+                        old = buckets[name][key]
+                        buckets[name][key] = ArrayDataset(
+                            np.concatenate([old.x, x]),
+                            np.concatenate([old.y, y]))
+                    else:
+                        buckets[name][key] = ArrayDataset(x, y)
+
+    rollout = None
+    if base_res is not None:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            rollout = TrajectoryDataset(
+                np.ascontiguousarray(u_base[va_end:, :, :, :, 0]))
+
+    train = MultiResDataset(buckets["train"])
+    val = MultiResDataset(buckets["val"])
+    test = MultiResDataset(buckets["test"])
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+# ---------------------------------------------------------------------------
+# Darcy (steady state), active matter, S4 window datasets
+# ---------------------------------------------------------------------------
+
+def darcy_dataset(filename, saved_folder, data_normalizer=True,
+                  normalization_type="unit_gaussian", reduced_batch=1,
+                  reduced_resolution=1, num_samples_max=-1, **kwargs):
+    """Steady-state Darcy flow: coefficient field -> pressure solution
+    (dataloaders/darcy_loader.py:7-126)."""
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    d = data_io.read_darcy_h5(path)
+    a = d["a"][::reduced_batch, ::reduced_resolution, ::reduced_resolution]
+    u = d["u"][::reduced_batch, ::reduced_resolution, ::reduced_resolution]
+    if num_samples_max > 0:
+        a, u = a[:num_samples_max], u[:num_samples_max]
+    x = np.ascontiguousarray(a[:, None], dtype=np.float32)  # (n, 1, h, w)
+    y = np.ascontiguousarray(u[:, None], dtype=np.float32)
+    train, val, test = _split_pairs(x, y, seed=42)
+    return _package(train, val, test, None, data_normalizer,
+                    normalization_type)
+
+
+def active_matter_markov_dataset(filename, saved_folder, data_normalizer=True,
+                                 normalization_type="simple",
+                                 fields=("concentration",),
+                                 reduced_batch=1, reduced_resolution=1,
+                                 reduced_resolution_t=1, num_samples_max=-1,
+                                 s=None, **kwargs):
+    """Multi-channel 2D active matter (active_matter_markov.py:11-164)."""
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u = data_io.read_active_matter_h5(path, fields)  # (b, t, h, w, c)
+    u = reduce_trajectories(u, reduced_batch, reduced_resolution,
+                            reduced_resolution_t, num_samples_max=num_samples_max,
+                            spatial_ndim=2)
+    if s is not None:
+        u_cl = np.moveaxis(u, -1, 2)
+        u_cl = resize_trajectories(u_cl, s, spatial_ndim=2)
+        u = np.moveaxis(u_cl, 2, -1)
+    x, y = markov_pairs_2d(u)
+    train, val, test = _split_pairs(x, y, seed=42)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(
+        np.moveaxis(u[va_end:], -1, 2)))  # (n, t, c, h, w)
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)
+
+
+def burger_window_dataset(filename, saved_folder, window_size=10,
+                          data_normalizer=True, reduced_batch=1,
+                          reduced_resolution=1, reduced_resolution_t=1,
+                          num_samples_max=-1, **kwargs):
+    """Sliding-window sequence dataset for S4-style models
+    (dataloaders/burger_s4.py:13-96): x (N, window, m), y (N, m)."""
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u = data_io.read_pdebench_h5(path)["u"]
+    u = reduce_trajectories(u, reduced_batch, reduced_resolution,
+                            reduced_resolution_t,
+                            num_samples_max=num_samples_max, spatial_ndim=1)
+    x, y = sliding_windows(u, window_size)
+    train, val, test = _split_pairs(x, y, seed=42)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(u[va_end:]))
+    return _package(train, val, test, rollout, data_normalizer, "simple")
+
+
+def ns_window_dataset(filename, saved_folder, window_size=10,
+                      data_normalizer=True, reduced_batch=1,
+                      reduced_resolution=1, reduced_resolution_t=1,
+                      num_samples_max=-1, **kwargs):
+    """2D sliding-window dataset (dataloaders/ns_s4.py:11-196):
+    x (N, window, h, w), y (N, h, w)."""
+    path = os.path.join(saved_folder, filename)
+    u = data_io.read_ns(path)[..., None]
+    u = reduce_trajectories(u, reduced_batch, reduced_resolution,
+                            reduced_resolution_t,
+                            num_samples_max=num_samples_max, spatial_ndim=2)
+    u = u[..., 0]  # (b, t, h, w)
+    b, t, h, w = u.shape
+    n_win = t - window_size
+    xs = np.empty((b * n_win, window_size, h, w), dtype=np.float32)
+    ys = np.empty((b * n_win, h, w), dtype=np.float32)
+    k = 0
+    for i in range(n_win):
+        xs[k:k + b] = u[:, i:i + window_size]
+        ys[k:k + b] = u[:, i + window_size]
+        k += b
+    train, val, test = _split_pairs(xs, ys, seed=42)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(u[va_end:]))
+    return _package(train, val, test, rollout, data_normalizer, "simple")

@@ -1,0 +1,93 @@
+"""Batched loaders.
+
+Parity target: ResolutionGroupedDataLoader (train/mres_training.py:75-131)
+— uniform-resolution batches drawn in shuffled order across resolutions.
+The reference materializes every batch of the epoch up front
+(mres_training.py:110-120); here the batch ORDER is materialized (cheap)
+but batch tensors are sliced lazily, so memory stays O(dataset), not
+O(dataset + epoch of copies).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from resolution_pde_tpu.data.dataset import ArrayDataset, MultiResDataset
+
+
+class Loader:
+    """Shuffling mini-batch iterator over an ArrayDataset. Re-iterable;
+    each __iter__ re-draws the permutation (like torch DataLoader)."""
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            sel = idx[i: i + self.batch_size]
+            yield self.dataset.x[sel], self.dataset.y[sel]
+
+
+class ResolutionBucketedLoader:
+    """Uniform-resolution batches from a MultiResDataset, batch order
+    shuffled across buckets each epoch (mres_training.py:108-128)."""
+
+    def __init__(self, dataset: MultiResDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        total = 0
+        for d in self.dataset.buckets.values():
+            n = len(d)
+            total += (n // self.batch_size if self.drop_last
+                      else (n + self.batch_size - 1) // self.batch_size)
+        return total
+
+    def __iter__(self) -> Iterator:
+        plans = []  # (resolution, sample-index-array) per batch
+        for res, d in self.dataset.buckets.items():
+            n = len(d)
+            idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            stop = n - n % self.batch_size if self.drop_last else n
+            for i in range(0, stop, self.batch_size):
+                plans.append((res, idx[i: i + self.batch_size]))
+        if self.shuffle:
+            order = self._rng.permutation(len(plans))
+        else:
+            order = np.arange(len(plans))
+        for j in order:
+            res, sel = plans[j]
+            d = self.dataset.buckets[res]
+            yield d.x[sel], d.y[sel]
+
+
+def create_grouped_dataloaders(train_ds, val_ds, test_ds, batch_size: int,
+                               seed: int = 0):
+    """Reference factory parity (train/mres_training.py:146): grouped train
+    loader shuffled, val/test deterministic."""
+    return (
+        ResolutionBucketedLoader(train_ds, batch_size, shuffle=True, seed=seed),
+        ResolutionBucketedLoader(val_ds, batch_size, shuffle=False),
+        ResolutionBucketedLoader(test_ds, batch_size, shuffle=False),
+    )

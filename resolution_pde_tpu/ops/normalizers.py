@@ -25,8 +25,10 @@ class SimpleNormalizer:
 
     @classmethod
     def fit(cls, x, eps: float = 1e-8) -> "SimpleNormalizer":
+        # ddof=1 matches torch.Tensor.std() used by the reference factories
+        # (dataloaders/ks_naive_markov.py:389-392).
         x = jnp.asarray(x)
-        return cls(jnp.mean(x), jnp.std(x), eps=eps)
+        return cls(jnp.mean(x), jnp.std(x, ddof=1), eps=eps)
 
     def encode(self, x):
         return (x - self.mean) / (self.std + self.eps)

@@ -1,0 +1,248 @@
+"""Data layer tests: format readers, reductions, Markov pairing, splits,
+normalization, bucketed loaders — on synthetic files written in the
+reference's file formats."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from resolution_pde_tpu.data import (
+    ArrayDataset,
+    Loader,
+    MultiResDataset,
+    ResolutionBucketedLoader,
+    burger_markov_dataset,
+    burger_window_dataset,
+    ks_markov_dataset,
+    ks_true_multires_markov_dataset,
+    ns_markov_dataset,
+    darcy_dataset,
+)
+from resolution_pde_tpu.data.transforms import (
+    markov_pairs_1d,
+    markov_pairs_2d,
+    reduce_trajectories,
+    sliding_windows,
+)
+
+
+def _write_ks_file(path, n=10, t=6, s=64, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n, t, s)).astype(np.float32)
+    split = "train" if "train" in os.path.basename(path).lower() else (
+        "valid" if "valid" in os.path.basename(path).lower() else "test")
+    with h5py.File(path, "w") as f:
+        g = f.create_group(split)
+        g.create_dataset("pde_51-64", data=u)
+        g.create_dataset("x", data=np.linspace(0, 64, s).astype(np.float32))
+        g.create_dataset("t", data=np.linspace(0, 5, t).astype(np.float32))
+    return u
+
+
+def _write_pdebench_file(path, n=20, t=8, s=64, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n, t, s)).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("tensor", data=u)
+        f.create_dataset("x-coordinate",
+                         data=np.linspace(0, 1, s).astype(np.float32))
+    return u
+
+
+def _write_ns_file(path, n=12, t=6, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n, t, s, s)).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("u", data=u)
+    return u
+
+
+def test_markov_pairs_1d():
+    u = np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
+    x, y = markov_pairs_1d(u)
+    assert x.shape == (6, 1, 3)
+    np.testing.assert_array_equal(x[0, 0], u[0, 0])
+    np.testing.assert_array_equal(y[0, 0], u[0, 1])
+    np.testing.assert_array_equal(x[3, 0], u[1, 0])
+
+
+def test_markov_pairs_2d_skips_first_step():
+    u = np.random.default_rng(0).standard_normal((2, 5, 4, 4, 1)).astype(
+        np.float32)
+    x, y = markov_pairs_2d(u)
+    assert x.shape == (6, 1, 4, 4)  # (b*(t-2), c, h, w)
+    np.testing.assert_array_equal(x[0, 0], u[0, 1, :, :, 0])
+    np.testing.assert_array_equal(y[0, 0], u[0, 2, :, :, 0])
+
+
+def test_reduce_trajectories_strides_and_lowpass():
+    u = np.random.default_rng(0).standard_normal((8, 6, 64)).astype(np.float32)
+    out = reduce_trajectories(u, reduced_batch=2, reduced_resolution=2,
+                              reduced_resolution_t=3)
+    assert out.shape == (4, 2, 32)
+    # low-pass path filters WITHOUT subsampling (ks_naive_markov.py:259-273)
+    out_lp = reduce_trajectories(u, reduced_resolution=2,
+                                 use_low_pass_filter=True)
+    assert out_lp.shape == u.shape
+
+
+def test_ks_markov_dataset_factory(tmp_path):
+    for name in ("KS_train_64.h5", "KS_valid.h5", "KS_test.h5"):
+        _write_ks_file(str(tmp_path / name), seed=hash(name) % 100)
+    out = ks_markov_dataset("KS_train_64.h5", str(tmp_path),
+                            val_filename="KS_valid.h5",
+                            test_filename="KS_test.h5")
+    train, val, test, rollout, xn, yn = out
+    assert len(train) == 10 * 5  # (t-1) pairs per trajectory
+    assert train.x.shape == (50, 1, 64)
+    # normalized: near-zero mean on train x
+    assert abs(train.x.mean()) < 0.1
+    assert rollout.u.shape == (10, 6, 64)
+    # rollout NOT normalized
+    assert xn is not None and yn is not None
+
+
+def test_burger_markov_dataset_split_and_minmax(tmp_path):
+    _write_pdebench_file(str(tmp_path / "burgers.h5"))
+    out = burger_markov_dataset("burgers.h5", str(tmp_path),
+                                normalization_type="minmax")
+    train, val, test, rollout, min_d, max_d, min_m, max_m = out
+    n_pairs = 20 * 6  # t-2 pairs
+    assert len(train) == int(0.8 * n_pairs)
+    assert len(val) == int(0.1 * n_pairs)
+    assert len(test) == n_pairs - len(train) - len(val)
+    # minmax encoding -> train x in [0, 1]
+    assert train.x.min() >= -1e-6 and train.x.max() <= 1 + 1e-6
+    assert min_d < max_d and min_m < max_m
+
+
+def test_burger_split_matches_torch_random_split(tmp_path):
+    """Split indices must match torch.random_split(generator=seed 42)."""
+    import torch
+    from torch.utils.data import random_split
+
+    _write_pdebench_file(str(tmp_path / "burgers.h5"))
+    out = burger_markov_dataset("burgers.h5", str(tmp_path),
+                                data_normalizer=False)
+    train = out[0]
+    u = _write_pdebench_file(str(tmp_path / "burgers2.h5"))  # same seed/data
+    x = u[:, 1:-1].reshape(-1, 1, 64)
+    n = len(x)
+    tr_n, va_n = int(0.8 * n), int(0.1 * n)
+    splits = random_split(list(range(n)), [tr_n, va_n, n - tr_n - va_n],
+                          generator=torch.Generator().manual_seed(42))
+    torch_train_idx = np.array([splits[0].dataset[i] for i in splits[0].indices])
+    np.testing.assert_allclose(train.x, x[torch_train_idx], rtol=1e-6)
+
+
+def test_ns_markov_dataset(tmp_path):
+    _write_ns_file(str(tmp_path / "ns_32.h5"))
+    out = ns_markov_dataset("ns_32.h5", str(tmp_path))
+    train, val, test, rollout, xn, yn = out
+    n_pairs = 12 * 4  # (t-2)
+    assert train.x.shape[1:] == (1, 32, 32)
+    assert len(train) + len(val) + len(test) == n_pairs
+    assert rollout.u.shape[-2:] == (32, 32)
+
+
+def test_ks_true_multires_factory(tmp_path):
+    # build per-resolution directory structure
+    import os
+
+    for res in (32, 64):
+        d = tmp_path / f"res_{res}" / "visc_0.05_L64.0_lmax8_et5.0_nte51_nt51"
+        os.makedirs(d)
+        rng = np.random.default_rng(res)
+        u = rng.standard_normal((10, 4, res)).astype(np.float32)
+        with h5py.File(str(d / "KS_train_2048.h5"), "w") as f:
+            g = f.create_group("train")
+            g.create_dataset("pde_51-%d" % res, data=u)
+
+    out = ks_true_multires_markov_dataset(
+        str(tmp_path), viscosity=0.05, train_s=2048,
+        data_mres_size={32: -1, 64: -1}, downsample_from_res=64)
+    train, val, test, rollout, xn, yn = out
+    assert isinstance(train, MultiResDataset)
+    assert train.resolutions == [32, 64]
+    assert rollout is not None and rollout.u.shape[-1] == 64
+    # encoded train data has ~unit scale
+    allx = np.concatenate([d.x.reshape(-1) for d in train.buckets.values()])
+    assert abs(allx.mean()) < 0.2
+
+
+def test_ks_true_multires_add_res(tmp_path):
+    import os
+
+    d = tmp_path / "res_64" / "visc_0.05_L64.0_lmax8_et5.0_nte51_nt51"
+    os.makedirs(d)
+    u = np.random.default_rng(1).standard_normal((10, 4, 64)).astype(np.float32)
+    with h5py.File(str(d / "KS_train_2048.h5"), "w") as f:
+        f.create_group("train").create_dataset("pde_51-64", data=u)
+
+    out = ks_true_multires_markov_dataset(
+        str(tmp_path), viscosity=0.05, train_s=2048,
+        data_mres_size={64: -1}, add_res=[32],
+        add_res_samples={32: 8}, downsample_from_res=64)
+    train = out[0]
+    assert 32 in train.resolutions and 64 in train.resolutions
+
+
+def test_darcy_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    with h5py.File(str(tmp_path / "darcy.h5"), "w") as f:
+        f.create_dataset("nu", data=rng.standard_normal((20, 16, 16)))
+        f.create_dataset("tensor", data=rng.standard_normal((20, 1, 16, 16)))
+    out = darcy_dataset("darcy.h5", str(tmp_path))
+    train, val, test, rollout, xn, yn = out
+    assert train.x.shape[1:] == (1, 16, 16)
+    assert rollout is None
+
+
+def test_window_dataset(tmp_path):
+    _write_pdebench_file(str(tmp_path / "burgers.h5"), n=5, t=8, s=32)
+    out = burger_window_dataset("burgers.h5", str(tmp_path), window_size=3)
+    train, val, test, rollout, xn, yn = out
+    assert train.x.shape[1:] == (3, 32)
+    assert train.y.shape[1:] == (32,)
+
+
+def test_sliding_windows_content():
+    u = np.arange(1 * 5 * 2, dtype=np.float32).reshape(1, 5, 2)
+    x, y = sliding_windows(u, 2)
+    assert x.shape == (3, 2, 2)
+    np.testing.assert_array_equal(x[0], u[0, 0:2])
+    np.testing.assert_array_equal(y[0], u[0, 2])
+
+
+def test_resolution_bucketed_loader(rng):
+    buckets = {
+        32: ArrayDataset(rng.standard_normal((10, 1, 32)).astype(np.float32),
+                         rng.standard_normal((10, 1, 32)).astype(np.float32)),
+        64: ArrayDataset(rng.standard_normal((6, 1, 64)).astype(np.float32),
+                         rng.standard_normal((6, 1, 64)).astype(np.float32)),
+    }
+    ds = MultiResDataset(buckets)
+    loader = ResolutionBucketedLoader(ds, batch_size=4, shuffle=True, seed=1)
+    shapes = []
+    n_samples = 0
+    for x, y in loader:
+        assert x.shape == y.shape
+        assert x.shape[-1] in (32, 64)  # uniform-resolution batches
+        shapes.append(x.shape[-1])
+        n_samples += len(x)
+    assert n_samples == 16
+    assert set(shapes) == {32, 64}
+    # re-iteration reshuffles but yields same totals
+    assert sum(x.shape[0] for x, _ in loader) == 16
+
+
+def test_loader_shuffles_and_batches(rng):
+    ds = ArrayDataset(np.arange(20, dtype=np.float32).reshape(20, 1, 1),
+                      np.arange(20, dtype=np.float32).reshape(20, 1, 1))
+    loader = Loader(ds, batch_size=6, shuffle=True, seed=0)
+    seen = np.concatenate([x[:, 0, 0] for x, _ in loader])
+    assert len(seen) == 20
+    assert set(seen) == set(range(20))
+    assert not np.all(seen == np.arange(20))  # actually shuffled
