@@ -1,0 +1,84 @@
+"""Per-Fourier-mode error decomposition.
+
+Parity targets (utils/frequency_error.py):
+  - 1D (:37-88): for each rfft bin k, isolate the bin, irfft, and take the
+    L2 norm of (pred - target) and of the target over the whole tensor.
+  - 2D (:92-161): radial frequency bins over (fftfreq_y, rfftfreq_x), band
+    masks, masked irfft2, L2 norms per bin.
+
+TPU design: the reference loops one irfft per mode. By Parseval, the norm
+of the isolated-bin signal is analytic in the spectrum — for backward-norm
+rfft of a real signal of length N,
+
+    || irfft(delta_k . f) ||^2 = (w_k / N) |f_k|^2,
+
+with w_k = 2 for interior bins (conjugate pair) and 1 for DC and (even-N)
+Nyquist. Likewise in 2D with the weight on the rfft axis. This reduces the
+whole decomposition to one FFT plus weighted reductions — no per-mode
+transforms, no host loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _rfft_weights(n: int) -> np.ndarray:
+    """Conjugate-pair multiplicity per rfft bin of a length-n signal."""
+    n_freq = n // 2 + 1
+    w = np.full(n_freq, 2.0, dtype=np.float32)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return w
+
+
+def decompose_error_by_frequency_1d(y_hat, y, num_modes=None):
+    """y_hat, y: (B, C, H). Returns (error_per_mode,
+    solution_magnitude_per_mode, frequencies), numpy arrays."""
+    h = y.shape[-1]
+    f_hat = jnp.fft.rfft(jnp.asarray(y_hat), axis=-1)
+    f = jnp.fft.rfft(jnp.asarray(y), axis=-1)
+    n_freq = f.shape[-1]
+    m = n_freq if num_modes is None else min(num_modes, n_freq)
+    w = _rfft_weights(h)[:m]
+
+    # sum |.|^2 over batch and channels per mode
+    err_sq = jnp.sum(jnp.abs(f_hat - f) ** 2, axis=(0, 1))[:m]
+    mag_sq = jnp.sum(jnp.abs(f) ** 2, axis=(0, 1))[:m]
+    error_per_mode = np.sqrt(np.asarray(err_sq) * w / h)
+    magnitude_per_mode = np.sqrt(np.asarray(mag_sq) * w / h)
+    freqs = np.fft.rfftfreq(h)[:m]
+    return error_per_mode, magnitude_per_mode, freqs
+
+
+def decompose_error_by_frequency_2d(y_hat, y, num_radial_bins: int = 64):
+    """y_hat, y: (B, C, H, W). Radially-binned error/magnitude over
+    sqrt(fy^2 + fx^2) in [0, 0.5]."""
+    h, w_sz = y.shape[-2], y.shape[-1]
+    f_hat = jnp.fft.rfft2(jnp.asarray(y_hat), axes=(-2, -1))
+    f = jnp.fft.rfft2(jnp.asarray(y), axes=(-2, -1))
+
+    freq_y = np.fft.fftfreq(h)
+    freq_x = np.fft.fftfreq(w_sz)[: w_sz // 2 + 1]
+    if w_sz % 2 == 0:
+        freq_x[-1] = abs(freq_x[-1])  # rfftfreq convention: +0.5
+    radial = np.sqrt(freq_y[:, None] ** 2 + freq_x[None, :] ** 2)
+    pair_w = np.broadcast_to(_rfft_weights(w_sz)[None, :], radial.shape)
+
+    err_sq = np.asarray(jnp.sum(jnp.abs(f_hat - f) ** 2, axis=(0, 1)))
+    mag_sq = np.asarray(jnp.sum(jnp.abs(f) ** 2, axis=(0, 1)))
+
+    bins = np.linspace(0, 0.5, num_radial_bins + 1)
+    error_per_bin = np.zeros(num_radial_bins)
+    magnitude_per_bin = np.zeros(num_radial_bins)
+    radial_freqs = (bins[:-1] + bins[1:]) / 2
+    norm = h * w_sz
+    for i in range(num_radial_bins):
+        mask = (radial >= bins[i]) & (radial < bins[i + 1])
+        if not mask.any():
+            continue
+        error_per_bin[i] = np.sqrt(np.sum(err_sq * pair_w * mask) / norm)
+        magnitude_per_bin[i] = np.sqrt(np.sum(mag_sq * pair_w * mask) / norm)
+    return error_per_bin, magnitude_per_bin, radial_freqs

@@ -1,0 +1,122 @@
+"""Autoregressive rollout evaluation.
+
+Parity targets (utils/autoregressive_step.py):
+  - perform_rollout_1d (:284-310): feed the normalized state through the
+    model, collect the NORMALIZED prediction, then decode with the
+    y-normalizer and re-encode with the x-normalizer before feeding back —
+    the normalizer round-trip must be preserved exactly.
+  - evaluate_1d_rollout_all_resolution (:11-282): per resolution, initial
+    condition = trajectory[:, 0] encoded with the x-normalizer; loss =
+    mean over steps of per-step batch-mean rel-L2 between the DECODED
+    rollout and the raw ground-truth trajectory[:, 1:steps+1].
+
+TPU design: the step loop is a lax.scan (one compiled program regardless of
+rollout length); works for 1D (B, C, S) and 2D (B, C, H, W) states.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.ops.losses import relative_l2
+
+
+def perform_rollout(model, params, initial_condition, rollout_steps: int,
+                    x_normalizer=None, y_normalizer=None):
+    """Roll the model forward `rollout_steps` steps via lax.scan.
+
+    initial_condition: NORMALIZED state (B, C, *spatial).
+    Returns NORMALIZED predictions (B, rollout_steps, C, *spatial).
+    """
+
+    def step(state, _):
+        pred = model.apply(params, state, deterministic=True)
+        if y_normalizer is not None and x_normalizer is not None:
+            nxt = x_normalizer.encode(y_normalizer.decode(pred))
+        else:
+            nxt = pred
+        return nxt, pred
+
+    _, preds = jax.lax.scan(step, initial_condition, None,
+                            length=rollout_steps)
+    # (steps, B, C, *sp) -> (B, steps, C, *sp)
+    return jnp.moveaxis(preds, 0, 1)
+
+
+def rollout_loss(model, params, trajectories, rollout_steps: int,
+                 x_normalizer=None, y_normalizer=None,
+                 batch_size: int = 16) -> float:
+    """Mean-over-steps of per-step batch-mean rel-L2
+    (autoregressive_step.py:190-197).
+
+    trajectories: raw (N, T, *spatial) ground truth; channel dim added
+    internally.
+    """
+    n, t = trajectories.shape[0], trajectories.shape[1]
+    steps = min(rollout_steps, t - 1)
+
+    @jax.jit
+    def batch_rollout(p, ic):
+        return perform_rollout(model, p, ic, steps, x_normalizer,
+                               y_normalizer)
+
+    total, batches = 0.0, 0
+    for i in range(0, n, batch_size):
+        traj = jnp.asarray(trajectories[i:i + batch_size])
+        ic = traj[:, 0][:, None]  # (b, 1, *spatial) channel dim
+        if x_normalizer is not None:
+            ic = x_normalizer.encode(ic)
+        preds_norm = batch_rollout(params, ic)  # (b, steps, 1, *sp)
+        if y_normalizer is not None:
+            preds = y_normalizer.decode(preds_norm)
+        else:
+            preds = preds_norm
+        gt = traj[:, 1:steps + 1]  # (b, steps, *sp)
+        step_losses = [
+            float(relative_l2(preds[:, s, 0], gt[:, s]))
+            for s in range(steps)
+        ]
+        total += sum(step_losses) / len(step_losses)
+        batches += 1
+    return total / max(batches, 1)
+
+
+def evaluate_rollout_all_resolutions(
+    model,
+    params,
+    rollout_builder: Callable,
+    current_res: int,
+    test_resolutions=None,
+    max_test_resolution: Optional[int] = None,
+    rollout_steps: int = 16,
+    x_normalizer=None,
+    y_normalizer=None,
+    batch_size: int = 16,
+    strict: bool = False,
+) -> Dict[int, float]:
+    """Rollout loss at every resolution. `rollout_builder(res)` returns raw
+    trajectories (N, T, *spatial) at that resolution."""
+    from resolution_pde_tpu.evaluation.superres import get_lower_resolutions
+
+    if test_resolutions is None:
+        base = max_test_resolution or current_res
+        test_resolutions = get_lower_resolutions(base)
+
+    results: Dict[int, float] = {}
+    for res in test_resolutions:
+        try:
+            traj = rollout_builder(res)
+            u = traj.u if hasattr(traj, "u") else np.asarray(traj)
+            results[res] = rollout_loss(
+                model, params, u, rollout_steps, x_normalizer, y_normalizer,
+                batch_size)
+        except Exception as e:
+            if strict:
+                raise
+            print(f"rollout at resolution {res} failed: {e}")
+            results[res] = float("nan")
+    return results

@@ -1,0 +1,115 @@
+"""Super-resolution evaluation sweep.
+
+Parity targets:
+  - get_lower_resolutions: powers-of-two ladder up to the base resolution
+    (utils/resize_utils.py:27-43).
+  - naive sweep (utils/naive_utils.py:30-214): per target resolution,
+    rebuild the test set at that resolution WITHOUT normalization, encode
+    inputs with the TRAIN-resolution x_normalizer, forward, decode with the
+    y_normalizer, batch-mean rel-L2 averaged over batches. A failing
+    resolution is recorded as NaN rather than killing the sweep
+    (naive_utils.py:205-214).
+  - resize sweep (utils/resize_utils.py:216-233): optionally FFT-resize the
+    input to the train resolution before the forward pass and resize the
+    prediction back (`resize_to_train`).
+
+TPU design: instead of mutating a hydra config, the caller supplies
+`dataset_builder(target_res) -> ArrayDataset` (raw, unnormalized pairs);
+each resolution gets its own jit cache entry (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.ops.losses import relative_l2
+from resolution_pde_tpu.ops.resize import fft_resize_1d, fft_resize_2d
+
+
+def get_lower_resolutions(base_resolution: int, min_resolution: int = 32):
+    """[32, 64, ..., base] by halving (resize_utils.py:27-43)."""
+    resolutions = []
+    res = base_resolution // 2
+    while res >= min_resolution:
+        resolutions.insert(0, res)
+        res = res // 2
+    return resolutions + [base_resolution]
+
+
+def _resize_spatial(x, target: int, ndim: int):
+    if ndim == 1:
+        return fft_resize_1d(x, target)
+    return fft_resize_2d(x, (target, target))
+
+
+def evaluate_all_resolutions(
+    model,
+    params,
+    dataset_builder: Callable,
+    current_res: int,
+    test_resolutions=None,
+    max_test_resolution: Optional[int] = None,
+    x_normalizer=None,
+    y_normalizer=None,
+    batch_size: int = 16,
+    spatial_ndim: int = 1,
+    resize_to_train: bool = False,
+    analyze_frequencies: bool = False,
+    strict: bool = False,
+) -> dict:
+    """Evaluate at every resolution in the ladder.
+
+    Returns {'results': {res: rel_l2}, 'frequency_data': {res: (pred, target)}}.
+    """
+    if test_resolutions is None:
+        base = max_test_resolution or current_res
+        test_resolutions = get_lower_resolutions(base)
+
+    @jax.jit
+    def forward(p, bx):
+        if x_normalizer is not None:
+            bx = x_normalizer.encode(bx)
+        pred = model.apply(p, bx, deterministic=True)
+        if y_normalizer is not None:
+            pred = y_normalizer.decode(pred)
+        return pred
+
+    @jax.jit
+    def forward_resized(p, bx):
+        bx_train = _resize_spatial(bx, current_res, spatial_ndim)
+        pred = forward(p, bx_train)
+        return _resize_spatial(pred, bx.shape[-1], spatial_ndim)
+
+    results: Dict[int, float] = {}
+    frequency_data = {}
+    for target_res in test_resolutions:
+        try:
+            ds = dataset_builder(target_res)
+            total, n = 0.0, 0
+            preds, targets = [], []
+            for i in range(0, len(ds), batch_size):
+                bx = jnp.asarray(ds.x[i:i + batch_size])
+                by = jnp.asarray(ds.y[i:i + batch_size])
+                fn = (forward_resized
+                      if resize_to_train and target_res != current_res
+                      else forward)
+                pred = fn(params, bx)
+                total += float(relative_l2(pred, by))
+                n += 1
+                if analyze_frequencies:
+                    preds.append(np.asarray(pred))
+                    targets.append(np.asarray(by))
+            results[target_res] = total / max(n, 1)
+            if analyze_frequencies:
+                frequency_data[target_res] = (
+                    np.concatenate(preds), np.concatenate(targets))
+        except Exception as e:  # defensive per-resolution guard
+            if strict:
+                raise
+            print(f"resolution {target_res} failed: {e}")
+            results[target_res] = float("nan")
+    return {"results": results, "frequency_data": frequency_data}

@@ -1,0 +1,201 @@
+"""Evaluation harness tests: frequency decomposition parity vs the
+reference's per-mode irfft loop, rollout normalizer round-trip, super-res
+sweep integration."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.evaluation import (
+    decompose_error_by_frequency_1d,
+    decompose_error_by_frequency_2d,
+    evaluate_all_resolutions,
+    evaluate_rollout_all_resolutions,
+    get_lower_resolutions,
+    perform_rollout,
+)
+from resolution_pde_tpu.evaluation.rollout import rollout_loss
+from resolution_pde_tpu.models import FFNO1D
+from resolution_pde_tpu.ops import SimpleNormalizer
+from resolution_pde_tpu.data.dataset import ArrayDataset
+
+
+def test_get_lower_resolutions():
+    assert get_lower_resolutions(512) == [32, 64, 128, 256, 512]
+    assert get_lower_resolutions(128) == [32, 64, 128]
+    assert get_lower_resolutions(32) == [32]
+
+
+def _torch_freq_1d(y_hat, y, num_modes=None):
+    """Reference loop (utils/frequency_error.py:37-88)."""
+    yh = torch.from_numpy(y_hat)
+    yt = torch.from_numpy(y)
+    H = y.shape[-1]
+    fh = torch.fft.rfft(yh, dim=-1)
+    ft = torch.fft.rfft(yt, dim=-1)
+    n_freq = ft.shape[-1]
+    m = n_freq if num_modes is None else min(num_modes, n_freq)
+    err = np.zeros(m)
+    mag = np.zeros(m)
+    for k in range(m):
+        zh = torch.zeros_like(fh)
+        zt = torch.zeros_like(ft)
+        zh[..., k] = fh[..., k]
+        zt[..., k] = ft[..., k]
+        sh = torch.fft.irfft(zh, n=H, dim=-1)
+        st = torch.fft.irfft(zt, n=H, dim=-1)
+        err[k] = torch.norm(sh - st).item()
+        mag[k] = torch.norm(st).item()
+    return err, mag
+
+
+def test_frequency_1d_parity_with_reference_loop(rng):
+    y_hat = rng.standard_normal((4, 1, 64)).astype(np.float32)
+    y = rng.standard_normal((4, 1, 64)).astype(np.float32)
+    err, mag, freqs = decompose_error_by_frequency_1d(y_hat, y)
+    t_err, t_mag = _torch_freq_1d(y_hat, y)
+    np.testing.assert_allclose(err, t_err, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mag, t_mag, rtol=1e-4, atol=1e-5)
+    assert len(freqs) == 33
+
+
+def test_frequency_1d_odd_length(rng):
+    y_hat = rng.standard_normal((2, 1, 63)).astype(np.float32)
+    y = rng.standard_normal((2, 1, 63)).astype(np.float32)
+    err, mag, _ = decompose_error_by_frequency_1d(y_hat, y)
+    t_err, t_mag = _torch_freq_1d(y_hat, y)
+    np.testing.assert_allclose(err, t_err, rtol=1e-4, atol=1e-5)
+
+
+def _torch_freq_2d(y_hat, y, num_radial_bins=16):
+    """Reference loop (utils/frequency_error.py:92-161)."""
+    yh = torch.from_numpy(y_hat)
+    yt = torch.from_numpy(y)
+    B, C, H, W = y.shape
+    fh = torch.fft.rfft2(yh, dim=(-2, -1))
+    ft = torch.fft.rfft2(yt, dim=(-2, -1))
+    freq_y = torch.fft.fftfreq(H)
+    freq_x = torch.fft.rfftfreq(W)
+    radial = torch.sqrt(freq_y.view(-1, 1) ** 2 + freq_x.view(1, -1) ** 2)
+    bins = np.linspace(0, 0.5, num_radial_bins + 1)
+    err = np.zeros(num_radial_bins)
+    mag = np.zeros(num_radial_bins)
+    for i in range(num_radial_bins):
+        mask = (radial >= bins[i]) & (radial < bins[i + 1])
+        if mask.sum() == 0:
+            continue
+        mh = fh * mask
+        mt = ft * mask
+        sh = torch.fft.irfft2(mh, s=(H, W), dim=(-2, -1))
+        st = torch.fft.irfft2(mt, s=(H, W), dim=(-2, -1))
+        err[i] = torch.norm(sh - st).item()
+        mag[i] = torch.norm(st).item()
+    return err, mag
+
+
+def test_frequency_2d_parity_with_reference_loop(rng):
+    y_hat = rng.standard_normal((2, 1, 32, 32)).astype(np.float32)
+    y = rng.standard_normal((2, 1, 32, 32)).astype(np.float32)
+    err, mag, freqs = decompose_error_by_frequency_2d(y_hat, y,
+                                                      num_radial_bins=16)
+    t_err, t_mag = _torch_freq_2d(y_hat, y, 16)
+    np.testing.assert_allclose(err, t_err, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(mag, t_mag, rtol=1e-3, atol=1e-4)
+
+
+def test_rollout_normalizer_roundtrip(rng):
+    """Scan rollout must equal the manual loop with decode/encode between
+    steps (autoregressive_step.py:302-307)."""
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=4)
+    ic_raw = rng.standard_normal((3, 1, 32)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(ic_raw))
+    xn = SimpleNormalizer(0.5, 2.0)
+    yn = SimpleNormalizer(-0.2, 1.5)
+
+    ic = xn.encode(jnp.asarray(ic_raw))
+    preds = perform_rollout(model, params, ic, 4, xn, yn)
+    assert preds.shape == (3, 4, 1, 32)
+
+    # manual loop
+    state = ic
+    for s in range(4):
+        pred = model.apply(params, state)
+        np.testing.assert_allclose(np.asarray(preds[:, s]), np.asarray(pred),
+                                   rtol=2e-4, atol=2e-5)
+        state = xn.encode(yn.decode(pred))
+
+
+def test_rollout_loss_perfect_model_is_zero(rng):
+    """A model that predicts the exact next state gives ~0 rollout loss."""
+
+    class RollModel:
+        def apply(self, params, x, deterministic=True):
+            return jnp.roll(x, 2, axis=-1)
+
+    n, t, s = 4, 6, 32
+    u0 = rng.standard_normal((n, s)).astype(np.float32)
+    traj = np.stack([np.roll(u0, 2 * i, axis=-1) for i in range(t)], axis=1)
+    loss = rollout_loss(RollModel(), None, traj, rollout_steps=4)
+    assert loss < 1e-5
+
+
+def test_evaluate_all_resolutions_sweep(rng):
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=8)
+    x128 = rng.standard_normal((4, 1, 128)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x128))
+    xn = SimpleNormalizer(0.0, 1.0)
+    yn = SimpleNormalizer(0.0, 1.0)
+
+    def builder(res):
+        x = rng.standard_normal((8, 1, res)).astype(np.float32)
+        return ArrayDataset(x, np.roll(x, 1, axis=-1))
+
+    out = evaluate_all_resolutions(
+        model, params, builder, current_res=128,
+        x_normalizer=xn, y_normalizer=yn, batch_size=4,
+        analyze_frequencies=True)
+    assert set(out["results"]) == {32, 64, 128}
+    assert all(np.isfinite(v) for v in out["results"].values())
+    assert out["frequency_data"][64][0].shape == (8, 1, 64)
+
+
+def test_evaluate_all_resolutions_defensive(rng):
+    """A failing resolution yields NaN, not an exception (naive_utils
+    per-resolution try/except)."""
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=4)
+    x = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+
+    def builder(res):
+        if res == 64:
+            raise RuntimeError("boom")
+        xr = rng.standard_normal((2, 1, res)).astype(np.float32)
+        return ArrayDataset(xr, xr)
+
+    out = evaluate_all_resolutions(model, params, builder, current_res=128,
+                                   test_resolutions=[32, 64, 128])
+    assert np.isnan(out["results"][64])
+    assert np.isfinite(out["results"][32])
+
+
+def test_rollout_all_resolutions(rng):
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=4)
+    x = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    xn = yn = SimpleNormalizer(0.0, 1.0)
+
+    def builder(res):
+        return rng.standard_normal((3, 6, res)).astype(np.float32)
+
+    res = evaluate_rollout_all_resolutions(
+        model, params, builder, current_res=64,
+        test_resolutions=[32, 64], rollout_steps=3,
+        x_normalizer=xn, y_normalizer=yn)
+    assert set(res) == {32, 64}
+    assert all(np.isfinite(v) for v in res.values())
