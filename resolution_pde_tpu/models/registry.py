@@ -36,17 +36,32 @@ def get_model(name: str):
 
 
 def _populate():
-    from resolution_pde_tpu.models import fno, ffno
+    from resolution_pde_tpu.models import fno, ffno, unet, cno, s4
 
     register("FNO1d", fno.FNO1d)
     register("FNO2d", fno.FNO2d)
     register("FFNO1D", ffno.FFNO1D)
     register("FFNO2D", ffno.FFNO2D)
+    register("UNet1d", unet.UNet1d)
+    register("UNet2d", unet.UNet2d)
+    register("CNO1d", cno.CNO1d)
+    register("CNO2d", cno.CNO2d)
     # Reference _target_ aliases (conf/model/*/*.yaml).
     register("models.fno.FNO1d", fno.FNO1d)
     register("models.fno.FNO2d", fno.FNO2d)
     register("models.ffno.FFNO1D", ffno.FFNO1D)
     register("models.ffno.FFNO2D", ffno.FFNO2D)
+    register("models.unet.UNet1d", unet.UNet1d)
+    register("models.unet.UNet2d", unet.UNet2d)
+    register("models.CNO1d.CNO1d", cno.CNO1d)
+    register("models.CNO2d.CNO2d", cno.CNO2d)
+    register("S4Model", s4.S4Model)
+    register("S4NDModel", s4.S4NDModel)
+    register("S4D", s4.S4D)
+    register("S4Block", s4.S4Block)
+    register("models.s4_1d.S4Model", s4.S4Model)
+    register("models.s4_2d.S4NDModel", s4.S4NDModel)
+    register("models.s4d.S4D", s4.S4D)
 
 
 _populate()

@@ -1,0 +1,394 @@
+"""S4 family: S4D (diagonal), S4 (DPLR), FFTConv, S4Block, and the PDE
+wrappers S4Model (1D) / S4NDModel (2D).
+
+Parity targets:
+  - S4DKernel / S4D block: models/s4d.py:33-129.
+  - FFTConv: models/s4.py:1649-1807 (causal FFT conv with n=2L, D skip,
+    bidirectional two-sided kernel via pad/flip, GELU, channel flatten).
+  - S4Block: models/s4.py:1838-1999 (FFTConv -> dropout -> zero residual ->
+    GLU output linear; gate/bottleneck off by default).
+  - S4Model: models/s4_1d.py:7-185. NOTE the reference's active forward has
+    a dead post-norm (`z = norm(z)` discards the result, s4_1d.py:117) so
+    with prenorm=False (the shipped config) NO norm is applied; we
+    reproduce that behavior and keep the norm for prenorm=True.
+  - S4NDModel / S4ND: models/s4_2d.py:8-120, models/s4nd.py:1815-1918 (one
+    SSM kernel per spatial axis, outer-product combined, N-D FFT conv).
+    Unlike the 1D wrapper, the 2D wrapper's post-norm IS applied
+    (s4_2d.py:120).
+
+SSM parameters (log_dt, A, Lambda, P, B) carry the reference's per-param
+optimizer override (lr=min(1e-3, lr), weight_decay=0 — models/s4.py:764-776
+and s4d.py:71-81); see SSM_PARAM_NAMES and Trainer(ssm_lr=...).
+
+TPU notes: all complex contractions are decomposed into real arithmetic at
+the kernel level (ops/ssm.py); the DPLR Cauchy reduction is an (L, N)
+broadcast-divide-reduce that XLA fuses; kernels are materialized once per
+step (cheap: H*N*L) and the convolution itself is an rfft/irfft pair.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from resolution_pde_tpu.models.layers import gelu
+from resolution_pde_tpu.ops import ssm as ssm_ops
+from resolution_pde_tpu.ops.grids import concat_grid_1d, concat_grid_2d
+
+# Parameter names that get the SSM optimizer override (lr cap, no decay).
+SSM_PARAM_NAMES = (
+    "log_dt", "log_A_real", "A_imag",
+    "Lambda_log_neg_re", "Lambda_im", "P_vec", "B_vec",
+)
+
+
+class S4DKernelLayer(nn.Module):
+    """Diagonal SSM kernel (models/s4d.py:33-69). Produces (channels, H, L)."""
+
+    d_model: int
+    d_state: int = 64
+    channels: int = 1
+    dt_min: float = 1e-3
+    dt_max: float = 1e-1
+
+    @nn.compact
+    def __call__(self, L: int):
+        h, n_half = self.d_model, self.d_state // 2
+        log_dt = self.param(
+            "log_dt",
+            lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
+                                                   self.dt_max),
+            (h,),
+        )
+        la, ai = ssm_ops.s4d_lin_init(h, n_half)
+        log_a_real = self.param("log_A_real", lambda rng, s: jnp.asarray(la),
+                                la.shape)
+        a_imag = self.param("A_imag", lambda rng, s: jnp.asarray(ai), ai.shape)
+        c = self.param(
+            "C",
+            lambda rng, shape: jax.random.normal(rng, shape),
+            (self.channels, h, n_half, 2),
+        )
+        A = -jnp.exp(log_a_real) + 1j * a_imag  # (H, N/2)
+        C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
+        kern = jax.vmap(
+            lambda cc: ssm_ops.s4d_kernel_zoh(cc, A, log_dt, L))(C)
+        return kern  # (channels, H, L)
+
+    def discretize(self):
+        """Return (Abar, dB, C) arrays for recurrent stepping."""
+        raise NotImplementedError("use module-level s4d_discretize on params")
+
+
+class DPLRKernelLayer(nn.Module):
+    """Full S4 kernel in DPLR form (models/s4.py:1234-1447).
+
+    Stores the spectrum at full state size N (the reference stores N/2
+    conjugate pairs; full-N is the annotated-S4 convention — capacity is a
+    superset and the kernel values agree for conjugate-symmetric params).
+    """
+
+    d_model: int
+    d_state: int = 64
+    channels: int = 1
+    dt_min: float = 1e-3
+    dt_max: float = 1e-1
+
+    @nn.compact
+    def __call__(self, L: int):
+        h, n = self.d_model, self.d_state
+        Lam, P, B, _ = ssm_ops.make_dplr_hippo(n)
+        log_dt = self.param(
+            "log_dt",
+            lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
+                                                   self.dt_max),
+            (h,),
+        )
+        lam_re = self.param(
+            "Lambda_log_neg_re",
+            lambda rng, s: jnp.log(-jnp.asarray(
+                np.broadcast_to(Lam.real, (h, n)).copy(), jnp.float32)),
+            (h, n),
+        )
+        lam_im = self.param(
+            "Lambda_im",
+            lambda rng, s: jnp.asarray(
+                np.broadcast_to(Lam.imag, (h, n)).copy(), jnp.float32),
+            (h, n),
+        )
+        p_vec = self.param(
+            "P_vec",
+            lambda rng, s: jnp.asarray(
+                np.broadcast_to(
+                    np.stack([P.real, P.imag], -1), (h, n, 2)).copy(),
+                jnp.float32),
+            (h, n, 2),
+        )
+        b_vec = self.param(
+            "B_vec",
+            lambda rng, s: jnp.asarray(
+                np.broadcast_to(
+                    np.stack([B.real, B.imag], -1), (h, n, 2)).copy(),
+                jnp.float32),
+            (h, n, 2),
+        )
+        c = self.param(
+            "C",
+            lambda rng, shape: jax.random.normal(rng, shape) *
+            (0.5 ** 0.5),
+            (self.channels, h, n, 2),
+        )
+        Lambda = jax.lax.complex(-jnp.exp(lam_re), lam_im)  # (H, N)
+        Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])
+        Bc = jax.lax.complex(b_vec[..., 0], b_vec[..., 1])
+        Cc = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N)
+
+        def per_h(lam_h, p_h, b_h, c_h, ldt_h):
+            return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
+
+        def per_channel(c_ch):
+            return jax.vmap(per_h)(Lambda, Pc, Bc, c_ch, log_dt)
+
+        return jax.vmap(per_channel)(Cc)  # (channels, H, L)
+
+
+class FFTConvLayer(nn.Module):
+    """FFT convolution around an SSM kernel (models/s4.py:1649-1784).
+
+    Channels-last: x (B, L, H) -> (B, L, channels*H)."""
+
+    d_model: int
+    d_state: int = 64
+    mode: str = "dplr"  # 'dplr' (S4) or 'diag' (S4D)
+    channels: int = 1
+    bidirectional: bool = False
+    activation: str = "gelu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, L, h = x.shape
+        channels = self.channels
+        kernel_channels = channels * (2 if self.bidirectional else 1)
+        kernel_cls = (DPLRKernelLayer if self.mode in ("dplr", "nplr")
+                      else S4DKernelLayer)
+        k = kernel_cls(self.d_model, self.d_state,
+                       channels=kernel_channels)(L)  # (kc, H, L)
+        D = self.param("D", lambda rng, s: jax.random.normal(rng, s),
+                       (channels, h))
+
+        xt = jnp.swapaxes(x, -1, -2)  # (B, H, L)
+        n = 2 * L
+        if self.bidirectional:
+            k0, k1 = k[:channels], k[channels:]
+            # two-sided kernel: pad k0 right, reversed k1 left
+            # (models/s4.py:1737-1744, incl. the deliberate off-by-one)
+            k_two = (jnp.pad(k0, ((0, 0), (0, 0), (0, L)))
+                     + jnp.pad(jnp.flip(k1, -1), ((0, 0), (0, 0), (L, 0))))
+            kf = jnp.fft.rfft(k_two, n=n, axis=-1)  # (C, H, n/2+1)
+        else:
+            kf = jnp.fft.rfft(k, n=n, axis=-1)
+        xf = jnp.fft.rfft(xt, n=n, axis=-1)  # (B, H, nf)
+        yf = jnp.einsum("bhl,chl->bchl", xf, kf)
+        y = jnp.fft.irfft(yf, n=n, axis=-1)[..., :L]  # (B, C, H, L)
+        y = y + jnp.einsum("bhl,ch->bchl", xt, D)
+        y = y.reshape(b, channels * h, L)
+        y = jnp.swapaxes(y, -1, -2)  # (B, L, C*H)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        if self.activation == "gelu":
+            y = gelu(y)
+        return y
+
+
+class S4Block(nn.Module):
+    """S4Block with default options (models/s4.py:1838-1999): FFTConv ->
+    dropout -> GLU output linear. Gate/bottleneck paths (off in every
+    reference config) are not replicated."""
+
+    d_model: int
+    d_state: int = 64
+    mode: str = "dplr"
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = FFTConvLayer(
+            self.d_model, self.d_state, self.mode, channels=1,
+            bidirectional=self.bidirectional, dropout=self.dropout,
+        )(x, deterministic)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        # final_act='glu': Linear(d -> 2d) + GLU
+        y = nn.Dense(2 * self.d_model)(y)
+        y = y[..., : self.d_model] * jax.nn.sigmoid(y[..., self.d_model:])
+        return y
+
+
+class S4D(nn.Module):
+    """Standalone S4D layer (models/s4d.py:84-129), channels-last."""
+
+    d_model: int
+    d_state: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = FFTConvLayer(self.d_model, self.d_state, mode="diag",
+                         dropout=self.dropout)(x, deterministic)
+        y = nn.Dense(2 * self.d_model)(y)
+        return y[..., : self.d_model] * jax.nn.sigmoid(y[..., self.d_model:])
+
+
+class S4Model(nn.Module):
+    """1D S4 PDE model (models/s4_1d.py:7-185).
+
+    Input (B, d_input, L) -> (B, d_output, L). The encoder consumes
+    d_input + 1 channels (grid concat); layers are bidirectional S4Blocks
+    with residual connections. With prenorm=False (shipped config) no
+    normalization is applied, reproducing the reference's discarded
+    post-norm (s4_1d.py:115-117).
+    """
+
+    d_input: int = 1
+    d_output: int = 1
+    d_model: int = 256
+    n_layers: int = 4
+    dropout: float = 0.2
+    prenorm: bool = False
+    mode: str = "dplr"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = jnp.swapaxes(x, -1, -2)  # (B, L, d_input)
+        x = concat_grid_1d(x, 0.0, 1.0)
+        x = nn.Dense(self.d_model)(x)
+        for _ in range(self.n_layers):
+            z = x
+            if self.prenorm:
+                z = nn.LayerNorm()(z)
+            z = S4Block(self.d_model, mode=self.mode, bidirectional=True,
+                        dropout=self.dropout)(z, deterministic)
+            if self.dropout > 0.0:
+                z = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(z)
+            x = z + x
+            # post-norm intentionally omitted: reference discards it
+        x = nn.Dense(self.d_output)(x)
+        return jnp.swapaxes(x, -1, -2)
+
+
+class S4ND2dLayer(nn.Module):
+    """2D S4ND layer: one diagonal SSM kernel per spatial axis, combined as
+    an outer product, then a 2D FFT convolution (models/s4nd.py:1815-1918).
+    Channels-last: x (B, H, W, C) -> same."""
+
+    d_model: int
+    d_state: int = 64
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, hh, ww, c = x.shape
+        kc = 2 if self.bidirectional else 1
+        kx = S4DKernelLayer(self.d_model, self.d_state, channels=kc,
+                            name="kernel_x")(hh)  # (kc, C, H)
+        ky = S4DKernelLayer(self.d_model, self.d_state, channels=kc,
+                            name="kernel_y")(ww)  # (kc, C, W)
+        D = self.param("D", lambda rng, s: jax.random.normal(rng, s), (c,))
+
+        def two_sided(k, L):
+            if not self.bidirectional:
+                return k[0]  # (C, L)
+            return (jnp.pad(k[0], ((0, 0), (0, L)))
+                    + jnp.pad(jnp.flip(k[1], -1), ((0, 0), (L, 0))))
+
+        kx2 = two_sided(kx, hh)  # (C, H or 2H)
+        ky2 = two_sided(ky, ww)
+        nx, ny = 2 * hh, 2 * ww
+
+        xt = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+        xf = jnp.fft.rfft2(xt, s=(nx, ny), axes=(-2, -1))
+        kxf = jnp.fft.fft(kx2, n=nx, axis=-1)  # (C, nx) complex
+        kyf = jnp.fft.rfft(ky2, n=ny, axis=-1)  # (C, ny/2+1)
+        kf = kxf[:, :, None] * kyf[:, None, :]  # outer product (C, nx, nyf)
+        yf = xf * kf[None]
+        y = jnp.fft.irfft2(yf, s=(nx, ny), axes=(-2, -1))[..., :hh, :ww]
+        y = y + xt * D[None, :, None, None]
+        y = jnp.moveaxis(y, 1, -1)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = gelu(y)
+        y = nn.Dense(2 * self.d_model)(y)
+        return y[..., : self.d_model] * jax.nn.sigmoid(y[..., self.d_model:])
+
+
+class S4NDModel(nn.Module):
+    """2D S4ND PDE model (models/s4_2d.py:8-160).
+
+    Input (B, C_in, H, W) -> (B, d_output, H, W). Encoder consumes the
+    actual input channels + 2 grid channels (the reference hard-codes
+    d_input*3 + 2 for its 3-field active-matter data, s4_2d.py:29; we infer
+    from the input shape). Post-norm IS applied here (s4_2d.py:120)."""
+
+    d_input: int = 1
+    d_output: int = 1
+    d_model: int = 256
+    n_layers: int = 4
+    dropout: float = 0.2
+    bidirectional: bool = False
+    prenorm: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = jnp.moveaxis(x, 1, -1)  # (B, H, W, C)
+        x = concat_grid_2d(x, 0.0, 1.0)
+        x = nn.Dense(self.d_model)(x)
+        for _ in range(self.n_layers):
+            z = x
+            if self.prenorm:
+                z = nn.LayerNorm()(z)
+            z = S4ND2dLayer(self.d_model, bidirectional=self.bidirectional,
+                            dropout=self.dropout)(z, deterministic)
+            if self.dropout > 0.0:
+                z = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(z)
+            x = z + x
+            if not self.prenorm:
+                x = nn.LayerNorm()(x)
+        x = nn.Dense(self.d_output)(x)
+        return jnp.moveaxis(x, -1, 1)
+
+
+def s4d_recurrent_step_fn(kernel_params, L_unused=None):
+    """Build a recurrent step function from S4DKernelLayer params (the
+    TPU replacement for _setup_step/step, models/s4.py:1787-1807).
+
+    Returns (init_state (H, N/2) complex zeros, step(state, u) -> (state, y))
+    for single-channel kernels; y matches the convolutional output exactly
+    (tested in tests/test_s4.py).
+    """
+    log_dt = kernel_params["log_dt"]
+    A = -jnp.exp(kernel_params["log_A_real"]) + 1j * kernel_params["A_imag"]
+    c = kernel_params["C"][0]  # channel 0
+    C = jax.lax.complex(c[..., 0], c[..., 1])
+    Ab, dB = ssm_ops.discretize_diag_zoh(A, log_dt[:, None])
+    h, n_half = A.shape
+
+    def init_state(batch: int):
+        return jnp.zeros((batch, h, n_half), dtype=jnp.complex64)
+
+    def step(state, u):
+        """state (B, H, N/2); u (B, H) -> (new_state, y (B, H))."""
+        new_state = Ab[None] * state + dB[None] * u[..., None]
+        y = 2.0 * jnp.real(jnp.sum(C[None] * new_state, axis=-1))
+        return new_state, y
+
+    return init_state, step

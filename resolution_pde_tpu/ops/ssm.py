@@ -1,0 +1,182 @@
+"""State-space model kernels: HiPPO initialization, S4D (diagonal) and S4
+(DPLR) convolution-kernel computation, discretization for recurrent mode.
+
+Parity targets:
+  - S4D kernel: models/s4d.py:33-69 (ZOH-discretized diagonal SSM,
+    Vandermonde contraction K = 2 Re[ (C (e^{dtA}-1)/A) e^{dtA l} ]).
+  - S4 DPLR kernel: models/s4.py:1234-1447 (SSMKernelDPLR) — computed via
+    the bilinear generating function at the roots of unity with four Cauchy
+    contractions and a Woodbury correction.
+  - HiPPO-LegS NPLR/DPLR init: models/s4.py:310-500 (transition/nplr/dplr).
+  - Recurrent step setup: models/s4.py:1190-1218, 1787-1807.
+  - The reference's CUDA/pykeops Cauchy+Vandermonde kernels (models/s4.py:
+    46-149) are replaced by jnp contractions that XLA fuses on TPU; the
+    reductions are materialization-free after fusion (f32 accumulation on
+    the MXU/VPU).
+
+All functions operate per-feature (vmap over H happens in the model layer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# HiPPO initialization
+# ---------------------------------------------------------------------------
+
+def hippo_legs_matrix(n: int) -> np.ndarray:
+    """HiPPO-LegS transition matrix -A (models/s4.py:310 transition())."""
+    q = np.arange(n, dtype=np.float64)
+    col, row = np.meshgrid(q, q)
+    r = 2 * q + 1
+    m = -(np.where(row >= col, r, 0) - np.diag(q))
+    t = np.sqrt(np.diag(2 * q + 1))
+    return t @ m @ np.linalg.inv(t)
+
+
+def make_dplr_hippo(n: int):
+    """Diagonalized HiPPO-LegS in DPLR form (models/s4.py:384-500).
+
+    Returns (Lambda (n,) complex128, P (n,), B (n,)) with
+    A = Lambda - P P^*.
+    """
+    a = hippo_legs_matrix(n)
+    p = np.sqrt(np.arange(n, dtype=np.float64) + 0.5)
+    b = np.sqrt(2 * np.arange(n, dtype=np.float64) + 1.0)
+    s = a + p[:, None] * p[None, :]
+    # S is skew-symmetric + (-1/2) I; diagonalize the skew part
+    s_diag = np.diagonal(s)
+    lambda_real = np.mean(s_diag) * np.ones_like(s_diag)
+    lambda_imag, v = np.linalg.eigh(s * -1j)
+    p_rot = v.conj().T @ p
+    b_rot = v.conj().T @ b
+    return lambda_real + 1j * lambda_imag, p_rot, b_rot, v
+
+
+def s4d_lin_init(h: int, n_half: int):
+    """S4D-Lin initialization: Lambda_n = -1/2 + i*pi*n (models/s4d.py:48-51).
+
+    Returns (log_A_real (h, n_half), A_imag (h, n_half)) float32.
+    """
+    log_a_real = np.log(0.5 * np.ones((h, n_half), dtype=np.float32))
+    a_imag = np.pi * np.broadcast_to(
+        np.arange(n_half, dtype=np.float32), (h, n_half)).copy()
+    return log_a_real, a_imag
+
+
+def log_dt_init(rng, h: int, dt_min: float = 1e-3, dt_max: float = 1e-1):
+    """Uniform-in-log timestep init (models/s4d.py:40-42)."""
+    u = jax.random.uniform(rng, (h,))
+    return u * (np.log(dt_max) - np.log(dt_min)) + np.log(dt_min)
+
+
+# ---------------------------------------------------------------------------
+# Kernel computations
+# ---------------------------------------------------------------------------
+
+def s4d_kernel_zoh(C, A, log_dt, L: int):
+    """S4D convolution kernel, ZOH discretization (models/s4d.py:53-69).
+
+    C: (H, N) complex; A: (H, N) complex (negative real part);
+    log_dt: (H,). Returns real kernel (H, L).
+    """
+    dt = jnp.exp(log_dt)[:, None]  # (H, 1)
+    dtA = A * dt  # (H, N)
+    # Vandermonde: exp(dtA * l) for l in [0, L)
+    # contraction in complex split form (TPU-friendly; no complex matmul)
+    C_scaled = C * (jnp.exp(dtA) - 1.0) / A  # (H, N)
+    # K[h, l] = 2 Re sum_n C_scaled[h, n] * exp(dtA[h, n] * l)
+    l_range = jnp.arange(L)
+    # exp((a+bi) l) = e^{al} (cos bl + i sin bl)
+    a = jnp.real(dtA)[..., None] * l_range  # (H, N, L)
+    b = jnp.imag(dtA)[..., None] * l_range
+    e = jnp.exp(a)
+    re = e * jnp.cos(b)
+    im = e * jnp.sin(b)
+    k = jnp.einsum("hn,hnl->hl", jnp.real(C_scaled), re) \
+        - jnp.einsum("hn,hnl->hl", jnp.imag(C_scaled), im)
+    return 2.0 * k
+
+
+def cauchy(v, omega, lambd):
+    """sum_n v_n / (omega_l - lambda_n) -> (L,). v, lambd: (N,) complex;
+    omega: (L,) complex. Replaces cauchy_naive (models/s4.py:159-168)."""
+    return jnp.sum(v[None, :] / (omega[:, None] - lambd[None, :]), axis=-1)
+
+
+def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int):
+    """S4 DPLR convolution kernel via the bilinear generating function
+    evaluated at the roots of unity (models/s4.py:1343-1447 semantics).
+
+    Per-feature: Lambda, P, B, C_tilde: (N,) complex; log_dt: scalar.
+    Returns real (L,). C_tilde is the trained parameter (the
+    (I - Abar^L)-modified C of the S4 paper).
+    """
+    step = jnp.exp(log_dt)
+    omega_l = jnp.exp(-2j * jnp.pi * jnp.arange(L) / L)
+    aterm = (jnp.conj(C_tilde), jnp.conj(P))
+    bterm = (B, P)
+    g = (2.0 / step) * ((1.0 - omega_l) / (1.0 + omega_l))
+    c = 2.0 / (1.0 + omega_l)
+    k00 = cauchy(aterm[0] * bterm[0], g, Lambda)
+    k01 = cauchy(aterm[0] * bterm[1], g, Lambda)
+    k10 = cauchy(aterm[1] * bterm[0], g, Lambda)
+    k11 = cauchy(aterm[1] * bterm[1], g, Lambda)
+    at_roots = c * (k00 - k01 * (1.0 / (1.0 + k11)) * k10)
+    out = jnp.fft.ifft(at_roots, L)
+    return jnp.real(out)
+
+
+def discretize_dplr(Lambda, P, B, C_tilde, log_dt, L: int):
+    """Discrete (Abar, Bbar, C) for recurrent stepping
+    (models/s4.py:1190-1218 _setup_step semantics, bilinear transform).
+
+    Per-feature inputs as in dplr_kernel. Returns (Ab (N,N), Bb (N,), C (N,))
+    complex, where y_k = 2 Re(C^* x_k) ... consistent with kernel above.
+    """
+    step = jnp.exp(log_dt)
+    n = Lambda.shape[0]
+    A = jnp.diag(Lambda) - P[:, None] * jnp.conj(P)[None, :]
+    I = jnp.eye(n, dtype=A.dtype)
+    A0 = (2.0 / step) * I + A
+    d = 1.0 / ((2.0 / step) - Lambda)
+    qc = jnp.conj(P)[None, :]
+    p2 = P[:, None]
+    a1_corr = (d[:, None] * p2) @ (qc * d[None, :]) / (
+        1.0 + (qc * d[None, :]) @ p2)
+    A1 = jnp.diag(d) - a1_corr
+    Ab = A1 @ A0
+    Bb = 2.0 * (A1 @ B[:, None])[:, 0]
+    # Recover the stepping C from the trained C_tilde:
+    # C_tilde = (I - Abar^L)^* C  =>  C = (I - Abar^L)^{-*} C_tilde
+    AbL = jnp.linalg.matrix_power(Ab, L)
+    C = jnp.linalg.solve(jnp.conj(I - AbL).T, C_tilde[:, None])[:, 0]
+    return Ab, Bb, C
+
+
+def discretize_diag_zoh(A, log_dt):
+    """Discrete (Abar (N,), Bbar_C (N,)) for S4D recurrence, per feature.
+
+    ZOH: Abar = exp(dt A); effective input weight dB = (exp(dt A)-1)/A
+    (matching s4d_kernel_zoh so step-mode equals convolution mode).
+    Recurrence: x_k = Abar x_{k-1} + dB u_k; y_k = 2 Re(sum C x_k).
+    """
+    dt = jnp.exp(log_dt)
+    dtA = A * dt
+    Ab = jnp.exp(dtA)
+    dB = (jnp.exp(dtA) - 1.0) / A
+    return Ab, dB
+
+
+def fft_causal_conv(x, k):
+    """Causal FFT convolution y = irfft(rfft(x, 2L) * rfft(k, 2L))[:L]
+    (models/s4d.py:118-121). x: (..., L) real, k broadcastable (..., L)."""
+    L = x.shape[-1]
+    n = 2 * L
+    xf = jnp.fft.rfft(x, n=n, axis=-1)
+    kf = jnp.fft.rfft(k, n=n, axis=-1)
+    return jnp.fft.irfft(xf * kf, n=n, axis=-1)[..., :L]

@@ -63,9 +63,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of (B, ...) arrays with B sharded over "data"."""
+    """Device-put a pytree of (B, ...) arrays with B sharded over "data".
+
+    Straggler batches whose size is not divisible by the data-axis extent
+    (e.g. the last batch of an epoch) are replicated instead — correctness
+    over peak utilization for the odd batch out.
+    """
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
 
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        if x.shape[0] % n_data == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(put, batch)

@@ -29,6 +29,8 @@ def save_checkpoint(path: str, state, history: Optional[dict] = None,
         # PRNG keys are typed arrays; store raw key data for portability.
         "dropout_key": jax.random.key_data(state.dropout_key),
     }
+    if state.model_state:
+        payload["model_state"] = state.model_state
     if history is not None:
         payload["history"] = {
             k: np.asarray(v, dtype=np.float64) for k, v in history.items() if v
@@ -52,6 +54,8 @@ def restore_checkpoint(path: str, state):
         "step": state.step,
         "dropout_key": jax.random.key_data(state.dropout_key),
     }
+    if state.model_state:
+        template["model_state"] = state.model_state
     ckptr = ocp.StandardCheckpointer()
     # Restore leniently: older checkpoints may lack history/extra.
     restored = ckptr.restore(path, None)
@@ -61,6 +65,11 @@ def restore_checkpoint(path: str, state):
         step=restored["step"],
         dropout_key=jax.random.wrap_key_data(
             np.asarray(restored["dropout_key"], dtype=np.uint32)
+        ),
+        model_state=(
+            _fit_tree(template["model_state"], restored["model_state"])
+            if "model_state" in restored and state.model_state else
+            state.model_state
         ),
     )
     return new_state, restored.get("history")

@@ -43,6 +43,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jnp.ndarray
     dropout_key: jnp.ndarray
+    # non-parameter model collections (e.g. BatchNorm running stats);
+    # empty dict for purely functional models
+    model_state: Any = struct.field(default_factory=dict)
 
 
 @dataclass
@@ -76,19 +79,49 @@ class Trainer:
         use_normalizer: bool = False,
         y_normalizer=None,
         grad_clip: Optional[float] = None,
+        ssm_lr: Optional[float] = None,
         seed: int = 0,
     ):
+        """ssm_lr: per-parameter optimizer override for SSM kernel params
+        (S4 family): those params train at min(ssm_lr, learning_rate) with
+        weight_decay=0 and anneal proportionally with the main LR —
+        reproducing the reference's `_optim` attributes
+        (models/s4.py:764-776, models/s4d.py:71-81)."""
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.use_normalizer = use_normalizer
         self.y_normalizer = y_normalizer
-        tx = optax.adamw
-        chain = [optax.clip_by_global_norm(grad_clip)] if grad_clip else []
-        self.optimizer = optax.inject_hyperparams(
-            lambda learning_rate: optax.chain(
-                *chain, tx(learning_rate, weight_decay=weight_decay)
-            )
-        )(learning_rate=learning_rate)
+
+        def _is_ssm(path) -> bool:
+            from resolution_pde_tpu.models.s4 import SSM_PARAM_NAMES
+
+            keys = [getattr(p, "key", str(p)) for p in path]
+            return any(k in SSM_PARAM_NAMES for k in keys)
+
+        def _mask(fn):
+            return lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: fn(path), params)
+
+        ssm_ratio = (min(ssm_lr, learning_rate) / learning_rate
+                     if ssm_lr is not None else None)
+
+        def make_tx(learning_rate):
+            parts = []
+            if grad_clip:
+                parts.append(optax.clip_by_global_norm(grad_clip))
+            parts.append(optax.scale_by_adam())
+            # weight decay: skipped entirely for SSM params
+            parts.append(optax.masked(
+                optax.add_decayed_weights(weight_decay),
+                _mask(lambda p: not _is_ssm(p))))
+            if ssm_ratio is not None:
+                parts.append(optax.masked(
+                    optax.scale(ssm_ratio), _mask(_is_ssm)))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+        self.optimizer = optax.inject_hyperparams(make_tx)(
+            learning_rate=learning_rate)
         self.seed = seed
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -97,15 +130,18 @@ class Trainer:
     def init(self, sample_x) -> TrainState:
         # jit the whole init: some backends (and all TPU runs) want traced
         # programs, and it avoids materializing fp32 intermediates eagerly.
-        params = jax.jit(self.model.init)(
+        variables = jax.jit(self.model.init)(
             jax.random.key(self.seed), jnp.asarray(sample_x)
         )
+        variables = dict(variables)
+        params = variables.pop("params")
         opt_state = jax.jit(self.optimizer.init)(params)
         return TrainState(
             params=params,
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             dropout_key=jax.random.key(self.seed + 1),
+            model_state=variables,  # e.g. {'batch_stats': ...}
         )
 
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
@@ -128,21 +164,33 @@ class Trainer:
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, x, y, y_normalizer):
             key = jax.random.fold_in(state.dropout_key, state.step)
+            mutable = list(state.model_state)
 
             def loss_fn(params):
-                pred = model.apply(
-                    params, x, deterministic=False, rngs={"dropout": key}
-                )
+                variables = {"params": params, **state.model_state}
+                if mutable:
+                    pred, new_model_state = model.apply(
+                        variables, x, deterministic=False,
+                        rngs={"dropout": key}, mutable=mutable,
+                    )
+                else:
+                    pred = model.apply(
+                        variables, x, deterministic=False,
+                        rngs={"dropout": key},
+                    )
+                    new_model_state = state.model_state
                 pred, target = self._decode_for_loss(pred, y, y_normalizer)
-                return relative_l2(pred, target)
+                return relative_l2(pred, target), new_model_state
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, new_model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
-                params=params, opt_state=opt_state, step=state.step + 1
+                params=params, opt_state=opt_state, step=state.step + 1,
+                model_state=new_model_state,
             )
             return new_state, loss
 
@@ -152,8 +200,9 @@ class Trainer:
         model = self.model
 
         @jax.jit
-        def eval_step(params, x, y, y_normalizer):
-            pred = model.apply(params, x, deterministic=True)
+        def eval_step(params, model_state, x, y, y_normalizer):
+            variables = {"params": params, **model_state}
+            pred = model.apply(variables, x, deterministic=True)
             pred, target = self._decode_for_loss(pred, y, y_normalizer)
             return relative_l2(pred, target)
 
@@ -181,7 +230,8 @@ class Trainer:
         total, n = 0.0, 0
         for x, y in loader:
             x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
-            total += float(self._eval_step(state.params, x, y, y_normalizer))
+            total += float(self._eval_step(state.params, state.model_state,
+                                           x, y, y_normalizer))
             n += 1
         return total / max(n, 1)
 

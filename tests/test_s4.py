@@ -1,0 +1,185 @@
+"""S4 family tests: S4D kernel parity vs the reference formulation,
+convolution/recurrence equivalence, DPLR kernel properties, model shapes,
+SSM optimizer grouping."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.models.s4 import (
+    S4D,
+    S4Block,
+    S4DKernelLayer,
+    DPLRKernelLayer,
+    FFTConvLayer,
+    S4Model,
+    S4NDModel,
+    s4d_recurrent_step_fn,
+)
+from resolution_pde_tpu.ops import ssm as ssm_ops
+from resolution_pde_tpu.train import Trainer
+
+
+def test_s4d_kernel_matches_torch_formulation(rng):
+    """Kernel formula parity with models/s4d.py:53-69."""
+    import torch
+
+    H, N, L = 4, 8, 32
+    log_dt = rng.standard_normal(H).astype(np.float32) * 0.5 - 5
+    log_A_real = np.log(0.5 * np.ones((H, N // 2), dtype=np.float32))
+    A_imag = (np.pi * np.broadcast_to(np.arange(N // 2), (H, N // 2))
+              ).astype(np.float32).copy()
+    C = rng.standard_normal((H, N // 2, 2)).astype(np.float32)
+
+    # torch reference
+    dt = torch.exp(torch.from_numpy(log_dt))
+    Ct = torch.view_as_complex(torch.from_numpy(C))
+    At = -torch.exp(torch.from_numpy(log_A_real)) + 1j * torch.from_numpy(A_imag)
+    dtA = At * dt.unsqueeze(-1)
+    K = dtA.unsqueeze(-1) * torch.arange(L)
+    Ct2 = Ct * (torch.exp(dtA) - 1.0) / At
+    expected = 2 * torch.einsum("hn, hnl -> hl", Ct2, torch.exp(K)).real
+
+    A = -jnp.exp(jnp.asarray(log_A_real)) + 1j * jnp.asarray(A_imag)
+    Cc = jax.lax.complex(jnp.asarray(C[..., 0]), jnp.asarray(C[..., 1]))
+    got = ssm_ops.s4d_kernel_zoh(Cc, A, jnp.asarray(log_dt), L)
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_s4d_conv_equals_recurrence(rng):
+    """FFT-convolution output == recurrent stepping output."""
+    H, L = 3, 16
+    layer = S4DKernelLayer(d_model=H, d_state=8, channels=1)
+    params = layer.init(jax.random.key(0), L)
+    k = layer.apply(params, L)[0]  # (H, L)
+
+    u = rng.standard_normal((2, H, L)).astype(np.float32)
+    y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
+
+    init_state, step = s4d_recurrent_step_fn(params["params"])
+    state = init_state(2)
+    ys = []
+    for t in range(L):
+        state, y = step(state, jnp.asarray(u[:, :, t]))
+        ys.append(np.asarray(y))
+    y_rec = np.stack(ys, axis=-1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)
+
+
+def test_dplr_kernel_finite_and_decaying():
+    """HiPPO-initialized DPLR kernel is finite and (roughly) decaying."""
+    layer = DPLRKernelLayer(d_model=4, d_state=16, channels=1)
+    params = layer.init(jax.random.key(0), 64)
+    k = np.asarray(layer.apply(params, 64))
+    assert k.shape == (1, 4, 64)
+    assert np.isfinite(k).all()
+    # stable SSM: late-kernel mass much smaller than early mass
+    early = np.abs(k[..., :8]).mean()
+    late = np.abs(k[..., -8:]).mean()
+    assert late < early
+
+
+def test_dplr_kernel_matches_explicit_materialization(rng):
+    """dplr_kernel (Cauchy/Woodbury at roots of unity) must equal the
+    explicitly discretized kernel K[l] = C_tilde^* Abar^l Bbar ... computed
+    from the same parameters via dense linear algebra."""
+    N, L = 8, 24
+    Lam, P, B, _ = ssm_ops.make_dplr_hippo(N)
+    Lam = jnp.asarray(Lam, jnp.complex64)
+    P_ = jnp.asarray(P, jnp.complex64)
+    B_ = jnp.asarray(B, jnp.complex64)
+    C_t = jnp.asarray(rng.standard_normal(N) + 1j * rng.standard_normal(N),
+                      jnp.complex64)
+    log_dt = jnp.asarray(np.log(0.01), jnp.float32)
+
+    k_fast = ssm_ops.dplr_kernel(Lam, P_, B_, C_t, log_dt, L)
+
+    # dense reference: bilinear discretization of A = diag(Lam) - P P^*
+    step = float(jnp.exp(log_dt))
+    A = np.diag(np.asarray(Lam)) - np.outer(np.asarray(P_),
+                                            np.conj(np.asarray(P_)))
+    I = np.eye(N)
+    A0 = (2.0 / step) * I + A
+    A1 = np.linalg.inv((2.0 / step) * I - A)
+    Ab = A1 @ A0
+    Bb = 2.0 * (A1 @ np.asarray(B_))
+    # kernel generating function uses C_tilde directly:
+    # K[l] = C_tilde^* Abar^l Bbar  with the (I - Abar^L) fold absorbed
+    Ct = np.conj(np.asarray(C_t)) @ np.linalg.inv(
+        I - np.linalg.matrix_power(Ab, L))
+    k_dense = np.array(
+        [np.real(Ct @ np.linalg.matrix_power(Ab, l) @ Bb) for l in range(L)])
+    np.testing.assert_allclose(np.asarray(k_fast), k_dense, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_fftconv_bidirectional_shapes(rng):
+    layer = FFTConvLayer(d_model=8, d_state=8, mode="diag",
+                         bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)), jnp.float32)
+    params = layer.init(jax.random.key(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 32, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_s4model_shapes_and_training(rng):
+    model = S4Model(d_input=3, d_output=1, d_model=16, n_layers=2,
+                    dropout=0.0, mode="diag")
+    x = rng.standard_normal((4, 3, 32)).astype(np.float32)
+    y = rng.standard_normal((4, 1, 32)).astype(np.float32)
+    trainer = Trainer(model, learning_rate=1e-3, ssm_lr=1e-3)
+    state = trainer.init(x[:2])
+    state, loss = trainer.train_epoch(state, [(x, y)])
+    assert np.isfinite(loss)
+
+
+def test_s4model_dplr_forward(rng):
+    model = S4Model(d_input=1, d_output=1, d_model=8, n_layers=1,
+                    dropout=0.0, mode="dplr")
+    x = jnp.asarray(rng.standard_normal((2, 1, 32)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x, deterministic=True)
+    assert y.shape == (2, 1, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_s4nd_model_2d(rng):
+    model = S4NDModel(d_input=1, d_output=1, d_model=8, n_layers=1,
+                      dropout=0.0, bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((2, 1, 16, 16)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x, deterministic=True)
+    assert y.shape == (2, 1, 16, 16)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_ssm_param_group_no_weight_decay(rng):
+    """SSM params (log_dt etc.) must not be weight-decayed and must use the
+    capped LR: with zero gradients, non-SSM params shrink (decay), SSM
+    params stay exactly."""
+    model = S4Model(d_input=1, d_output=1, d_model=8, n_layers=1,
+                    dropout=0.0, mode="diag")
+    x = jnp.asarray(rng.standard_normal((2, 1, 16)), jnp.float32)
+    trainer = Trainer(model, learning_rate=1e-2, weight_decay=0.1,
+                      ssm_lr=1e-3)
+    state = trainer.init(x)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    updates, _ = trainer.optimizer.update(zero_grads, state.opt_state,
+                                          state.params)
+
+    flat_updates = jax.tree_util.tree_flatten_with_path(updates)[0]
+    flat_params = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+    checked_decay = False
+    for path, upd in flat_updates:
+        keys = [getattr(p, "key", "") for p in path]
+        is_ssm = any(k in ("log_dt", "log_A_real", "A_imag") for k in keys)
+        if is_ssm:
+            assert float(jnp.abs(upd).max()) == 0.0, keys
+        elif float(jnp.abs(flat_params[path]).max()) > 0:
+            # nonzero decayed params get a nonzero update from decay alone
+            assert float(jnp.abs(upd).max()) > 0.0, keys
+            checked_decay = True
+    assert checked_decay

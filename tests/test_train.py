@@ -105,7 +105,7 @@ def test_trainer_normalizer_decode_path(rng):
     state = trainer.init(x[:2])
     loss_norm = trainer.evaluate(state, [(x, y_enc)])
     # manually: decode(pred) vs decode(y_enc)=y
-    pred = model.apply(state.params, jnp.asarray(x))
+    pred = model.apply({"params": state.params}, jnp.asarray(x))
     from resolution_pde_tpu.ops import relative_l2
 
     expected = float(relative_l2(y_norm.decode(pred), jnp.asarray(y)))
