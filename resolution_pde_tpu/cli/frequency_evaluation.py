@@ -1,0 +1,91 @@
+"""Frequency-analysis driver (reference frequency_evaluation.py:31-165):
+load one or more checkpoints (e.g. an alpha sweep,
+utils/multiresolution_analysis.py:13-73) and compute per-Fourier-mode error
+decomposition on a fixed test set for each.
+
+    python -m resolution_pde_tpu.cli.frequency_evaluation model=ffno_1d \\
+        dataset=ks_naive \\
+        "dataset.model_checkpoints={0.0: ckpt_a, 1.0: ckpt_b}"
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.configs import parse_cli, instantiate_dataset
+from resolution_pde_tpu.cli import common
+from resolution_pde_tpu.evaluation import (
+    decompose_error_by_frequency_1d,
+    decompose_error_by_frequency_2d,
+)
+from resolution_pde_tpu.train.checkpoint import restore_checkpoint
+from resolution_pde_tpu.utils.metrics import MetricsLogger
+
+
+def main(argv=None, spatial_ndim: int = 1):
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    norm_type = cfg.dataset.dataset_params.get("normalization_type", "simple")
+
+    data = instantiate_dataset(cfg.dataset.dataset_params)
+    bundle = common.unpack_data(data, norm_type)
+    test = bundle["test"]
+    xn, yn = bundle["x_normalizer"], bundle["y_normalizer"]
+
+    model = common.build_model(cfg)
+    trainer = common.build_trainer(cfg, model, yn)
+    template = trainer.init(common.sample_input(bundle))
+
+    checkpoints = cfg.dataset.get("model_checkpoints")
+    if not checkpoints:
+        ckpt = cfg.dataset.get("saved_checkpoint_path")
+        if not ckpt:
+            raise ValueError(
+                "provide dataset.model_checkpoints (dict) or "
+                "dataset.saved_checkpoint_path")
+        checkpoints = {"default": ckpt}
+
+    logger = MetricsLogger(cfg.project_name + "_freq", config=cfg,
+                           use_wandb=cfg.get("log_to_wandb", False))
+    batch_size = cfg.training.get("batch_size", 16)
+    results = {}
+    for key, path in checkpoints.items():
+        state, _ = restore_checkpoint(path, template)
+        variables = {"params": state.params, **state.model_state}
+
+        @jax.jit
+        def forward(v, bx):
+            pred = model.apply(v, bx, deterministic=True)
+            return yn.decode(pred) if yn is not None else pred
+
+        # decoded predictions vs raw targets over the whole test set
+        preds, targets = [], []
+        for i in range(0, len(test), batch_size):
+            bx = jnp.asarray(test.x[i:i + batch_size])
+            by = jnp.asarray(test.y[i:i + batch_size])
+            preds.append(np.asarray(forward(variables, bx)))
+            targets.append(np.asarray(
+                yn.decode(by) if yn is not None else by))
+        pred = np.concatenate(preds)
+        target = np.concatenate(targets)
+
+        if spatial_ndim == 1:
+            err, mag, freqs = decompose_error_by_frequency_1d(pred, target)
+        else:
+            err, mag, freqs = decompose_error_by_frequency_2d(pred, target)
+        results[key] = {"error_per_mode": err, "magnitude_per_mode": mag,
+                        "frequencies": freqs}
+        logger.log_table(
+            f"frequency_{key}", ["frequency", "error", "magnitude"],
+            list(zip(freqs.tolist(), err.tolist(), mag.tolist())))
+        print(f"checkpoint {key}: total err {np.linalg.norm(err):.6f}")
+
+    logger.finish()
+    return results
+
+
+if __name__ == "__main__":
+    main()

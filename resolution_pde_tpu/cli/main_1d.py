@@ -1,0 +1,116 @@
+"""1D training driver (reference main_1d.py:33-310).
+
+    python -m resolution_pde_tpu.cli.main_1d model=ffno_1d \\
+        dataset=ks_naive training.epochs=100
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from resolution_pde_tpu.configs import parse_cli, instantiate_dataset
+from resolution_pde_tpu.cli import common
+from resolution_pde_tpu.evaluation import (
+    evaluate_all_resolutions,
+    evaluate_rollout_all_resolutions,
+)
+from resolution_pde_tpu.utils.metrics import MetricsLogger
+
+
+def main(argv=None, spatial_ndim: int = 1):
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    norm_type = cfg.dataset.dataset_params.get("normalization_type", "simple")
+
+    data = instantiate_dataset(cfg.dataset.dataset_params)
+    bundle = common.unpack_data(data, norm_type)
+
+    batch_size = cfg.training.get("batch_size", 16)
+    train_loader, val_loader, test_loader = common.build_loaders(
+        bundle, batch_size, cfg.dataset.get("train_mres", False),
+        seed=cfg.training.get("seed", 0))
+
+    model = common.build_model(cfg)
+    trainer = common.build_trainer(cfg, model, bundle["y_normalizer"])
+    state = trainer.init(common.sample_input(bundle))
+    state = common.maybe_warm_start(cfg, trainer, state)
+
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    print(f"Total model parameters: {n_params / 1e6:.2f}M")
+
+    logger = MetricsLogger(cfg.project_name, config=cfg,
+                           use_wandb=cfg.get("log_to_wandb", False))
+
+    schedule = common.build_schedule(cfg)
+    state, history = trainer.fit(
+        state,
+        train_loader,
+        val_loader,
+        epochs=cfg.training.get("epochs", 1),
+        schedule=schedule,
+        log_fn=logger.log,
+    )
+
+    test_loss = trainer.evaluate(state, test_loader)
+    print(f"Test L2 loss: {test_loss:.6f}")
+    logger.log({"test_loss": test_loss})
+
+    ckpt_path = common.save_run_checkpoint(cfg, state, history)
+    print(f"Checkpoint saved: {ckpt_path}")
+
+    variables = {"params": state.params, **state.model_state}
+
+    # --- super-resolution sweep (naive_utils / resize_utils) ---
+    results = {}
+    if cfg.dataset.get("max_test_resolution"):
+        sweep = evaluate_all_resolutions(
+            model, variables, common.make_superres_builder(cfg),
+            current_res=cfg.dataset.get("original_res"),
+            max_test_resolution=cfg.dataset.get("max_test_resolution"),
+            x_normalizer=bundle["x_normalizer"],
+            y_normalizer=bundle["y_normalizer"],
+            batch_size=batch_size,
+            spatial_ndim=spatial_ndim,
+            resize_to_train=cfg.dataset.get("resize_to_train", False),
+        )
+        results = sweep["results"]
+        logger.log_table(
+            "super_resolution", ["resolution", "rel_l2"],
+            [(r, v) for r, v in sorted(results.items())])
+        for r, v in sorted(results.items()):
+            print(f"Resolution {r:4d}: rel-L2 {v:.6f}")
+
+    # --- autoregressive rollout (autoregressive_step) ---
+    rollout_results = {}
+    if (spatial_ndim == 1 and bundle["rollout"] is not None
+            and cfg.dataset.get("rollout_steps", 0) > 0):
+        rollout_results = evaluate_rollout_all_resolutions(
+            model, variables, common.make_rollout_builder(cfg),
+            current_res=cfg.dataset.get("original_res"),
+            max_test_resolution=cfg.dataset.get("max_test_resolution"),
+            rollout_steps=cfg.dataset.get("rollout_steps", 16),
+            x_normalizer=bundle["x_normalizer"],
+            y_normalizer=bundle["y_normalizer"],
+            batch_size=batch_size,
+        )
+        logger.log_table(
+            "rollout", ["resolution", "rollout_rel_l2"],
+            [(r, v) for r, v in sorted(rollout_results.items())])
+        for r, v in sorted(rollout_results.items()):
+            print(f"Rollout @ {r:4d}: rel-L2 {v:.6f}")
+
+    logger.finish()
+    return {
+        "test_loss": test_loss,
+        "super_resolution": results,
+        "rollout": rollout_results,
+        "checkpoint": ckpt_path,
+        "history": history,
+    }
+
+
+if __name__ == "__main__":
+    main()

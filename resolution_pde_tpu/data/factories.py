@@ -598,3 +598,24 @@ def ns_window_dataset(filename, saved_folder, window_size=10,
     _, va_end = split_ratio_indices(u.shape[0])
     rollout = TrajectoryDataset(np.ascontiguousarray(u[va_end:]))
     return _package(train, val, test, rollout, data_normalizer, "simple")
+
+
+def ks_window_dataset(filename, saved_folder, window_size=10,
+                      data_normalizer=True, reduced_batch=1,
+                      reduced_resolution=1, reduced_resolution_t=1,
+                      num_samples_max=-1, val_filename="KS_valid.h5",
+                      test_filename="KS_test.h5", **kwargs):
+    """Sliding-window dataset from KS-format files (the S4 path on KS data;
+    window template from dataloaders/burger_s4.py applied to the KS reader)."""
+    red = dict(reduced_batch=reduced_batch,
+               reduced_resolution=reduced_resolution,
+               reduced_resolution_t=reduced_resolution_t,
+               num_samples_max=num_samples_max)
+    splits = {}
+    for name, fn in (("train", filename), ("val", val_filename),
+                     ("test", test_filename)):
+        u = _ks_load(fn, saved_folder, **red)
+        splits[name] = ArrayDataset(*sliding_windows(u, window_size))
+    rollout = TrajectoryDataset(_ks_load(test_filename, saved_folder, **red))
+    return _package(splits["train"], splits["val"], splits["test"], rollout,
+                    data_normalizer, "simple")

@@ -1,0 +1,135 @@
+"""Config system and CLI driver tests: composition, overrides, full
+pipeline on tiny synthetic data."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from resolution_pde_tpu.configs import (
+    load_config,
+    parse_cli,
+    instantiate_model,
+    instantiate_dataset,
+)
+
+
+def _make_ks_dir(tmp_path, s=64, n=12, t=6):
+    rng = np.random.default_rng(0)
+    for name, seed in (("KS_train_2048.h5", 1), ("KS_valid.h5", 2),
+                       ("KS_test.h5", 3)):
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n, s)).astype(np.float32)
+        f = np.fft.rfft(base, axis=-1)
+        f[:, 8:] = 0
+        base = np.fft.irfft(f, n=s, axis=-1).astype(np.float32) * 3
+        u = np.stack([np.roll(base, 2 * i, axis=-1) for i in range(t)], 1)
+        split = ("train" if "train" in name
+                 else "valid" if "valid" in name else "test")
+        with h5py.File(str(tmp_path / name), "w") as fh:
+            fh.create_group(split).create_dataset("pde_51-%d" % s, data=u)
+
+
+def test_load_config_composition():
+    cfg = load_config("ffno_1d", "ks_naive")
+    assert cfg.model["_target_"] == "models.ffno.FFNO1D"
+    assert cfg.dataset.pde == "ks"
+    assert cfg.training.batch_size == 16
+    assert cfg.project_name == "ks_ffno_1d"
+
+
+def test_parse_cli_overrides():
+    cfg = parse_cli(["model=fno_1d", "dataset=burger_naive",
+                     "training.epochs=3", "model.width=8",
+                     "dataset.dataset_params.reduced_batch=4"])
+    assert cfg.training.epochs == 3
+    assert cfg.model.width == 8
+    assert cfg.dataset.dataset_params.reduced_batch == 4
+
+
+def test_reference_style_group_paths():
+    """Reference invocations use subdir paths like model=ffno_1d/ffno_1d."""
+    cfg = load_config("ffno_1d/ffno_1d", "ks/ks_naive")
+    assert cfg.model["_target_"] == "models.ffno.FFNO1D"
+
+
+def test_instantiate_model_drops_unknown_keys():
+    model = instantiate_model({"_target_": "models.fno.FNO1d",
+                               "in_channels": 1, "out_channels": 1,
+                               "modes": 4, "width": 8,
+                               "bogus_key": 42})
+    assert model.modes == 4
+
+
+def test_unknown_config_raises():
+    with pytest.raises(FileNotFoundError):
+        load_config("nonexistent_model", "ks_naive")
+
+
+def test_main_1d_end_to_end(tmp_path, monkeypatch):
+    """Full pipeline: train FNO1d on tiny synthetic KS data, super-res sweep
+    + rollout eval, checkpoint write."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)  # checkpoints/ and runs/ land in tmp
+
+    from resolution_pde_tpu.cli.main_1d import main
+
+    out = main([
+        "model=fno_1d",
+        "dataset=ks_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=64",
+        "dataset.max_test_resolution=64",
+        "dataset.rollout_steps=3",
+        "model.width=8",
+        "model.modes=8",
+        "model.n_blocks=1",
+        "training.epochs=3",
+        "training.batch_size=16",
+    ])
+    assert np.isfinite(out["test_loss"])
+    assert set(out["super_resolution"]) == {32, 64}
+    assert all(np.isfinite(v) for v in out["super_resolution"].values())
+    assert set(out["rollout"]) == {32, 64}
+    assert os.path.isdir(out["checkpoint"])
+    assert len(out["history"].train_loss) == 3
+    # training made progress
+    assert out["history"].train_loss[-1] < out["history"].train_loss[0]
+
+
+def test_main_1d_true_mres(tmp_path, monkeypatch):
+    """Grouped multires pipeline through the CLI."""
+    d = tmp_path / "res_64" / "visc_0.075_L64.0_lmax8_et5.0_nte51_nt51"
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((12, 5, 64)).astype(np.float32)
+    with h5py.File(str(d / "KS_train_2048.h5"), "w") as fh:
+        fh.create_group("train").create_dataset("pde_51-64", data=u)
+    # eval files for the super-res sweep (eval_dataset_target path)
+    _make_ks_dir(d)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli.main_1d import main
+
+    out = main([
+        "model=ffno_1d",
+        "dataset=ks_naive_true_mres1",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.data_mres_size={64: -1}",
+        "dataset.dataset_params.add_res=[32]",
+        "dataset.dataset_params.add_res_samples={32: 8}",
+        "dataset.dataset_params.downsample_from_res=64",
+        f"dataset.eval_saved_folder={d}",
+        "dataset.original_res=64",
+        "dataset.max_test_resolution=64",
+        "dataset.rollout_steps=2",
+        "model.width=8",
+        "model.n_modes=8",
+        "model.n_layers=1",
+        "model.dropout=0.0",
+        "training.epochs=2",
+        "training.batch_size=8",
+    ])
+    assert np.isfinite(out["test_loss"])
+    assert all(np.isfinite(v) for v in out["super_resolution"].values())
