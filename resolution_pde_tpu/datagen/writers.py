@@ -1,0 +1,77 @@
+"""Writers for the dataset file formats the data layer reads — makes the
+framework self-sufficient (the reference depends on externally generated
+files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import h5py
+import numpy as np
+
+
+def write_ks_file(path: str, u: np.ndarray, L: float = 64.0,
+                  dt: float | None = None, split: str | None = None):
+    """KS format (dataloaders/ks_naive_markov.py:190-252): split group with
+    key 'pde_{nt}-{s}', plus x/t/dx/dt. u: (n, t, s)."""
+    if split is None:
+        name = os.path.basename(path).lower()
+        split = ("train" if "train" in name
+                 else "valid" if "valid" in name
+                 else "test" if "test" in name else "train")
+    n, t, s = u.shape
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        g = f.create_group(split)
+        g.create_dataset(f"pde_{t}-{s}", data=u.astype(np.float32))
+        g.create_dataset("x", data=np.linspace(0, L, s, endpoint=False)
+                         .astype(np.float32))
+        g.create_dataset("t", data=np.arange(t, dtype=np.float32)
+                         * (dt if dt else 1.0))
+        g.create_dataset("dx", data=np.float32(L / s))
+        g.create_dataset("dt", data=np.float32(dt if dt else 1.0))
+
+
+def write_ks_multires_tree(base_folder: str, data_by_res: dict,
+                           viscosity: float = 0.075, L: float = 64.0,
+                           lmax: int = 8, et: float = 5.0, nte: int = 51,
+                           nt: int = 51, train_s: int = 2048):
+    """res_{R}/visc_{v}_L{L}_lmax{l}_et{e}_nte{n}_nt{n}/KS_train_{s}.h5 tree
+    (ks_naive_true_multires.py:255-261)."""
+    for res, u in data_by_res.items():
+        d = os.path.join(
+            base_folder, f"res_{res}",
+            f"visc_{viscosity}_L{L}_lmax{lmax}_et{et}_nte{nte}_nt{nt}")
+        os.makedirs(d, exist_ok=True)
+        write_ks_file(os.path.join(d, f"KS_train_{train_s}.h5"), u, L=L,
+                      split="train")
+
+
+def write_pdebench_file(path: str, u: np.ndarray):
+    """PDEBench Burgers format: 'tensor' (n, t, x) + 'x-coordinate'."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("tensor", data=u.astype(np.float32))
+        f.create_dataset(
+            "x-coordinate",
+            data=np.linspace(0, 1, u.shape[-1], endpoint=False)
+            .astype(np.float32))
+
+
+def write_ns_file(path: str, u: np.ndarray, a: np.ndarray | None = None,
+                  t: np.ndarray | None = None):
+    """NS format: 'u' (n, t, h, w) (+ optional 'a' initial vorticity, 't').
+
+    Accepts the solver's (n, h, w, t) layout and transposes (the reader's
+    heuristic handles either, ns_naive_markov.py:305-315; we store the
+    canonical (n, t, h, w))."""
+    if u.ndim == 4 and u.shape[-1] < min(u.shape[1], u.shape[2]):
+        u = np.transpose(u, (0, 3, 1, 2))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("u", data=u.astype(np.float32))
+        if a is not None:
+            f.create_dataset("a", data=a.astype(np.float32))
+        if t is not None:
+            f.create_dataset("t", data=t.astype(np.float32))

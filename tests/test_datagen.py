@@ -1,0 +1,171 @@
+"""Data-generation tests: GRF statistics/parity, NS solver physics
+(conservation/decay sanity + parity vs an independent torch reimplementation
+of the reference stepping), KS/Burgers solver sanity, writer round-trips."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from resolution_pde_tpu.datagen import (
+    GaussianRF,
+    navier_stokes_2d,
+    solve_ks,
+    solve_burgers,
+    write_ks_file,
+    write_pdebench_file,
+    write_ns_file,
+)
+from resolution_pde_tpu.datagen.ks import random_ks_initial_conditions
+
+
+def test_grf_matches_torch_legacy_ifft(rng):
+    """Given identical spectral coefficients, the sampler must equal the
+    legacy unnormalized inverse DFT (random_fields.py:52-61)."""
+    size, alpha, tau = 32, 2.5, 7.0
+    grf = GaussianRF(2, size, alpha=alpha, tau=tau)
+    coeff_r = rng.standard_normal((1, size, size)).astype(np.float32)
+    coeff_i = rng.standard_normal((1, size, size)).astype(np.float32)
+    sq = np.asarray(grf.sqrt_eig)
+    c = (sq * coeff_r) + 1j * (sq * coeff_i)
+    # legacy torch.ifft(normalized=False) == numpy default ifft
+    expected = np.real(np.fft.ifft2(c, axes=(1, 2)))
+    got = np.real(np.asarray(jnp.fft.ifftn(jnp.asarray(c), axes=(1, 2))))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_grf_sample_statistics():
+    grf = GaussianRF(2, 64, alpha=2.5, tau=7.0)
+    u = np.asarray(grf.sample(jax.random.key(0), 16))
+    assert u.shape == (16, 64, 64)
+    assert abs(u.mean()) < 0.2  # zero-mean field (DC mode zeroed)
+    assert 0.1 < u.std() < 10.0
+
+
+def _torch_ns_steps(w0, f, visc, delta_t, n_steps):
+    """Independent torch reimplementation of the reference's CN stepping
+    (ns_2d.py:69-112) using modern complex FFT."""
+    import torch
+
+    w = torch.from_numpy(w0)
+    fr = torch.from_numpy(f)
+    n = w0.shape[-1]
+    k_max = n // 2
+    k = torch.cat([torch.arange(0, k_max), torch.arange(-k_max, 0)])
+    k_y = k[None, :].repeat(n, 1).float()
+    k_x = k_y.T
+    lap = 4 * np.pi ** 2 * (k_x ** 2 + k_y ** 2)
+    lap[0, 0] = 1.0
+    dealias = ((k_y.abs() <= 2 / 3 * k_max)
+               & (k_x.abs() <= 2 / 3 * k_max)).float()
+    w_h = torch.fft.fft2(w)
+    f_h = torch.fft.fft2(fr)[None]
+    for _ in range(n_steps):
+        psi_h = w_h / lap
+        q = torch.fft.ifft2(2j * np.pi * k_y * psi_h).real
+        v = torch.fft.ifft2(-2j * np.pi * k_x * psi_h).real
+        w_x = torch.fft.ifft2(2j * np.pi * k_x * w_h).real
+        w_y = torch.fft.ifft2(2j * np.pi * k_y * w_h).real
+        F_h = torch.fft.fft2(q * w_x + v * w_y) * dealias
+        w_h = ((-delta_t * F_h + delta_t * f_h
+                + (1 - 0.5 * delta_t * visc * lap) * w_h)
+               / (1 + 0.5 * delta_t * visc * lap))
+    return torch.fft.ifft2(w_h).real.numpy()
+
+
+def test_ns_solver_parity_with_reference_stepping(rng):
+    n, steps, visc, dt = 32, 10, 1e-3, 1e-3
+    grf = GaussianRF(2, n, alpha=2.5, tau=7.0)
+    w0 = np.asarray(grf.sample(jax.random.key(1), 2), np.float32)
+    t = np.linspace(0, 1, n + 1)[:-1]
+    X, Y = np.meshgrid(t, t, indexing="ij")
+    f = (0.1 * (np.sin(2 * np.pi * (X + Y))
+                + np.cos(2 * np.pi * (X + Y)))).astype(np.float32)
+    expected = _torch_ns_steps(w0, f, visc, dt, steps)
+    sol, sol_t = navier_stokes_2d(jnp.asarray(w0), jnp.asarray(f), visc,
+                                  T=steps * dt, delta_t=dt, record_steps=1)
+    got = np.asarray(sol[..., 0])
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+    assert sol_t.shape == (1,)
+
+
+def test_ns_solver_viscous_decay():
+    """Unforced flow must lose enstrophy under viscosity."""
+    n = 32
+    grf = GaussianRF(2, n, alpha=2.5, tau=7.0)
+    w0 = grf.sample(jax.random.key(2), 1)
+    f = jnp.zeros((n, n))
+    sol, _ = navier_stokes_2d(w0, f, visc=1e-2, T=0.5, delta_t=1e-3,
+                              record_steps=4)
+    energy = [float(jnp.sum(sol[..., i] ** 2)) for i in range(4)]
+    assert energy[-1] < energy[0]
+
+
+def test_ks_solver_runs_and_is_chaotic_but_bounded():
+    key = jax.random.key(0)
+    u0 = random_ks_initial_conditions(key, 2, 128, L=64.0, lmax=8)
+    traj = solve_ks(u0, L=64.0, dt=0.05, n_snapshots=21,
+                    steps_per_snapshot=20)
+    t = np.asarray(traj)
+    assert t.shape == (2, 21, 128)
+    assert np.isfinite(t).all()
+    # KS is bounded: amplitudes remain O(1..10)
+    assert np.abs(t).max() < 50
+    # and non-trivial: the field evolves
+    assert np.abs(t[:, -1] - t[:, 0]).max() > 0.1
+
+
+def test_burgers_solver_dissipates_and_matches_heat_limit():
+    """With zero initial amplitude in the nonlinear regime (small u0) the
+    solution approaches the heat equation: mode decay ~ exp(-nu k^2 t)."""
+    n, nu = 64, 0.05
+    x = np.arange(n) / n
+    u0 = (0.01 * np.sin(2 * np.pi * x)).astype(np.float32)[None]
+    dt, spn, snaps = 1e-4, 1000, 3
+    traj = np.asarray(solve_burgers(jnp.asarray(u0), nu=nu, dt=dt,
+                                    n_snapshots=snaps,
+                                    steps_per_snapshot=spn))
+    t_final = dt * spn * (snaps - 1)
+    k1 = 2 * np.pi
+    expected = 0.01 * np.exp(-nu * k1 ** 2 * t_final) * np.sin(2 * np.pi * x)
+    # atol covers the (small-amplitude) nonlinear correction excluded from
+    # the linear heat-decay reference
+    np.testing.assert_allclose(traj[0, -1], expected, atol=5e-5)
+
+
+def test_writers_roundtrip(tmp_path, rng):
+    from resolution_pde_tpu.data.io import (
+        read_ks_h5, read_pdebench_h5, read_ns)
+
+    u1 = rng.standard_normal((4, 6, 32)).astype(np.float32)
+    write_ks_file(str(tmp_path / "KS_train_4.h5"), u1)
+    back = read_ks_h5(str(tmp_path / "KS_train_4.h5"))
+    np.testing.assert_allclose(back["u"], u1)
+
+    write_pdebench_file(str(tmp_path / "burgers.h5"), u1)
+    np.testing.assert_allclose(
+        read_pdebench_h5(str(tmp_path / "burgers.h5"))["u"], u1)
+
+    u2 = rng.standard_normal((3, 16, 16, 5)).astype(np.float32)  # (n,h,w,t)
+    write_ns_file(str(tmp_path / "ns.h5"), u2)
+    back2 = read_ns(str(tmp_path / "ns.h5"))
+    np.testing.assert_allclose(back2, np.transpose(u2, (0, 3, 1, 2)))
+
+
+def test_generated_ks_feeds_data_pipeline(tmp_path):
+    """End-to-end self-sufficiency: generate KS data, write files, load
+    through the standard factory."""
+    from resolution_pde_tpu.data import ks_markov_dataset
+
+    key = jax.random.key(3)
+    for name, seed in (("KS_train_8.h5", 0), ("KS_valid.h5", 1),
+                       ("KS_test.h5", 2)):
+        u0 = random_ks_initial_conditions(jax.random.key(seed), 4, 64)
+        traj = solve_ks(u0, n_snapshots=6, steps_per_snapshot=10)
+        write_ks_file(str(tmp_path / name), np.asarray(traj))
+    out = ks_markov_dataset("KS_train_8.h5", str(tmp_path),
+                            val_filename="KS_valid.h5",
+                            test_filename="KS_test.h5")
+    train = out[0]
+    assert len(train) == 4 * 5
+    assert np.isfinite(train.x).all()
