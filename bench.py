@@ -39,6 +39,15 @@ def model_flops_per_sample(res: int, width: int, n_layers: int, n_modes: int,
 
 def main():
     import jax
+
+    # persistent compile cache: the dominant bench cost is XLA compilation
+    # (remote-compile backends can take minutes); cache across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/rpde_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from resolution_pde_tpu.models import FFNO2D
     from resolution_pde_tpu.train import Trainer
@@ -58,6 +67,12 @@ def main():
         layer_norm=True,
         dropout=0.0,
         remat=False,  # batch 8 fits v5e HBM without remat and is ~40% faster
+        # TPU fast path: bf16 matmuls with f32 accumulation, truncated-DFT
+        # spectral convs as MXU GEMMs (bit-matches the FFT path in f32;
+        # see ops/spectral.py factorized_spectral_conv_2d_dft). Measured
+        # 2.7x over the f32+FFT baseline on v5e.
+        compute_dtype=jnp.bfloat16,
+        spectral_impl="dft",
     )
     trainer = Trainer(model, learning_rate=1e-3)
 

@@ -15,6 +15,8 @@ configs do).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -28,6 +30,7 @@ from resolution_pde_tpu.ops.grids import concat_grid_1d, concat_grid_2d
 from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_1d,
     factorized_spectral_conv_2d,
+    factorized_spectral_conv_2d_dft,
 )
 
 
@@ -83,7 +86,11 @@ class FSpectralConv1d(nn.Module):
 
 
 class FSpectralConv2d(nn.Module):
-    """FFNO 2D layer (spectral_convolution.py:210-318)."""
+    """FFNO 2D layer (spectral_convolution.py:210-318).
+
+    compute_dtype: dtype for the feed-forward matmuls (e.g. bfloat16);
+    the spectral path (FFT + mode contraction) always runs in float32 —
+    XLA's TPU FFT is f32/c64 and the contraction accumulates in f32."""
 
     d_model: int
     n_modes: int
@@ -93,6 +100,8 @@ class FSpectralConv2d(nn.Module):
     layer_norm: bool = False
     dropout: float = 0.0
     mode: str = "full"
+    compute_dtype: Any = None
+    spectral_impl: str = "fft"  # 'fft' | 'dft' (truncated-DFT MXU matmuls)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -109,7 +118,15 @@ class FSpectralConv2d(nn.Module):
                     xavier_normal_init,
                     (self.d_model, self.d_model, self.n_modes, 2),
                 )
-                x = factorized_spectral_conv_2d(x, wy, wx, self.n_modes)
+                dt = x.dtype
+                if self.spectral_impl == "dft":
+                    x = factorized_spectral_conv_2d_dft(
+                        x.astype(jnp.float32), wy, wx, self.n_modes,
+                        gemm_dtype=self.compute_dtype).astype(dt)
+                else:
+                    x = factorized_spectral_conv_2d(
+                        x.astype(jnp.float32), wy, wx,
+                        self.n_modes).astype(dt)
             else:
                 raise ValueError(f"unsupported 2D mode {self.mode!r}")
         return FeedForward(
@@ -119,6 +136,7 @@ class FSpectralConv2d(nn.Module):
             self.ff_weight_norm,
             self.layer_norm,
             self.dropout,
+            dtype=self.compute_dtype,
         )(x, deterministic=deterministic)
 
 
@@ -184,13 +202,17 @@ class FFNO2D(nn.Module):
     mode: str = "full"
     use_grid: bool = True
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
+    compute_dtype: Any = None  # e.g. jnp.bfloat16: activations + FF matmuls
+    spectral_impl: str = "fft"  # 'fft' | 'dft' (truncated-DFT MXU path)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        in_dtype = x.dtype
         x = jnp.moveaxis(x, 1, -1)  # (B, H, W, C)
         if self.use_grid:
             x = concat_grid_2d(x, 0.0, 1.0)
-        x = WNDense(self.width, wnorm=self.ff_weight_norm)(x)
+        x = WNDense(self.width, wnorm=self.ff_weight_norm,
+                    dtype=self.compute_dtype)(x)
         layer_cls = (
             nn.remat(FSpectralConv2d, static_argnums=(2,))
             if self.remat
@@ -206,7 +228,10 @@ class FFNO2D(nn.Module):
                 self.layer_norm,
                 self.dropout,
                 self.mode,
+                self.compute_dtype,
+                self.spectral_impl,
             )(x, deterministic)
             x = x + x_new
-        x = WNDense(self.out_channels, wnorm=self.ff_weight_norm)(x)
-        return jnp.moveaxis(x, -1, 1)
+        x = WNDense(self.out_channels, wnorm=self.ff_weight_norm,
+                    dtype=self.compute_dtype)(x)
+        return jnp.moveaxis(x, -1, 1).astype(in_dtype)

@@ -15,7 +15,7 @@ bound) so training dynamics are comparable to the reference.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import numpy as np
 import jax
@@ -70,20 +70,26 @@ ACTIVATIONS = {
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch.nn.Linear default init."""
+    """Dense layer with torch.nn.Linear default init.
+
+    dtype: computation dtype (e.g. bfloat16 for MXU-native matmuls);
+    parameters stay float32, accumulation is float32."""
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
-        y = y.astype(x.dtype)
+        cd = self.dtype or x.dtype
+        y = jnp.dot(x.astype(cd), kernel.astype(cd),
+                    preferred_element_type=jnp.float32)
+        y = y.astype(cd)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(cd)
         return y
 
 
@@ -93,27 +99,31 @@ class WNDense(nn.Module):
     With wnorm: kernel = g * v / ||v||_rows where g is initialized to
     ||v||_rows so the layer starts identical to the unnormalized one
     (torch weight_norm semantics, models/custom_layer.py:70-79).
+    The norm itself is computed in float32; the matmul runs in `dtype`.
     """
 
     features: int
     use_bias: bool = True
     wnorm: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         if not self.wnorm:
-            return TorchLinear(self.features, self.use_bias)(x)
+            return TorchLinear(self.features, self.use_bias, self.dtype)(x)
         v = self.param("v", torch_kernel_init, (fan_in, self.features))
         g = self.param(
             "g", lambda rng, shape: jnp.linalg.norm(v, axis=0), (self.features,)
         )
         norm = jnp.linalg.norm(v, axis=0, keepdims=True)
         kernel = v * (g[None, :] / (norm + 1e-12))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        cd = self.dtype or x.dtype
+        y = jnp.dot(x.astype(cd), kernel.astype(cd),
+                    preferred_element_type=jnp.float32).astype(cd)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(cd)
         return y
 
 
@@ -130,18 +140,22 @@ class FeedForward(nn.Module):
     ff_weight_norm: bool = False
     layer_norm: bool = False
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
-            x = WNDense(out_dim, wnorm=self.ff_weight_norm)(x)
+            x = WNDense(out_dim, wnorm=self.ff_weight_norm,
+                        dtype=self.dtype)(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             if i < self.n_layers - 1:
                 x = gelu(x)
             elif self.layer_norm:
-                x = nn.LayerNorm()(x)
+                # layer norm statistics in f32 for stability
+                x = nn.LayerNorm(dtype=jnp.float32).__call__(
+                    x.astype(jnp.float32)).astype(x.dtype)
         return x
 
 

@@ -36,7 +36,8 @@ def get_model(name: str):
 
 
 def _populate():
-    from resolution_pde_tpu.models import fno, ffno, unet, cno, s4
+    from resolution_pde_tpu.models import (fno, ffno, unet, cno, cno_original,
+                                           s4, s4_base, mgpt)
 
     register("FNO1d", fno.FNO1d)
     register("FNO2d", fno.FNO2d)
@@ -62,6 +63,18 @@ def _populate():
     register("models.s4_1d.S4Model", s4.S4Model)
     register("models.s4_2d.S4NDModel", s4.S4NDModel)
     register("models.s4d.S4D", s4.S4D)
+    register("CNO2dOriginal", cno_original.CNO2dOriginal)
+    # reference cno_2d_original.yaml target (the empty CNO/ module)
+    register("CNO.CNO2d_original_version.CNOModule.CNO",
+             cno_original.CNO2dOriginal)
+    register("S4BaseModel", s4_base.S4BaseModel)
+    register("S4SeqModel", s4_base.S4SeqModel)
+    register("OneToSeqModel", s4_base.OneToSeqModel)
+    register("MoEGPTNO", mgpt.MoEGPTNO)
+    register("models.s4_model.S4BaseModel", s4_base.S4BaseModel)
+    register("models.s4seq_model.S4SeqModel", s4_base.S4SeqModel)
+    register("models.s4seq_model.OneToSeqModel", s4_base.OneToSeqModel)
+    register("models.mgpt.MoEGPTNO", mgpt.MoEGPTNO)
 
 
 _populate()

@@ -1,0 +1,184 @@
+"""Configurable S4 base/sequence models.
+
+Parity targets:
+  - S4BaseModel: models/s4_model.py:105-242 — GridIO processors, encoder,
+    per-layer (norm, dropout, residual, ffn) registries around S4Blocks,
+    pre/post-norm, interlayer activation, decoder; `predict` chunked
+    long-horizon rollout (s4_model.py:261-279).
+  - S4SeqModel family: models/s4seq_model.py:22-495 — sequence-in /
+    sequence-out wrappers (here: S4SeqModel for seq2seq over time,
+    OneToSeqModel for single-state -> trajectory).
+
+Registry semantics (models/custom_layer.py:118-142): residual in
+{weighted, identity, zero}; norm in {LayerNorm, identity}; ffn in
+{ffn, zero}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from resolution_pde_tpu.models import io_processors as iop
+from resolution_pde_tpu.models.layers import ACTIVATIONS, FeedForward
+from resolution_pde_tpu.models.s4 import S4Block
+
+
+def _extend(value, n):
+    if isinstance(value, (list, tuple)):
+        assert len(value) == n
+        return list(value)
+    return [value] * n
+
+
+class _Residual(nn.Module):
+    kind: str
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "identity":
+            return x
+        if self.kind == "zero":
+            return x * 0.0
+        if self.kind == "weighted":
+            return nn.Dense(self.d_model)(x)
+        raise ValueError(f"unknown residual {self.kind!r}")
+
+
+class S4BaseModel(nn.Module):
+    """Input (B, S..., [T,] V) + grid (B, S..., 1) -> processed output."""
+
+    d_input: int
+    d_output: int = 10
+    d_model: int = 256
+    n_layers: int = 4
+    exo_dropout: float = 0.0
+    prenorm: bool = False
+    interlayer_act: Optional[str] = None
+    input_processor: str = "Concat"
+    output_processor: str = "identity"
+    residual_type: Any = "identity"
+    norm_type: Any = "LayerNorm"
+    ffn_type: Any = "zero"
+    mode: str = "diag"  # SSM kernel for the S4Blocks
+    bidirectional: bool = False
+    s4_dropout: float = 0.0
+    final_mlp_hidden_expansion: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        input_shape = x.shape
+        x = iop.GRID_INPUT_REGISTRY[self.input_processor](x, grid)
+        x = nn.Dense(self.d_model)(x)
+
+        norms = _extend(self.norm_type, self.n_layers)
+        residuals = _extend(self.residual_type, self.n_layers)
+        ffns = _extend(self.ffn_type, self.n_layers)
+
+        for i in range(self.n_layers):
+            z = x
+            if self.prenorm and norms[i] == "LayerNorm":
+                z = nn.LayerNorm()(z)
+            z = S4Block(self.d_model, mode=self.mode,
+                        bidirectional=self.bidirectional,
+                        dropout=self.s4_dropout)(z, deterministic)
+            if self.exo_dropout > 0.0:
+                z = nn.Dropout(self.exo_dropout,
+                               deterministic=deterministic)(z)
+            x = z + _Residual(residuals[i], self.d_model)(x)
+            if not self.prenorm and norms[i] == "LayerNorm":
+                x = nn.LayerNorm()(x)
+            if ffns[i] == "ffn":
+                if self.prenorm:
+                    x = nn.LayerNorm()(x)
+                x = FeedForward(self.d_model, factor=4, n_layers=2)(
+                    x, deterministic) + x
+                if not self.prenorm:
+                    x = nn.LayerNorm()(x)
+            if self.interlayer_act:
+                x = ACTIVATIONS[self.interlayer_act](x)
+
+        if self.final_mlp_hidden_expansion is not None:
+            x = nn.Dense(self.final_mlp_hidden_expansion * self.d_model)(x)
+            x = ACTIVATIONS["gelu"](x)
+            x = nn.Dense(self.d_output)(x)
+        else:
+            x = nn.Dense(self.d_output)(x)
+        return iop.OUTPUT_REGISTRY[self.output_processor](x, input_shape)
+
+
+class S4SeqModel(nn.Module):
+    """Sequence-to-sequence over time: input (B, T, S, V) + grid (B, S, 1)
+    -> (B, T, S, d_output), with time batched into the spatial-sequence
+    backbone (s4seq_model.py:115 semantics via BatchSpace/UnbatchSpace)."""
+
+    d_input: int
+    d_output: int = 1
+    d_model: int = 128
+    n_layers: int = 4
+    dropout: float = 0.0
+    mode: str = "diag"
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        b, t, s, v = x.shape
+        input_shape = x.shape
+        # attach grid along features for every timestep
+        g = jnp.broadcast_to(grid[:, None], (b, t, s, 1))
+        x = jnp.concatenate([x, g], axis=-1)
+        # run the sequence model over TIME at each spatial point
+        x = iop.batch_space(x)  # ((B S), T, V+1)
+        x = nn.Dense(self.d_model)(x)
+        for _ in range(self.n_layers):
+            z = S4Block(self.d_model, mode=self.mode,
+                        dropout=self.dropout)(x, deterministic)
+            x = z + x
+        x = nn.Dense(self.d_output)(x)
+        return iop.unbatch_space(x, input_shape)
+
+
+class OneToSeqModel(nn.Module):
+    """Single state -> trajectory (s4seq_model.py:384): encode the initial
+    state, decode n_timesteps outputs autoregressively with the
+    convolutional model re-applied per step."""
+
+    d_input: int
+    d_output: int = 1
+    d_model: int = 64
+    n_layers: int = 2
+    n_timesteps: int = 10
+    mode: str = "diag"
+
+    @nn.compact
+    def __call__(self, x0, grid, deterministic: bool = True):
+        """x0: (B, S, V) -> (B, n_timesteps, S, d_output)."""
+        inner = S4BaseModel(
+            d_input=self.d_input, d_output=self.d_output,
+            d_model=self.d_model, n_layers=self.n_layers, mode=self.mode,
+            input_processor="Concat", output_processor="identity")
+        outs = []
+        state = x0
+        for _ in range(self.n_timesteps):
+            state = inner(state, grid, deterministic)
+            outs.append(state)
+        return jnp.stack(outs, axis=1)
+
+
+def predict_chunked(apply_fn, x0, grid, n_timesteps: int,
+                    train_timesteps: int, lg_length: Optional[int] = None):
+    """Long-horizon chunked rollout (s4_model.py:261-279): predict in
+    train_timesteps-sized windows, re-seeding each window from the last
+    prediction. apply_fn(x0, grid, steps) -> (B, steps, ...)."""
+    if lg_length is None:
+        lg_length = train_timesteps
+    y = apply_fn(x0, grid, min(train_timesteps, n_timesteps))
+    while y.shape[1] < n_timesteps:
+        t_i = -train_timesteps + lg_length - 1 + y.shape[1]
+        x_ = y[:, t_i]
+        pred_steps = min(train_timesteps, n_timesteps - t_i - 1)
+        y_new = apply_fn(x_, grid, pred_steps)[:, -lg_length:]
+        y = jnp.concatenate([y, y_new], axis=1)
+    return y[:, :n_timesteps]

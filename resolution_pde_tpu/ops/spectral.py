@@ -137,3 +137,106 @@ def factorized_spectral_conv_2d(x, weight_y, weight_x, n_modes: int,
     xx = jnp.fft.irfft(out_x, n=h, axis=-2, norm=fft_norm)
 
     return jnp.moveaxis(xx + yy, 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Truncated-DFT matmul path (TPU fast path for the factorized conv)
+# ---------------------------------------------------------------------------
+#
+# The FFT path materializes the FULL spectrum (W//2+1 bins) in HBM, slices
+# m modes, zero-pads back, and inverse-transforms — on TPU the train step is
+# bandwidth-bound on exactly those intermediates. Since only m modes carry
+# weights, the truncated transform IS a (W, m) matmul, and the zero-padded
+# inverse IS an (m, W) matmul: three MXU GEMMs with no full-spectrum
+# round-trip. Numerically identical to the FFT path (see
+# tests/test_spectral.py::test_dft_path_matches_fft_path); optionally runs
+# the GEMMs in bfloat16 with f32 accumulation for training.
+
+import functools
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_matrices(n: int, m: int, norm: str):
+    """Forward truncated rfft factors (n, m) and conjugate-weighted inverse
+    factors (m, n), as numpy float32 (cos, sin, inv_cos, inv_sin)."""
+    k = np.arange(m)[None, :]
+    w = np.arange(n)[:, None]
+    ang = 2.0 * np.pi * w * k / n
+    scale = 1.0 / np.sqrt(n) if norm == "ortho" else 1.0
+    fwd_cos = (np.cos(ang) * scale).astype(np.float32)         # (n, m)
+    fwd_sin = (-np.sin(ang) * scale).astype(np.float32)        # (n, m)
+    # inverse with hermitian-symmetry weights
+    weights = np.full(m, 2.0)
+    weights[0] = 1.0
+    if m == n // 2 + 1 and n % 2 == 0:
+        weights[-1] = 1.0
+    iscale = 1.0 / np.sqrt(n) if norm == "ortho" else 1.0 / n
+    inv_cos = (weights[:, None] * np.cos(ang.T) * iscale).astype(np.float32)
+    inv_sin = (-weights[:, None] * np.sin(ang.T) * iscale).astype(np.float32)
+    return fwd_cos, fwd_sin, inv_cos, inv_sin
+
+
+def _gemm(a, b, dtype):
+    if dtype is not None:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
+                                    fft_norm: str = "ortho",
+                                    gemm_dtype=None):
+    """MXU fast path for factorized_spectral_conv_2d: truncated DFTs as
+    matmuls. x: (B, H, W, C) channels-last; returns (B, H, W, C).
+
+    gemm_dtype: None keeps f32 GEMMs (numerically matches the FFT path to
+    roundoff); jnp.bfloat16 halves bandwidth/doubles MXU rate for training.
+    """
+    b, h, w_sz, c = x.shape
+    xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+
+    # ---- y (last axis) pass: contract W -> m_y modes ----
+    m_y = min(n_modes, w_sz // 2 + 1)
+    fc, fs, ic, is_ = (jnp.asarray(a) for a in
+                       _dft_matrices(w_sz, m_y, fft_norm))
+    zr = _gemm(xc, fc, gemm_dtype)                      # (B, C, H, m)
+    zi = _gemm(xc, fs, gemm_dtype)
+    wyr, wyi = weight_y[:, :, :m_y, 0], weight_y[:, :, :m_y, 1]
+    or_ = (jnp.einsum("bixm,iom->boxm", zr, wyr,
+                      preferred_element_type=jnp.float32)
+           - jnp.einsum("bixm,iom->boxm", zi, wyi,
+                        preferred_element_type=jnp.float32))
+    oi = (jnp.einsum("bixm,iom->boxm", zr, wyi,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bixm,iom->boxm", zi, wyr,
+                       preferred_element_type=jnp.float32))
+    yy = _gemm(or_, ic, gemm_dtype) + _gemm(oi, is_, gemm_dtype)  # (B,C,H,W)
+
+    # ---- x (second-to-last axis) pass: contract H -> m_x modes ----
+    m_x = min(n_modes, h // 2 + 1)
+    fc, fs, ic, is_ = (jnp.asarray(a) for a in
+                       _dft_matrices(h, m_x, fft_norm))
+    # contract over H (axis 2): 'bihw,hm->bimw'
+    dt = gemm_dtype
+    def cast(a):
+        return a.astype(dt) if dt is not None else a
+    zr = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fc),
+                    preferred_element_type=jnp.float32)
+    zi = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fs),
+                    preferred_element_type=jnp.float32)
+    wxr, wxi = weight_x[:, :, :m_x, 0], weight_x[:, :, :m_x, 1]
+    or_ = (jnp.einsum("bimw,iom->bomw", zr, wxr,
+                      preferred_element_type=jnp.float32)
+           - jnp.einsum("bimw,iom->bomw", zi, wxi,
+                        preferred_element_type=jnp.float32))
+    oi = (jnp.einsum("bimw,iom->bomw", zr, wxi,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bimw,iom->bomw", zi, wxr,
+                       preferred_element_type=jnp.float32))
+    xx = (jnp.einsum("bomw,mh->bohw", cast(or_), cast(ic),
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bomw,mh->bohw", cast(oi), cast(is_),
+                       preferred_element_type=jnp.float32))
+
+    return jnp.moveaxis(xx + yy, 1, -1)

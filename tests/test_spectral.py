@@ -154,3 +154,39 @@ def test_factorized_2d_small_resolution(rng):
         )
     )
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_dft_path_matches_fft_path(rng):
+    """The truncated-DFT MXU fast path must match the FFT path to roundoff
+    (f32 GEMMs), incl. the Nyquist-weight case m == n//2+1."""
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d_dft)
+
+    wy = jnp.asarray(0.1 * rng.standard_normal((6, 6, 10, 2)), jnp.float32)
+    wx = jnp.asarray(0.1 * rng.standard_normal((6, 6, 10, 2)), jnp.float32)
+    for shape in ((2, 24, 32, 6), (2, 16, 16, 6)):  # 16//2+1=9 Nyquist case
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        a = factorized_spectral_conv_2d(x, wy, wx, 10)
+        b = factorized_spectral_conv_2d_dft(x, wy, wx, 10)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dft_path_bf16_gemms_close(rng):
+    import pytest
+    import jax
+
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d_dft)
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("bf16 x bf16 -> f32 dot is a TPU path; "
+                    "unsupported by the CPU DotThunk")
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 8)), jnp.float32)
+    wy = jnp.asarray(0.1 * rng.standard_normal((8, 8, 8, 2)), jnp.float32)
+    wx = jnp.asarray(0.1 * rng.standard_normal((8, 8, 8, 2)), jnp.float32)
+    a = factorized_spectral_conv_2d_dft(x, wy, wx, 8)
+    b = factorized_spectral_conv_2d_dft(x, wy, wx, 8,
+                                        gemm_dtype=jnp.bfloat16)
+    rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+    assert rel < 0.05  # bf16 noise, f32 accumulation
