@@ -1,0 +1,91 @@
+"""S4D kernel materialization as a Pallas TPU kernel.
+
+Computes K[h, l] = 2 * Re[ sum_n C'[h, n] * exp(dtA[h, n] * l) ] with
+C' = C (e^{dtA} - 1)/A — the log-Vandermonde reduction that the reference
+offloads to CUDA extensions or pykeops Genred kernels
+(models/s4.py:96-116, log_vandermonde). On TPU, the (H, N, L) intermediate
+never leaves VMEM: the grid tiles (H, L) and each program accumulates over
+the state dimension on-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ar_ref, ai_ref, cr_ref, ci_ref, lstart_ref, out_ref):
+    """ar/ai/cr/ci: (Th, N) tiles of Re/Im(dtA) and Re/Im(C');
+    out: (Th, Tl). Accumulates 2*Re[C' exp(dtA * l)] over N in VMEM."""
+    th, n = ar_ref.shape
+    tl = out_ref.shape[1]
+    l0 = lstart_ref[0]
+    ls = (l0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tl), 2)
+          ).astype(jnp.float32)                      # (1, 1, Tl)
+    a = ar_ref[:][:, :, None] * ls                   # (Th, N, Tl)
+    b = ai_ref[:][:, :, None] * ls
+    e = jnp.exp(a)
+    re = e * jnp.cos(b)
+    im = e * jnp.sin(b)
+    out_ref[:] = 2.0 * (
+        jnp.sum(cr_ref[:][:, :, None] * re, axis=1)
+        - jnp.sum(ci_ref[:][:, :, None] * im, axis=1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("L", "h_tile", "l_tile",
+                                             "interpret"))
+def s4d_kernel_pallas(C, A, log_dt, L: int, h_tile: int = 8,
+                      l_tile: int = 256, interpret: bool = False):
+    """Pallas version of ops.ssm.s4d_kernel_zoh.
+
+    C: (H, N) complex; A: (H, N) complex; log_dt: (H,). Returns (H, L) f32.
+    """
+    h, n = C.shape
+    dt = jnp.exp(log_dt)[:, None]
+    dtA = A * dt
+    c_scaled = C * (jnp.exp(dtA) - 1.0) / A
+
+    ar = jnp.real(dtA).astype(jnp.float32)
+    ai = jnp.imag(dtA).astype(jnp.float32)
+    cr = jnp.real(c_scaled).astype(jnp.float32)
+    ci = jnp.imag(c_scaled).astype(jnp.float32)
+
+    th = min(h_tile, h)
+    tl = min(l_tile, L)
+    h_pad = (th - h % th) % th
+    l_pad = (tl - L % tl) % tl
+    if h_pad:
+        ar = jnp.pad(ar, ((0, h_pad), (0, 0)))
+        ai = jnp.pad(ai, ((0, h_pad), (0, 0)))
+        cr = jnp.pad(cr, ((0, h_pad), (0, 0)))
+        ci = jnp.pad(ci, ((0, h_pad), (0, 0)))
+    hp, lp = h + h_pad, L + l_pad
+
+    lstarts = jnp.arange(lp // tl, dtype=jnp.int32) * tl
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(hp // th, lp // tl),
+        in_specs=[
+            pl.BlockSpec((th, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, j: (j,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((th, tl), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, lp), jnp.float32),
+        interpret=interpret,
+    )(ar, ai, cr, ci, lstarts)
+    return out[:h, :L]

@@ -41,13 +41,31 @@ def _mode_matmul(x_ft, w_pair, subscript):
     Decomposed into four real einsums ((a+bi)(c+di) = (ac-bd) + (ad+bc)i):
     complex dots are not universally lowered on TPU backends, and explicit
     real contractions land directly on the MXU with f32 accumulation.
-    w_pair is the real storage (..., 2) = (re, im).
+    Precision HIGHEST keeps true-f32 multiplies (TPU einsums otherwise use
+    bf16 passes, ~1e-3 relative error — too loose for the eval parity
+    targets). w_pair is the real storage (..., 2) = (re, im).
     """
     xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
     wr, wi = w_pair[..., 0], w_pair[..., 1]
-    out_r = jnp.einsum(subscript, xr, wr) - jnp.einsum(subscript, xi, wi)
-    out_i = jnp.einsum(subscript, xr, wi) + jnp.einsum(subscript, xi, wr)
+    hi = jax.lax.Precision.HIGHEST
+    out_r = (jnp.einsum(subscript, xr, wr, precision=hi)
+             - jnp.einsum(subscript, xi, wi, precision=hi))
+    out_i = (jnp.einsum(subscript, xr, wi, precision=hi)
+             + jnp.einsum(subscript, xi, wr, precision=hi))
     return jax.lax.complex(out_r, out_i)
+
+
+def _irfft_safe(spec, n, axis, norm="backward"):
+    """irfft with an optimization barrier on the input.
+
+    Some TPU backends MISCOMPILE the fused pad->irfft pattern at large batch
+    (observed: ~0.75 absolute error at (2048, 64, 129)->256 on v5e/axon,
+    while the isolated irfft is exact). The barrier prevents the bad fusion;
+    cost is negligible. Verified by tests/test_spectral.py parity suites
+    (CPU) and TPU spot checks.
+    """
+    spec = jax.lax.optimization_barrier(spec)
+    return jnp.fft.irfft(spec, n=n, axis=axis, norm=norm)
 
 
 def spectral_conv_1d(x, weights, modes: int):
@@ -63,7 +81,7 @@ def spectral_conv_1d(x, weights, modes: int):
     x_ft = jnp.fft.rfft(x, axis=-1)
     out_ft = _mode_matmul(x_ft[:, :, :modes], weights, "bix,iox->box")
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - modes)))
-    return jnp.fft.irfft(out_ft, n=n, axis=-1)
+    return _irfft_safe(out_ft, n=n, axis=-1)
 
 
 def spectral_conv_2d(x, weights1, weights2, modes1: int, modes2: int):
@@ -87,6 +105,7 @@ def spectral_conv_2d(x, weights1, weights2, modes1: int, modes2: int):
     mid = jnp.zeros((b, c_out, h - 2 * modes1, modes2), dtype=lo.dtype)
     left = jnp.concatenate([lo, mid, hi], axis=2)  # (B, O, H, modes2)
     out_ft = jnp.pad(left, ((0, 0), (0, 0), (0, 0), (0, n_freq - modes2)))
+    out_ft = jax.lax.optimization_barrier(out_ft)
     return jnp.fft.irfft2(out_ft, s=(h, w_sz), axes=(-2, -1))
 
 
@@ -104,7 +123,7 @@ def factorized_spectral_conv_1d(x, weight, n_modes: int, fft_norm: str = "ortho"
     x_ft = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
     out_ft = _mode_matmul(x_ft[:, :, :m], weight[:, :, :m], "bix,iox->box")
     out_ft = jnp.pad(out_ft, ((0, 0), (0, 0), (0, n_freq - m)))
-    out = jnp.fft.irfft(out_ft, n=n, axis=-1, norm=fft_norm)
+    out = _irfft_safe(out_ft, n=n, axis=-1, norm=fft_norm)
     return jnp.swapaxes(out, -1, -2)
 
 
@@ -126,7 +145,7 @@ def factorized_spectral_conv_2d(x, weight_y, weight_x, n_modes: int,
     x_fty = jnp.fft.rfft(xc, axis=-1, norm=fft_norm)
     out_y = _mode_matmul(x_fty[:, :, :, :m_y], weight_y[:, :, :m_y], "bixy,ioy->boxy")
     out_y = jnp.pad(out_y, ((0, 0), (0, 0), (0, 0), (0, n_freq_y - m_y)))
-    yy = jnp.fft.irfft(out_y, n=w_sz, axis=-1, norm=fft_norm)
+    yy = _irfft_safe(out_y, n=w_sz, axis=-1, norm=fft_norm)
 
     # --- x (second-to-last) axis pass ---
     n_freq_x = h // 2 + 1
@@ -134,7 +153,7 @@ def factorized_spectral_conv_2d(x, weight_y, weight_x, n_modes: int,
     x_ftx = jnp.fft.rfft(xc, axis=-2, norm=fft_norm)
     out_x = _mode_matmul(x_ftx[:, :, :m_x, :], weight_x[:, :, :m_x], "bixy,iox->boxy")
     out_x = jnp.pad(out_x, ((0, 0), (0, 0), (0, n_freq_x - m_x), (0, 0)))
-    xx = jnp.fft.irfft(out_x, n=h, axis=-2, norm=fft_norm)
+    xx = _irfft_safe(out_x, n=h, axis=-2, norm=fft_norm)
 
     return jnp.moveaxis(xx + yy, 1, -1)
 
@@ -181,7 +200,10 @@ def _gemm(a, b, dtype):
     if dtype is not None:
         a = a.astype(dtype)
         b = b.astype(dtype)
-    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+    # f32-exact multiplies (TPU default would use bf16 passes)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
@@ -203,14 +225,15 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
     zr = _gemm(xc, fc, gemm_dtype)                      # (B, C, H, m)
     zi = _gemm(xc, fs, gemm_dtype)
     wyr, wyi = weight_y[:, :, :m_y, 0], weight_y[:, :, :m_y, 1]
+    prec = (None if gemm_dtype is not None else jax.lax.Precision.HIGHEST)
     or_ = (jnp.einsum("bixm,iom->boxm", zr, wyr,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
            - jnp.einsum("bixm,iom->boxm", zi, wyi,
-                        preferred_element_type=jnp.float32))
+                        preferred_element_type=jnp.float32, precision=prec))
     oi = (jnp.einsum("bixm,iom->boxm", zr, wyi,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("bixm,iom->boxm", zi, wyr,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32, precision=prec))
     yy = _gemm(or_, ic, gemm_dtype) + _gemm(oi, is_, gemm_dtype)  # (B,C,H,W)
 
     # ---- x (second-to-last axis) pass: contract H -> m_x modes ----
@@ -219,24 +242,25 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
                        _dft_matrices(h, m_x, fft_norm))
     # contract over H (axis 2): 'bihw,hm->bimw'
     dt = gemm_dtype
+    prec = (None if dt is not None else jax.lax.Precision.HIGHEST)
     def cast(a):
         return a.astype(dt) if dt is not None else a
     zr = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fc),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     zi = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fs),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     wxr, wxi = weight_x[:, :, :m_x, 0], weight_x[:, :, :m_x, 1]
     or_ = (jnp.einsum("bimw,iom->bomw", zr, wxr,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
            - jnp.einsum("bimw,iom->bomw", zi, wxi,
-                        preferred_element_type=jnp.float32))
+                        preferred_element_type=jnp.float32, precision=prec))
     oi = (jnp.einsum("bimw,iom->bomw", zr, wxi,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("bimw,iom->bomw", zi, wxr,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32, precision=prec))
     xx = (jnp.einsum("bomw,mh->bohw", cast(or_), cast(ic),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("bomw,mh->bohw", cast(oi), cast(is_),
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32, precision=prec))
 
     return jnp.moveaxis(xx + yy, 1, -1)
