@@ -15,6 +15,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from resolution_pde_tpu.data.dataset import ArrayDataset, MultiResDataset
+from resolution_pde_tpu.data import native
 
 
 class Loader:
@@ -41,7 +42,9 @@ class Loader:
         stop = n - n % self.batch_size if self.drop_last else n
         for i in range(0, stop, self.batch_size):
             sel = idx[i: i + self.batch_size]
-            yield self.dataset.x[sel], self.dataset.y[sel]
+            # multithreaded native gather when available (data/native.py)
+            yield (native.gather(self.dataset.x, sel),
+                   native.gather(self.dataset.y, sel))
 
 
 class ResolutionBucketedLoader:
@@ -79,7 +82,7 @@ class ResolutionBucketedLoader:
         for j in order:
             res, sel = plans[j]
             d = self.dataset.buckets[res]
-            yield d.x[sel], d.y[sel]
+            yield native.gather(d.x, sel), native.gather(d.y, sel)
 
 
 def create_grouped_dataloaders(train_ds, val_ds, test_ds, batch_size: int,

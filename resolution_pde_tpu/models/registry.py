@@ -75,6 +75,9 @@ def _populate():
     register("models.s4seq_model.S4SeqModel", s4_base.S4SeqModel)
     register("models.s4seq_model.OneToSeqModel", s4_base.OneToSeqModel)
     register("models.mgpt.MoEGPTNO", mgpt.MoEGPTNO)
+    from resolution_pde_tpu.models import poseidon
+    register("SwinOperator2d", poseidon.SwinOperator2d)
+    register("pos", poseidon.SwinOperator2d)
 
 
 _populate()

@@ -235,6 +235,21 @@ class Trainer:
             n += 1
         return total / max(n, 1)
 
+    def profile_step(self, state: TrainState, x, y, trace_dir: str,
+                     n_steps: int = 5):
+        """Capture a jax.profiler trace of the train step (the tracing
+        subsystem the reference lacks, SURVEY.md §5.1). View with
+        TensorBoard or xprof."""
+        x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
+        state, loss = self._train_step(state, x, y, self.y_normalizer)
+        jax.block_until_ready(loss)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                state, loss = self._train_step(state, x, y,
+                                               self.y_normalizer)
+            jax.block_until_ready(loss)
+        return state, trace_dir
+
     def fit(
         self,
         state: TrainState,
