@@ -149,6 +149,8 @@ def _register_factories():
         "burger_window_dataset",
         "ns_window_dataset",
         "ks_window_dataset",
+        "load_burger_data_from_mat",
+        "load_darcy_data_from_mat",
     ):
         fn = getattr(f, name)
         DATASET_FACTORIES[name] = fn
@@ -173,6 +175,10 @@ def _register_factories():
         "dataloaders.ns_s4.ns_window_dataset": "ns_window_dataset",
         "dataloaders.active_matter_markov.active_matter_markov_dataset":
             "active_matter_markov_dataset",
+        "dataloaders.load_data.load_burger_data_from_mat":
+            "load_burger_data_from_mat",
+        "dataloaders.load_data.load_darcy_data_from_mat":
+            "load_darcy_data_from_mat",
     }
     for alias, name in aliases.items():
         DATASET_FACTORIES[alias] = DATASET_FACTORIES[name]

@@ -619,3 +619,45 @@ def ks_window_dataset(filename, saved_folder, window_size=10,
     rollout = TrajectoryDataset(_ks_load(test_filename, saved_folder, **red))
     return _package(splits["train"], splits["val"], splits["test"], rollout,
                     data_normalizer, "simple")
+
+
+# ---------------------------------------------------------------------------
+# Legacy FNO-paper .mat loaders (dataloaders/load_data.py)
+# ---------------------------------------------------------------------------
+
+def load_burger_data_from_mat(data_path1, data_path2=None, res_scale=1,
+                              split=(0.8, 0.1, 0.1), data_normalizer=True,
+                              normalization_type="unit_gaussian", **kwargs):
+    """FNO-paper Burgers .mat ('a' initial condition -> 'u' solution),
+    optionally concatenating two files (load_data.py:12-101). Returns the
+    standard factory tuple (no rollout dataset: single-step mapping)."""
+    d1 = data_io.read_fno_burgers_mat(data_path1)
+    a, u = d1["a"], d1["u"]
+    if data_path2:
+        d2 = data_io.read_fno_burgers_mat(data_path2)
+        a = np.vstack([a, d2["a"]])
+        u = np.vstack([u, d2["u"]])
+    if res_scale > 1:
+        a = a[:, ::res_scale]
+        u = u[:, ::res_scale]
+    x = np.ascontiguousarray(a[:, None], dtype=np.float32)  # (n, 1, s)
+    y = np.ascontiguousarray(u[:, None], dtype=np.float32)
+    train, val, test = _split_pairs(x, y, split=split, seed=42)
+    return _package(train, val, test, None, data_normalizer,
+                    normalization_type)
+
+
+def load_darcy_data_from_mat(data_path, res_scale=1, split=(0.8, 0.1, 0.1),
+                             data_normalizer=True,
+                             normalization_type="unit_gaussian", **kwargs):
+    """FNO-paper Darcy .mat ('coeff' -> 'sol', load_data.py:182)."""
+    d = data_io.read_fno_darcy_mat(data_path)
+    a, u = d["a"], d["u"]
+    if res_scale > 1:
+        a = a[:, ::res_scale, ::res_scale]
+        u = u[:, ::res_scale, ::res_scale]
+    x = np.ascontiguousarray(a[:, None], dtype=np.float32)
+    y = np.ascontiguousarray(u[:, None], dtype=np.float32)
+    train, val, test = _split_pairs(x, y, split=split, seed=42)
+    return _package(train, val, test, None, data_normalizer,
+                    normalization_type)

@@ -246,3 +246,49 @@ def test_loader_shuffles_and_batches(rng):
     assert len(seen) == 20
     assert set(seen) == set(range(20))
     assert not np.all(seen == np.arange(20))  # actually shuffled
+
+
+def test_legacy_mat_factories(tmp_path, rng):
+    from scipy.io import savemat
+    from resolution_pde_tpu.data.factories import (
+        load_burger_data_from_mat, load_darcy_data_from_mat)
+
+    a = rng.standard_normal((20, 64)).astype(np.float32)
+    u = rng.standard_normal((20, 64)).astype(np.float32)
+    savemat(str(tmp_path / "burgers.mat"), {"a": a, "u": u})
+    out = load_burger_data_from_mat(str(tmp_path / "burgers.mat"))
+    train = out[0]
+    assert train.x.shape[1:] == (1, 64)
+    # two-file concatenation (load_data.py:23-42)
+    out2 = load_burger_data_from_mat(str(tmp_path / "burgers.mat"),
+                                     str(tmp_path / "burgers.mat"))
+    assert len(out2[0]) == 2 * len(train)
+
+    coeff = rng.standard_normal((10, 16, 16)).astype(np.float32)
+    sol = rng.standard_normal((10, 16, 16)).astype(np.float32)
+    savemat(str(tmp_path / "darcy.mat"), {"coeff": coeff, "sol": sol})
+    out3 = load_darcy_data_from_mat(str(tmp_path / "darcy.mat"), res_scale=2)
+    assert out3[0].x.shape[1:] == (1, 8, 8)
+
+
+def test_cno_resize_training(rng):
+    from resolution_pde_tpu.train.cno_resize import (
+        ResizingLoader, cno_train, cno_evaluate)
+    from resolution_pde_tpu.models.cno import CNO1d
+    from resolution_pde_tpu.train import Trainer
+
+    # data at resolution 48, CNO built for 32
+    x = rng.standard_normal((16, 1, 48)).astype(np.float32)
+    y = np.roll(x, 2, axis=-1)
+    model = CNO1d(in_dim=1, out_dim=1, size=32, N_layers=2, N_res=1,
+                  N_res_neck=1, channel_multiplier=8)
+    trainer = Trainer(model, learning_rate=1e-3)
+    rl = ResizingLoader([(x, y)], train_size=32)
+    xb, yb = next(iter(rl))
+    assert xb.shape == (16, 1, 32)
+    state = trainer.init(np.asarray(xb[:2]))
+    state, hist = cno_train(trainer, state, [(x, y)], None, train_size=32,
+                            epochs=2)
+    assert np.isfinite(hist.train_loss[-1])
+    val = cno_evaluate(trainer, state, [(x, y)], train_size=32)
+    assert np.isfinite(val)
