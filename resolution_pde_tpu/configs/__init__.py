@@ -151,6 +151,8 @@ def _register_factories():
         "ks_window_dataset",
         "load_burger_data_from_mat",
         "load_darcy_data_from_mat",
+        "ks_pino_markov_dataset",
+        "active_matter_all_markov_dataset",
     ):
         fn = getattr(f, name)
         DATASET_FACTORIES[name] = fn
@@ -179,6 +181,11 @@ def _register_factories():
             "load_burger_data_from_mat",
         "dataloaders.load_data.load_darcy_data_from_mat":
             "load_darcy_data_from_mat",
+        "dataloaders.ks_pino_resize_markov.ks_pino_markov_dataset":
+            "ks_pino_markov_dataset",
+        "dataloaders.active_matter_all_markov."
+        "active_matter_all_markov_dataset":
+            "active_matter_all_markov_dataset",
     }
     for alias, name in aliases.items():
         DATASET_FACTORIES[alias] = DATASET_FACTORIES[name]

@@ -661,3 +661,56 @@ def load_darcy_data_from_mat(data_path, res_scale=1, split=(0.8, 0.1, 0.1),
     train, val, test = _split_pairs(x, y, split=split, seed=42)
     return _package(train, val, test, None, data_normalizer,
                     normalization_type)
+
+
+def ks_pino_markov_dataset(filename, saved_folder=None, data_normalizer=True,
+                           s=None, reduced_batch=1, reduced_resolution=1,
+                           reduced_resolution_t=1, num_samples_max=-1,
+                           split_ratio=(0.8, 0.1, 0.1), **kwargs):
+    """PINO-style KS variant (dataloaders/ks_pino_resize_markov.py:115-232):
+    single file, contiguous ratio split over trajectories, minmax
+    normalization, optional FFT resize to `s`. Returns
+    (train, val, test, min_data, max_data, min_model, max_model)."""
+    u = _ks_load(filename, saved_folder or ".", s=s,
+                 reduced_batch=reduced_batch,
+                 reduced_resolution=reduced_resolution,
+                 reduced_resolution_t=reduced_resolution_t,
+                 num_samples_max=num_samples_max)
+    tr_end, va_end = split_ratio_indices(u.shape[0], split_ratio)
+    parts = [u[:tr_end], u[tr_end:va_end], u[va_end:]]
+    train, val, test = (ArrayDataset(*markov_pairs_1d(p)) for p in parts)
+    out = _package(train, val, test, None, data_normalizer, "minmax")
+    # reference returns a 7-tuple without a rollout slot
+    train, val, test, _, mn_d, mx_d, mn_m, mx_m = out
+    return train, val, test, mn_d, mx_d, mn_m, mx_m
+
+
+def active_matter_all_markov_dataset(saved_folder, pattern="*.hdf5",
+                                     fields=("concentration",),
+                                     data_normalizer=True,
+                                     normalization_type="simple",
+                                     reduced_batch=1, reduced_resolution=1,
+                                     reduced_resolution_t=1,
+                                     num_samples_max=-1, s=None, **kwargs):
+    """Multi-file active matter: glob every matching file and concatenate
+    (dataloaders/active_matter_all_markov.py:12-285)."""
+    paths = sorted(glob.glob(os.path.join(saved_folder, pattern)))
+    if not paths:
+        raise FileNotFoundError(
+            f"no files matching {pattern!r} in {saved_folder}")
+    parts = [data_io.read_active_matter_h5(p, fields) for p in paths]
+    u = np.concatenate(parts, axis=0)
+    u = reduce_trajectories(u, reduced_batch, reduced_resolution,
+                            reduced_resolution_t,
+                            num_samples_max=num_samples_max, spatial_ndim=2)
+    if s is not None:
+        u_cl = np.moveaxis(u, -1, 2)
+        u_cl = resize_trajectories(u_cl, s, spatial_ndim=2)
+        u = np.moveaxis(u_cl, 2, -1)
+    x, y = markov_pairs_2d(u)
+    train, val, test = _split_pairs(x, y, seed=42)
+    _, va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(
+        np.moveaxis(u[va_end:], -1, 2)))
+    return _package(train, val, test, rollout, data_normalizer,
+                    normalization_type)

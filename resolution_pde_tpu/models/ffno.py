@@ -31,6 +31,7 @@ from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_1d,
     factorized_spectral_conv_2d,
     factorized_spectral_conv_2d_dft,
+    factorized_spectral_conv_2d_dft_v2,
 )
 
 
@@ -121,6 +122,10 @@ class FSpectralConv2d(nn.Module):
                 dt = x.dtype
                 if self.spectral_impl == "dft":
                     x = factorized_spectral_conv_2d_dft(
+                        x.astype(jnp.float32), wy, wx, self.n_modes,
+                        gemm_dtype=self.compute_dtype).astype(dt)
+                elif self.spectral_impl == "dft_v2":
+                    x = factorized_spectral_conv_2d_dft_v2(
                         x.astype(jnp.float32), wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
                 else:

@@ -264,3 +264,40 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
                        preferred_element_type=jnp.float32, precision=prec))
 
     return jnp.moveaxis(xx + yy, 1, -1)
+
+
+def _dft_pass_last_axis(xc, weight, n_modes: int, fft_norm: str,
+                        gemm_dtype):
+    """One spectral pass along the LAST axis of (B, C, R, W) via truncated
+    DFT GEMMs. Returns (B, C, R, W)."""
+    w_sz = xc.shape[-1]
+    m = min(n_modes, w_sz // 2 + 1)
+    fc, fs, ic, is_ = (jnp.asarray(a) for a in
+                       _dft_matrices(w_sz, m, fft_norm))
+    prec = (None if gemm_dtype is not None else jax.lax.Precision.HIGHEST)
+    zr = _gemm(xc, fc, gemm_dtype)
+    zi = _gemm(xc, fs, gemm_dtype)
+    wr, wi = weight[:, :, :m, 0], weight[:, :, :m, 1]
+    or_ = (jnp.einsum("bixm,iom->boxm", zr, wr,
+                      preferred_element_type=jnp.float32, precision=prec)
+           - jnp.einsum("bixm,iom->boxm", zi, wi,
+                        preferred_element_type=jnp.float32, precision=prec))
+    oi = (jnp.einsum("bixm,iom->boxm", zr, wi,
+                     preferred_element_type=jnp.float32, precision=prec)
+          + jnp.einsum("bixm,iom->boxm", zi, wr,
+                       preferred_element_type=jnp.float32, precision=prec))
+    return _gemm(or_, ic, gemm_dtype) + _gemm(oi, is_, gemm_dtype)
+
+
+def factorized_spectral_conv_2d_dft_v2(x, weight_y, weight_x, n_modes: int,
+                                       fft_norm: str = "ortho",
+                                       gemm_dtype=None):
+    """Variant of the DFT path doing BOTH axis passes as last-axis GEMMs
+    with an explicit transpose for the x pass (instead of middle-axis
+    einsums). Same numerics; kept for per-hardware selection."""
+    xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+    yy = _dft_pass_last_axis(xc, weight_y, n_modes, fft_norm, gemm_dtype)
+    xt = jnp.swapaxes(xc, -1, -2)  # (B, C, W, H)
+    xx = _dft_pass_last_axis(xt, weight_x, n_modes, fft_norm, gemm_dtype)
+    xx = jnp.swapaxes(xx, -1, -2)
+    return jnp.moveaxis(xx + yy, 1, -1)

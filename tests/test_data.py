@@ -292,3 +292,30 @@ def test_cno_resize_training(rng):
     assert np.isfinite(hist.train_loss[-1])
     val = cno_evaluate(trainer, state, [(x, y)], train_size=32)
     assert np.isfinite(val)
+
+
+def test_ks_pino_factory(tmp_path):
+    _write_ks_file(str(tmp_path / "KS_train_64.h5"), n=20)
+    from resolution_pde_tpu.data.factories import ks_pino_markov_dataset
+
+    out = ks_pino_markov_dataset("KS_train_64.h5", str(tmp_path), s=32)
+    train, val, test, mn_d, mx_d, mn_m, mx_m = out
+    assert train.x.shape[-1] == 32
+    assert mn_d < mx_d
+    assert train.x.min() >= -1e-6 and train.x.max() <= 1 + 1e-6
+
+
+def test_active_matter_all_factory(tmp_path, rng):
+    from resolution_pde_tpu.data.factories import (
+        active_matter_all_markov_dataset)
+
+    for i in range(2):
+        with h5py.File(str(tmp_path / f"am_{i}.hdf5"), "w") as f:
+            g = f.create_group("t0_fields")
+            g.create_dataset("concentration",
+                             data=rng.standard_normal((3, 5, 16, 16)))
+    out = active_matter_all_markov_dataset(str(tmp_path), pattern="*.hdf5")
+    train = out[0]
+    assert train.x.shape[1:] == (1, 16, 16)
+    # 2 files x 3 trajs x (5-2) pairs = 18 total
+    assert len(out[0]) + len(out[1]) + len(out[2]) == 18
