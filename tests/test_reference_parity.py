@@ -1,0 +1,250 @@
+"""Golden-value parity against the ACTUAL reference implementation.
+
+These tests import the reference's torch modules from /root/reference
+(read-only), transplant their weights into our flax models, and require the
+forward passes to agree within float32 tolerance — the strongest form of
+behavioral parity (SURVEY.md §4). Skipped when the reference checkout is
+not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference checkout not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REF)
+    try:
+        import torch  # noqa: F401
+        from models import spectral_convolution, ffno, fno  # noqa: F401
+
+        yield {
+            "spectral_convolution": spectral_convolution,
+            "ffno": ffno,
+            "fno": fno,
+        }
+    finally:
+        sys.path.remove(REF)
+
+
+def test_fspectralconv1d_golden(ref_modules, rng):
+    """Reference FSpectralConv1d forward == ours with the same weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models.ffno import FSpectralConv1d
+
+    d_model, modes, n = 8, 6, 32
+    ref = ref_modules["spectral_convolution"].FSpectralConv1d(
+        d_model=d_model, modes=modes, factor=2, n_ff_layers=2,
+        layer_norm=False, dropout=0.0, mode="full", activation="identity")
+    ref.eval()
+
+    x = rng.standard_normal((2, n, d_model)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(x))
+    expected = expected.numpy()
+
+    mine = FSpectralConv1d(d_model=d_model, n_modes=modes, factor=2,
+                           n_ff_layers=2, layer_norm=False, dropout=0.0,
+                           mode="full", activation="identity")
+    params = mine.init(jax.random.key(0), jnp.asarray(x))
+
+    # transplant weights
+    fw = ref.fourier_weight[0].detach().numpy()  # (d, d, modes, 2)
+    lin0 = ref.backcast_ff.layers[0][0]
+    lin1 = ref.backcast_ff.layers[1][0]
+    p = params["params"]
+    p["fourier_weight"] = jnp.asarray(fw)
+    ff = p["FeedForward_0"]
+    ff["WNDense_0"]["TorchLinear_0"]["kernel"] = jnp.asarray(
+        lin0.weight.detach().numpy().T)
+    ff["WNDense_0"]["TorchLinear_0"]["bias"] = jnp.asarray(
+        lin0.bias.detach().numpy())
+    ff["WNDense_1"]["TorchLinear_0"]["kernel"] = jnp.asarray(
+        lin1.weight.detach().numpy().T)
+    ff["WNDense_1"]["TorchLinear_0"]["bias"] = jnp.asarray(
+        lin1.bias.detach().numpy())
+
+    got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ffno1d_full_model_golden(ref_modules, rng):
+    """Full reference FFNO1D forward == ours with transplanted weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO1D
+
+    kw = dict(width=8, n_layers=2, n_modes=6, factor=2,
+              ff_weight_norm=False, n_ff_layers=2, layer_norm=False,
+              dropout=0.0, mode="full", activation="identity")
+    ref = ref_modules["ffno"].FFNO1D(in_channels=1, out_channels=1, **kw)
+    ref.eval()
+
+    n = 32
+    x = rng.standard_normal((2, 1, n)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+
+    mine = FFNO1D(in_channels=1, out_channels=1, use_grid=False, **kw)
+    variables = mine.init(jax.random.key(0), jnp.asarray(x))
+    p = variables["params"]
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    p["WNDense_0"]["TorchLinear_0"]["kernel"] = t2j(ref.in_proj.weight).T
+    p["WNDense_0"]["TorchLinear_0"]["bias"] = t2j(ref.in_proj.bias)
+    p["WNDense_1"]["TorchLinear_0"]["kernel"] = t2j(ref.out_proj.weight).T
+    p["WNDense_1"]["TorchLinear_0"]["bias"] = t2j(ref.out_proj.bias)
+    for i, layer in enumerate(ref.fourier_layers):
+        blk = p[f"FSpectralConv1d_{i}"]
+        blk["fourier_weight"] = t2j(layer.fourier_weight[0])
+        ff = blk["FeedForward_0"]
+        for j in range(2):
+            lin = layer.backcast_ff.layers[j][0]
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["kernel"] = t2j(lin.weight).T
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["bias"] = t2j(lin.bias)
+
+    got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+    # and at a DIFFERENT resolution with the same weights (the
+    # resolution-generalization contract)
+    x2 = rng.standard_normal((2, 1, 16)).astype(np.float32)
+    with torch.no_grad():
+        e2 = ref(torch.from_numpy(x2)).numpy()
+    g2 = np.asarray(mine.apply({"params": p}, jnp.asarray(x2)))
+    np.testing.assert_allclose(g2, e2, rtol=1e-4, atol=1e-5)
+
+
+def test_fno1d_full_model_golden(ref_modules, rng):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FNO1d
+
+    ref = ref_modules["fno"].FNO1d(in_channels=1, out_channels=1, modes=8,
+                                   width=8, n_blocks=2)
+    ref.eval()
+    n = 32
+    x = rng.standard_normal((2, 1, n)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+
+    mine = FNO1d(in_channels=1, out_channels=1, modes=8, width=8, n_blocks=2)
+    variables = mine.init(jax.random.key(0), jnp.asarray(x))
+    p = variables["params"]
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    # lifting: torch Conv1d weight (out, in, 1) -> flax Dense (in, out)
+    p["TorchLinear_0"]["kernel"] = t2j(ref.lifting.weight)[:, :, 0].T
+    p["TorchLinear_0"]["bias"] = t2j(ref.lifting.bias)
+    for i, blk in enumerate(ref.fno_blocks):
+        mb = p[f"FNOBlock1d_{i}"]
+        w = blk.spectral_conv.weights1.detach().numpy()  # complex (in,out,m)
+        mb["SpectralConv1dLayer_0"]["weights1"] = jnp.asarray(
+            np.stack([w.real, w.imag], axis=-1))
+        mb["TorchLinear_0"]["kernel"] = t2j(blk.bypass_conv.weight)[:, :, 0].T
+        mb["TorchLinear_0"]["bias"] = t2j(blk.bypass_conv.bias)
+    mlp = p["PointwiseMLP_0"]
+    mlp["TorchLinear_0"]["kernel"] = t2j(ref.projection.mlp1.weight)[:, :, 0].T
+    mlp["TorchLinear_0"]["bias"] = t2j(ref.projection.mlp1.bias)
+    mlp["TorchLinear_1"]["kernel"] = t2j(ref.projection.mlp2.weight)[:, :, 0].T
+    mlp["TorchLinear_1"]["bias"] = t2j(ref.projection.mlp2.bias)
+
+    got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ffno2d_full_model_golden(ref_modules, rng):
+    """The flagship: full reference FFNO2D forward == ours (both spectral
+    implementations) with transplanted weights, at two resolutions."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO2D
+
+    kw = dict(width=8, n_layers=2, n_modes=6, factor=2,
+              ff_weight_norm=False, n_ff_layers=2, layer_norm=False,
+              dropout=0.0, mode="full")
+    ref = ref_modules["ffno"].FFNO2D(in_channels=1, out_channels=1,
+                                     use_grid=True, **kw)
+    ref.eval()
+    n = 16
+    x = rng.standard_normal((2, 1, n, n)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    def transplant(mine):
+        variables = mine.init(jax.random.key(0), jnp.asarray(x))
+        p = variables["params"]
+        p["WNDense_0"]["TorchLinear_0"]["kernel"] = t2j(ref.in_proj.weight).T
+        p["WNDense_0"]["TorchLinear_0"]["bias"] = t2j(ref.in_proj.bias)
+        p["WNDense_1"]["TorchLinear_0"]["kernel"] = t2j(ref.out_proj.weight).T
+        p["WNDense_1"]["TorchLinear_0"]["bias"] = t2j(ref.out_proj.bias)
+        for i, layer in enumerate(ref.fourier_layers):
+            blk = p[f"FSpectralConv2d_{i}"]
+            blk["fourier_weight_y"] = t2j(layer.fourier_weight[0])
+            blk["fourier_weight_x"] = t2j(layer.fourier_weight[1])
+            ff = blk["FeedForward_0"]
+            for j in range(2):
+                lin = layer.backcast_ff.layers[j][0]
+                ff[f"WNDense_{j}"]["TorchLinear_0"]["kernel"] = \
+                    t2j(lin.weight).T
+                ff[f"WNDense_{j}"]["TorchLinear_0"]["bias"] = t2j(lin.bias)
+        return p
+
+    for impl in ("fft", "dft"):
+        mine = FFNO2D(in_channels=1, out_channels=1, use_grid=True,
+                      spectral_impl=impl, **kw)
+        p = transplant(mine)
+        got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5,
+                                   err_msg=impl)
+
+    # resolution generalization parity at n=24
+    x2 = rng.standard_normal((2, 1, 24, 24)).astype(np.float32)
+    with torch.no_grad():
+        e2 = ref(torch.from_numpy(x2)).numpy()
+    mine = FFNO2D(in_channels=1, out_channels=1, use_grid=True, **kw)
+    p = transplant(mine)
+    g2 = np.asarray(mine.apply({"params": p}, jnp.asarray(x2)))
+    np.testing.assert_allclose(g2, e2, rtol=1e-4, atol=1e-5)
+
+
+def test_relative_l2_golden(ref_modules, rng):
+    """Our loss == the reference RelativeL2Loss for every reduction."""
+    import torch
+    sys.path.insert(0, REF)
+    try:
+        from utils.loss import RelativeL2Loss
+    finally:
+        sys.path.remove(REF)
+    import jax.numpy as jnp
+    from resolution_pde_tpu.ops import relative_l2
+
+    x = rng.standard_normal((4, 1, 32)).astype(np.float32)
+    y = rng.standard_normal((4, 1, 32)).astype(np.float32)
+    for size_average, red in ((True, "mean"), (False, "sum")):
+        ref_loss = RelativeL2Loss(size_average=size_average)(
+            torch.from_numpy(x), torch.from_numpy(y)).item()
+        ours = float(relative_l2(jnp.asarray(x), jnp.asarray(y),
+                                 reduction=red))
+        np.testing.assert_allclose(ours, ref_loss, rtol=1e-5)
