@@ -248,3 +248,77 @@ def test_relative_l2_golden(ref_modules, rng):
         ours = float(relative_l2(jnp.asarray(x), jnp.asarray(y),
                                  reduction=red))
         np.testing.assert_allclose(ours, ref_loss, rtol=1e-5)
+
+
+def test_training_dynamics_parity(ref_modules, rng):
+    """Five AdamW steps from identical weights on identical batches: the
+    per-step loss trajectories of the reference (torch AdamW +
+    RelativeL2Loss, main_1d.py:144 semantics) and our Trainer must track."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO1D
+    from resolution_pde_tpu.train import Trainer
+
+    sys.path.insert(0, REF)
+    try:
+        from utils.loss import RelativeL2Loss
+    finally:
+        sys.path.remove(REF)
+
+    kw = dict(width=8, n_layers=1, n_modes=6, factor=2,
+              ff_weight_norm=False, n_ff_layers=2, layer_norm=False,
+              dropout=0.0, mode="full", activation="identity")
+    ref = ref_modules["ffno"].FFNO1D(in_channels=1, out_channels=1, **kw)
+    ref.train()
+
+    n = 32
+    x = rng.standard_normal((8, 1, n)).astype(np.float32)
+    y = np.roll(x, 3, axis=-1)
+
+    mine = FFNO1D(in_channels=1, out_channels=1, use_grid=False, **kw)
+    trainer = Trainer(mine, learning_rate=1e-3, weight_decay=1e-4)
+    state = trainer.init(x[:2])
+    p = dict(state.params)
+
+    def t2j(t):
+        # COPY: tensor.numpy() is a view of torch storage and jnp.asarray
+        # is zero-copy on CPU — without the copy, torch's in-place
+        # optimizer updates would mutate the transplanted jax weights
+        return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+    p["WNDense_0"] = {"TorchLinear_0": {
+        "kernel": t2j(ref.in_proj.weight).T, "bias": t2j(ref.in_proj.bias)}}
+    p["WNDense_1"] = {"TorchLinear_0": {
+        "kernel": t2j(ref.out_proj.weight).T, "bias": t2j(ref.out_proj.bias)}}
+    layer = ref.fourier_layers[0]
+    ff = {}
+    for j in range(2):
+        lin = layer.backcast_ff.layers[j][0]
+        ff[f"WNDense_{j}"] = {"TorchLinear_0": {
+            "kernel": t2j(lin.weight).T, "bias": t2j(lin.bias)}}
+    p["FSpectralConv1d_0"] = {
+        "fourier_weight": t2j(layer.fourier_weight[0]),
+        "FeedForward_0": ff,
+    }
+    state = state.replace(params=p,
+                          opt_state=trainer.optimizer.init(p))
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=1e-3, weight_decay=1e-4)
+    loss_fn = RelativeL2Loss(size_average=True)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+
+    ref_losses, my_losses = [], []
+    for _ in range(5):
+        opt.zero_grad()
+        loss = loss_fn(ref(xt), yt)
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+        state, l = trainer._train_step(state, jnp.asarray(x),
+                                       jnp.asarray(y), None)
+        my_losses.append(float(l))
+
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=2e-4,
+                               err_msg=f"{my_losses} vs {ref_losses}")
