@@ -131,7 +131,10 @@ class FeedForward(nn.Module):
     """FFNO feed-forward: n_layers linear layers with `factor` expansion.
 
     Layer i: Linear -> Dropout -> GELU (if not last) -> LayerNorm (if last
-    and layer_norm). Matches models/custom_layer.py:49-68.
+    and layer_norm). Matches models/custom_layer.py:49-68 — note the
+    reference's FeedForward accepts ff_weight_norm but IGNORES it (it
+    builds plain nn.Linear, custom_layer.py:57); we reproduce that, so the
+    field is kept for signature parity only.
     """
 
     dim: int
@@ -146,15 +149,15 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
-            x = WNDense(out_dim, wnorm=self.ff_weight_norm,
-                        dtype=self.dtype)(x)
+            # plain linear regardless of ff_weight_norm (reference parity)
+            x = WNDense(out_dim, wnorm=False, dtype=self.dtype)(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             if i < self.n_layers - 1:
                 x = gelu(x)
             elif self.layer_norm:
-                # layer norm statistics in f32 for stability
-                x = nn.LayerNorm(dtype=jnp.float32).__call__(
+                # f32 statistics; epsilon matches torch.nn.LayerNorm (1e-5)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
                     x.astype(jnp.float32)).astype(x.dtype)
         return x
 
