@@ -35,7 +35,14 @@ def unpack_data(data, normalization_type: str):
     if normalization_type == "minmax":
         out.update(dict(zip(
             ("min_data", "max_data", "min_model", "max_model"), data[4:8])))
-        out["x_normalizer"] = out["y_normalizer"] = None
+        # minmax eval uses denormalize_data(x*(max-min)+min)
+        # (train/training.py:90-91, 116-124) == MinMaxNormalizer.decode
+        from resolution_pde_tpu.data.dataset import MinMaxNormalizer
+
+        out["x_normalizer"] = MinMaxNormalizer(out["min_data"],
+                                               out["max_data"])
+        out["y_normalizer"] = MinMaxNormalizer(out["min_model"],
+                                               out["max_model"])
     else:
         out["x_normalizer"], out["y_normalizer"] = data[4:6]
     return out

@@ -67,7 +67,19 @@ def _set_dotted(cfg: dict, dotted: str, value):
 def _parse_value(v: str):
     if not isinstance(v, str):
         return v
-    return yaml.safe_load(v)
+    parsed = yaml.safe_load(v)
+    # YAML 1.1 parses "1e-3" as a STRING (scientific notation requires
+    # "1.0e-3"); recover numerics the way a CLI user expects
+    if isinstance(parsed, str):
+        try:
+            return int(parsed)
+        except ValueError:
+            pass
+        try:
+            return float(parsed)
+        except ValueError:
+            pass
+    return parsed
 
 
 def load_config(model: str = "fno_1d", dataset: str = "burger_naive",

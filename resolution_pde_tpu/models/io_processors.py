@@ -86,6 +86,30 @@ INPUT_REGISTRY = {
 }
 
 
+class BatchSpaceConv:
+    """Spatial convolution then batch-space reshape
+    (custom_layer.py:388-409). Parameterized, so exposed as a flax module
+    factory rather than a pure function; see models/s4_base.py for use."""
+
+    @staticmethod
+    def make(d_model: int = 128, kernel_size: int = 3, dim: int = 1):
+        import flax.linen as nn
+
+        class _BSC(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                # x: (B, T, S..., H) -> conv over space -> ((B S...), T, H)
+                b, t = x.shape[0], x.shape[1]
+                h = x.shape[-1]
+                xs = rearrange(x, "b t ... h -> (b t) ... h")
+                xs = nn.Conv(d_model, (kernel_size,) * dim,
+                             padding="SAME")(xs)
+                xs = rearrange(xs, "(b t) ... h -> b t ... h", b=b, t=t)
+                return rearrange(xs, "b t ... h -> (b ...) t h")
+
+        return _BSC()
+
+
 # ---- output processors (custom_layer.py:169-203, 293-349) ----
 
 def out_id(x, input_shape):

@@ -14,6 +14,12 @@ from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_1d,
     factorized_spectral_conv_2d,
 )
+from resolution_pde_tpu.ops.interpolation import (
+    bicubic_resize_1d,
+    bicubic_resize_2d,
+    cno_lrelu_1d,
+    cno_lrelu_2d,
+)
 from resolution_pde_tpu.ops.resize import (
     fft_downsample_1d,
     fft_downsample_2d,
@@ -31,6 +37,10 @@ __all__ = [
     "spectral_conv_2d",
     "factorized_spectral_conv_1d",
     "factorized_spectral_conv_2d",
+    "bicubic_resize_1d",
+    "bicubic_resize_2d",
+    "cno_lrelu_1d",
+    "cno_lrelu_2d",
     "fft_downsample_1d",
     "fft_downsample_2d",
     "fft_resize_1d",

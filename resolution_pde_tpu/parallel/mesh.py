@@ -77,3 +77,43 @@ def shard_batch(batch, mesh: Mesh):
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def make_multislice_mesh(n_slices: int, axes: Mapping[str, int] | None = None,
+                         devices=None) -> Mesh:
+    """Multi-slice mesh: a leading "dcn" axis over slices (data parallelism
+    across the data-center network) with the per-slice axes riding ICI.
+
+    Uses mesh_utils.create_hybrid_device_mesh when the runtime exposes
+    slice topology; falls back to a plain reshape when it doesn't (e.g. the
+    virtual CPU mesh in tests).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible by {n_slices} slices")
+    per_slice = n // n_slices
+    inner = dict(axes) if axes else {"data": per_slice}
+    inner_sizes = list(inner.values())
+    unknown = [i for i, s in enumerate(inner_sizes) if s == -1]
+    if unknown:
+        known = int(np.prod([s for s in inner_sizes if s != -1])) or 1
+        inner_sizes[unknown[0]] = per_slice // known
+    if int(np.prod(inner_sizes)) != per_slice:
+        raise ValueError(
+            f"inner axes {dict(zip(inner, inner_sizes))} != {per_slice} "
+            "devices per slice")
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=tuple(inner_sizes),
+            dcn_mesh_shape=(n_slices,) + (1,) * (len(inner_sizes) - 1),
+            devices=devices,
+        )
+        # hybrid mesh folds dcn into the first axis; reshape to split it
+        dev_array = dev_array.reshape((n_slices, *inner_sizes))
+    except Exception:
+        dev_array = np.asarray(devices).reshape((n_slices, *inner_sizes))
+    return Mesh(dev_array, axis_names=("dcn", *inner.keys()))

@@ -133,3 +133,16 @@ def test_main_1d_true_mres(tmp_path, monkeypatch):
     ])
     assert np.isfinite(out["test_loss"])
     assert all(np.isfinite(v) for v in out["super_resolution"].values())
+
+
+def test_scientific_notation_overrides():
+    """YAML 1.1 would parse '1e-3' as a string; the CLI must coerce it."""
+    cfg = parse_cli(["model=fno_1d", "dataset=burger_naive",
+                     "training.learning_rate=1e-3",
+                     "training.eta_min=5e-6",
+                     "dataset.dataset_params.num_samples_max=100"])
+    assert cfg.training.learning_rate == pytest.approx(1e-3)
+    assert isinstance(cfg.training.learning_rate, float)
+    assert cfg.training.eta_min == pytest.approx(5e-6)
+    assert cfg.dataset.dataset_params.num_samples_max == 100
+    assert isinstance(cfg.dataset.dataset_params.num_samples_max, int)

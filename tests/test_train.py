@@ -169,3 +169,24 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_multislice_mesh_dp(rng):
+    """2 slices x 4-device data axis: gradients psum across BOTH dcn and
+    data axes when the batch is sharded over them jointly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from resolution_pde_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, {"data": 4})
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8, n_blocks=1)
+    trainer = Trainer(model, mesh=mesh)
+    x, y = _toy_data(rng, n=16)
+    state = trainer.init(x[:2])
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(("dcn", "data"))))
+    ys = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P(("dcn", "data"))))
+    state, loss = trainer._train_step(state, xs, ys, None)
+    assert np.isfinite(float(loss))
