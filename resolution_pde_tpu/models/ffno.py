@@ -103,6 +103,7 @@ class FSpectralConv2d(nn.Module):
     mode: str = "full"
     compute_dtype: Any = None
     spectral_impl: str = "fft"  # 'fft' | 'dft' (truncated-DFT MXU matmuls)
+    approx_gelu: bool = False   # tanh-approx GELU in the feed-forward
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -142,6 +143,7 @@ class FSpectralConv2d(nn.Module):
             self.layer_norm,
             self.dropout,
             dtype=self.compute_dtype,
+            approx_gelu=self.approx_gelu,
         )(x, deterministic=deterministic)
 
 
@@ -209,6 +211,7 @@ class FFNO2D(nn.Module):
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
     compute_dtype: Any = None  # e.g. jnp.bfloat16: activations + FF matmuls
     spectral_impl: str = "fft"  # 'fft' | 'dft' (truncated-DFT MXU path)
+    approx_gelu: bool = False   # tanh-approx GELU in the feed-forwards
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -235,6 +238,7 @@ class FFNO2D(nn.Module):
                 self.mode,
                 self.compute_dtype,
                 self.spectral_impl,
+                self.approx_gelu,
             )(x, deterministic)
             x = x + x_new
         x = WNDense(self.out_channels, wnorm=self.ff_weight_norm,

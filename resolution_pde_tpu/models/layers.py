@@ -144,6 +144,7 @@ class FeedForward(nn.Module):
     layer_norm: bool = False
     dropout: float = 0.0
     dtype: Any = None
+    approx_gelu: bool = False  # tanh-approx GELU (cheaper on the VPU)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -154,7 +155,8 @@ class FeedForward(nn.Module):
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             if i < self.n_layers - 1:
-                x = gelu(x)
+                x = (jax.nn.gelu(x, approximate=True) if self.approx_gelu
+                     else gelu(x))
             elif self.layer_norm:
                 # f32 statistics; epsilon matches torch.nn.LayerNorm (1e-5)
                 x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
