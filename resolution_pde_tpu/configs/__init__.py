@@ -182,6 +182,13 @@ def _register_factories():
         "burger_true_multires_markov_dataset":
             "burger_true_multires_markov_dataset",
         "dataloaders.ns_naive_markov.ns_markov_dataset": "ns_markov_dataset",
+        # legacy NS loader variants: same factory surface, older file
+        # layouts handled by read_ns heuristics (ns_naive_old_markov.py,
+        # ns_resize_old_markov.py)
+        "dataloaders.ns_naive_old_markov.ns_markov_dataset":
+            "ns_markov_dataset",
+        "dataloaders.ns_resize_old_markov.ns_markov_dataset":
+            "ns_markov_dataset",
         "dataloaders.ns_naive_true_multires.ns_true_multires_markov_dataset":
             "ns_true_multires_markov_dataset",
         "dataloaders.darcy_loader.get_darcy_dataset": "darcy_dataset",

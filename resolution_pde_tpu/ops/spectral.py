@@ -218,12 +218,17 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
     b, h, w_sz, c = x.shape
     xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
 
+    def store(z):
+        # keep truncated-spectrum intermediates in the gemm dtype: halves
+        # the HBM traffic between the three GEMM stages in training mode
+        return z.astype(gemm_dtype) if gemm_dtype is not None else z
+
     # ---- y (last axis) pass: contract W -> m_y modes ----
     m_y = min(n_modes, w_sz // 2 + 1)
     fc, fs, ic, is_ = (jnp.asarray(a) for a in
                        _dft_matrices(w_sz, m_y, fft_norm))
-    zr = _gemm(xc, fc, gemm_dtype)                      # (B, C, H, m)
-    zi = _gemm(xc, fs, gemm_dtype)
+    zr = store(_gemm(xc, fc, gemm_dtype))               # (B, C, H, m)
+    zi = store(_gemm(xc, fs, gemm_dtype))
     wyr, wyi = weight_y[:, :, :m_y, 0], weight_y[:, :, :m_y, 1]
     prec = (None if gemm_dtype is not None else jax.lax.Precision.HIGHEST)
     or_ = (jnp.einsum("bixm,iom->boxm", zr, wyr,
@@ -234,7 +239,8 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
                      preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("bixm,iom->boxm", zi, wyr,
                        preferred_element_type=jnp.float32, precision=prec))
-    yy = _gemm(or_, ic, gemm_dtype) + _gemm(oi, is_, gemm_dtype)  # (B,C,H,W)
+    yy = (_gemm(store(or_), ic, gemm_dtype)
+          + _gemm(store(oi), is_, gemm_dtype))  # (B, C, H, W)
 
     # ---- x (second-to-last axis) pass: contract H -> m_x modes ----
     m_x = min(n_modes, h // 2 + 1)
@@ -245,10 +251,12 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
     prec = (None if dt is not None else jax.lax.Precision.HIGHEST)
     def cast(a):
         return a.astype(dt) if dt is not None else a
-    zr = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fc),
-                    preferred_element_type=jnp.float32, precision=prec)
-    zi = jnp.einsum("bihw,hm->bimw", cast(xc), cast(fs),
-                    preferred_element_type=jnp.float32, precision=prec)
+    zr = store(jnp.einsum("bihw,hm->bimw", cast(xc), cast(fc),
+                          preferred_element_type=jnp.float32,
+                          precision=prec))
+    zi = store(jnp.einsum("bihw,hm->bimw", cast(xc), cast(fs),
+                          preferred_element_type=jnp.float32,
+                          precision=prec))
     wxr, wxi = weight_x[:, :, :m_x, 0], weight_x[:, :, :m_x, 1]
     or_ = (jnp.einsum("bimw,iom->bomw", zr, wxr,
                       preferred_element_type=jnp.float32, precision=prec)
@@ -258,9 +266,9 @@ def factorized_spectral_conv_2d_dft(x, weight_y, weight_x, n_modes: int,
                      preferred_element_type=jnp.float32, precision=prec)
           + jnp.einsum("bimw,iom->bomw", zi, wxr,
                        preferred_element_type=jnp.float32, precision=prec))
-    xx = (jnp.einsum("bomw,mh->bohw", cast(or_), cast(ic),
+    xx = (jnp.einsum("bomw,mh->bohw", cast(store(or_)), cast(ic),
                      preferred_element_type=jnp.float32, precision=prec)
-          + jnp.einsum("bomw,mh->bohw", cast(oi), cast(is_),
+          + jnp.einsum("bomw,mh->bohw", cast(store(oi)), cast(is_),
                        preferred_element_type=jnp.float32, precision=prec))
 
     return jnp.moveaxis(xx + yy, 1, -1)

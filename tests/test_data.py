@@ -319,3 +319,18 @@ def test_active_matter_all_factory(tmp_path, rng):
     assert train.x.shape[1:] == (1, 16, 16)
     # 2 files x 3 trajs x (5-2) pairs = 18 total
     assert len(out[0]) + len(out[1]) + len(out[2]) == 18
+
+
+def test_graph_surface(rng):
+    from resolution_pde_tpu.data.graph import (
+        grid_to_point_cloud, build_dgl_graph_dataset, SequentialDataSet)
+
+    u = rng.standard_normal((3, 8, 8)).astype(np.float32)
+    feats, pos = grid_to_point_cloud(u)
+    assert feats.shape == (3, 64, 1)
+    assert pos.shape == (64, 2)
+    assert pos.min() >= 0 and pos.max() <= 1
+    with pytest.raises((ImportError, NotImplementedError)):
+        build_dgl_graph_dataset()
+    with pytest.raises(TypeError):
+        SequentialDataSet()  # abstract
