@@ -322,3 +322,74 @@ def test_training_dynamics_parity(ref_modules, rng):
 
     np.testing.assert_allclose(my_losses, ref_losses, rtol=2e-4,
                                err_msg=f"{my_losses} vs {ref_losses}")
+
+
+def test_cno1d_full_model_golden(rng):
+    """Full reference CNO1d (torch bicubic-antialias activations) == ours
+    with transplanted conv weights (use_bn=False isolates the architecture
+    from BN state)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.CNO1d import CNO1d as RefCNO1d
+    finally:
+        sys.path.remove(REF)
+    from resolution_pde_tpu.models.cno import CNO1d
+
+    size, nl, nres, nneck, cm = 32, 2, 1, 1, 8
+    ref = RefCNO1d(in_dim=1, out_dim=1, size=size, N_layers=nl, N_res=nres,
+                   N_res_neck=nneck, channel_multiplier=cm, use_bn=False)
+    ref.eval()
+
+    mine = CNO1d(in_dim=1, out_dim=1, size=size, N_layers=nl, N_res=nres,
+                 N_res_neck=nneck, channel_multiplier=cm, use_bn=False)
+    x = rng.standard_normal((2, 1, size)).astype(np.float32)
+    variables = mine.init(jax.random.key(0), jnp.asarray(x))
+    p = variables["params"]["_CNO_0"]
+
+    def conv(mod):
+        w = mod.weight.detach().numpy()  # (out, in, k)
+        return {"kernel": jnp.asarray(np.ascontiguousarray(
+                    w.transpose(2, 1, 0))),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    # lift / project
+    p["LiftProjectBlock_0"]["CNOBlock_0"]["Conv_0"] = conv(
+        ref.lift.inter_CNOBlock.convolution)
+    p["LiftProjectBlock_0"]["Conv_0"] = conv(ref.lift.convolution)
+    p["LiftProjectBlock_1"]["CNOBlock_0"]["Conv_0"] = conv(
+        ref.project.inter_CNOBlock.convolution)
+    p["LiftProjectBlock_1"]["Conv_0"] = conv(ref.project.convolution)
+
+    # residual blocks: per-level then neck (call order matches)
+    res_idx = 0
+    for level in range(nl):
+        for k in range(nres):
+            rb = ref.res_nets[level].res_nets[k]
+            p[f"ResidualBlock_{res_idx}"]["Conv_0"] = conv(rb.convolution1)
+            p[f"ResidualBlock_{res_idx}"]["Conv_1"] = conv(rb.convolution2)
+            res_idx += 1
+    for k in range(nneck):
+        rb = ref.res_net_neck.res_nets[k]
+        p[f"ResidualBlock_{res_idx}"]["Conv_0"] = conv(rb.convolution1)
+        p[f"ResidualBlock_{res_idx}"]["Conv_1"] = conv(rb.convolution2)
+        res_idx += 1
+
+    # encoder blocks CNOBlock_0..nl-1; decoder interleaves ed_expansion
+    # per the forward order: ed(nl), dec0, ed(nl-1), dec1, ..., ed(0)
+    p["CNOBlock_0"]["Conv_0"] = conv(ref.encoder[0].convolution)
+    p["CNOBlock_1"]["Conv_0"] = conv(ref.encoder[1].convolution)
+    p["CNOBlock_2"]["Conv_0"] = conv(ref.ED_expansion[2].convolution)
+    p["CNOBlock_3"]["Conv_0"] = conv(ref.decoder[0].convolution)
+    p["CNOBlock_4"]["Conv_0"] = conv(ref.ED_expansion[1].convolution)
+    p["CNOBlock_5"]["Conv_0"] = conv(ref.decoder[1].convolution)
+    p["CNOBlock_6"]["Conv_0"] = conv(ref.ED_expansion[0].convolution)
+
+    import torch as _t
+    with _t.no_grad():
+        expected = ref(_t.from_numpy(x)).numpy()
+    got = np.asarray(mine.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
