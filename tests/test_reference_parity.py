@@ -393,3 +393,49 @@ def test_cno1d_full_model_golden(rng):
         expected = ref(_t.from_numpy(x)).numpy()
     got = np.asarray(mine.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fno2d_full_model_golden(ref_modules, rng):
+    """Full reference FNO2d == ours: exercises the 2D two-corner spectral
+    weights (models/spectral_convolution.py:85-97) end to end."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FNO2d
+
+    ref = ref_modules["fno"].FNO2d(in_channels=1, out_channels=1, modes1=5,
+                                   modes2=5, width=8, n_blocks=2)
+    ref.eval()
+    n = 16
+    x = rng.standard_normal((2, 1, n, n)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+
+    mine = FNO2d(in_channels=1, out_channels=1, modes1=5, modes2=5,
+                 width=8, n_blocks=2)
+    variables = mine.init(jax.random.key(0), jnp.asarray(x))
+    p = variables["params"]
+
+    def t2j(t):
+        return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+    def conv1x1(mod):
+        w = mod.weight.detach().numpy()[:, :, 0, 0]
+        return {"kernel": jnp.asarray(np.ascontiguousarray(w.T)),
+                "bias": t2j(mod.bias)}
+
+    p["TorchLinear_0"] = conv1x1(ref.lifting)
+    for i, blk in enumerate(ref.fno_blocks):
+        w1 = blk.spectral_conv.weights1.detach().numpy()
+        w2 = blk.spectral_conv.weights2.detach().numpy()
+        p[f"FNOBlock2d_{i}"]["SpectralConv2dLayer_0"] = {
+            "weights1": jnp.asarray(np.stack([w1.real, w1.imag], -1)),
+            "weights2": jnp.asarray(np.stack([w2.real, w2.imag], -1)),
+        }
+        p[f"FNOBlock2d_{i}"]["TorchLinear_0"] = conv1x1(blk.bypass_conv)
+    p["PointwiseMLP_0"] = {
+        "TorchLinear_0": conv1x1(ref.projection.mlp1),
+        "TorchLinear_1": conv1x1(ref.projection.mlp2),
+    }
+    got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
