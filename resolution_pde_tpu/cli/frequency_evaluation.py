@@ -26,8 +26,12 @@ from resolution_pde_tpu.train.checkpoint import restore_checkpoint
 from resolution_pde_tpu.utils.metrics import MetricsLogger
 
 
-def main(argv=None, spatial_ndim: int = 1):
+def main(argv=None, spatial_ndim: int | None = None):
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    if spatial_ndim is None:
+        # radially-binned decomposition for the 2D PDEs
+        spatial_ndim = 2 if cfg.dataset.get("pde") in ("ns", "darcy",
+                                                       "active") else 1
     norm_type = cfg.dataset.dataset_params.get("normalization_type", "simple")
 
     data = instantiate_dataset(cfg.dataset.dataset_params)
