@@ -199,3 +199,44 @@ def test_rollout_all_resolutions(rng):
         x_normalizer=xn, y_normalizer=yn)
     assert set(res) == {32, 64}
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_resize_to_train_eval_path(rng):
+    """The 'use_resize' strategy (utils/resize_utils.py:216-233): inputs at
+    a foreign resolution are FFT-resized to the train resolution before the
+    forward pass and predictions resized back — required for fixed-size
+    models like CNO."""
+    from resolution_pde_tpu.models.cno import CNO1d
+
+    model = CNO1d(in_dim=1, out_dim=1, size=32, N_layers=2, N_res=1,
+                  N_res_neck=1, channel_multiplier=8, use_bn=False)
+    x32 = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x32))
+
+    def builder(res):
+        xr = rng.standard_normal((4, 1, res)).astype(np.float32)
+        return ArrayDataset(xr, np.roll(xr, 1, axis=-1))
+
+    out = evaluate_all_resolutions(
+        model, params, builder, current_res=32,
+        test_resolutions=[16, 32, 64], batch_size=4,
+        resize_to_train=True, strict=True)
+    assert set(out["results"]) == {16, 32, 64}
+    assert all(np.isfinite(v) for v in out["results"].values())
+
+
+def test_resize_to_train_matches_direct_at_train_res(rng):
+    """At the train resolution the resize path is the identity: both
+    evaluation modes must agree exactly."""
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=8)
+    x = rng.standard_normal((4, 1, 32)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    ds = ArrayDataset(x, np.roll(x, 1, axis=-1))
+
+    a = evaluate_all_resolutions(model, params, lambda r: ds, 32,
+                                 test_resolutions=[32], strict=True)
+    b = evaluate_all_resolutions(model, params, lambda r: ds, 32,
+                                 test_resolutions=[32],
+                                 resize_to_train=True, strict=True)
+    assert a["results"][32] == pytest.approx(b["results"][32], rel=1e-6)
