@@ -183,3 +183,29 @@ def test_ssm_param_group_no_weight_decay(rng):
             assert float(jnp.abs(upd).max()) > 0.0, keys
             checked_decay = True
     assert checked_decay
+
+
+def test_dplr_conv_equals_recurrence(rng):
+    """S4 DPLR: the recurrent discretization (ops.discretize_dplr) must
+    reproduce the convolution kernel exactly: K[l] = Re(C^* Abar^l Bbar)
+    with C recovered from the trained C_tilde (models/s4.py:1190-1218)."""
+    N, L = 8, 20
+    Lam, P, B, _ = ssm_ops.make_dplr_hippo(N)
+    Lam = jnp.asarray(Lam, jnp.complex64)
+    P_ = jnp.asarray(P, jnp.complex64)
+    B_ = jnp.asarray(B, jnp.complex64)
+    C_t = jnp.asarray(rng.standard_normal(N) + 1j * rng.standard_normal(N),
+                      jnp.complex64)
+    log_dt = jnp.asarray(np.log(0.02), jnp.float32)
+
+    k = np.asarray(ssm_ops.dplr_kernel(Lam, P_, B_, C_t, log_dt, L))
+    Ab, Bb, C = ssm_ops.discretize_dplr(Lam, P_, B_, C_t, log_dt, L)
+
+    # recurrence on a unit impulse reproduces the kernel
+    x = jnp.zeros((N,), jnp.complex64)
+    ks = []
+    for l in range(L):
+        u = 1.0 if l == 0 else 0.0
+        x = Ab @ x + Bb * u
+        ks.append(float(jnp.real(jnp.conj(C) @ x)))
+    np.testing.assert_allclose(np.asarray(ks), k, rtol=1e-3, atol=1e-4)
