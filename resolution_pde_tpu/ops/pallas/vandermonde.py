@@ -18,12 +18,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(ar_ref, ai_ref, cr_ref, ci_ref, lstart_ref, out_ref):
+def _kernel(ar_ref, ai_ref, cr_ref, ci_ref, out_ref):
     """ar/ai/cr/ci: (Th, N) tiles of Re/Im(dtA) and Re/Im(C');
-    out: (Th, Tl). Accumulates 2*Re[C' exp(dtA * l)] over N in VMEM."""
+    out: (Th, Tl). Accumulates 2*Re[C' exp(dtA * l)] over N in VMEM.
+    The sequence offset comes from the grid position (compiled Mosaic
+    rejects sub-tile SMEM scalar blocks)."""
     th, n = ar_ref.shape
     tl = out_ref.shape[1]
-    l0 = lstart_ref[0]
+    l0 = pl.program_id(1) * tl
     ls = (l0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tl), 2)
           ).astype(jnp.float32)                      # (1, 1, Tl)
     a = ar_ref[:][:, :, None] * ls                   # (Th, N, Tl)
@@ -66,8 +68,6 @@ def s4d_kernel_pallas(C, A, log_dt, L: int, h_tile: int = 8,
         ci = jnp.pad(ci, ((0, h_pad), (0, 0)))
     hp, lp = h + h_pad, L + l_pad
 
-    lstarts = jnp.arange(lp // tl, dtype=jnp.int32) * tl
-
     out = pl.pallas_call(
         _kernel,
         grid=(hp // th, lp // tl),
@@ -80,12 +80,10 @@ def s4d_kernel_pallas(C, A, log_dt, L: int, h_tile: int = 8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, n), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, j: (j,),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((th, tl), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, lp), jnp.float32),
         interpret=interpret,
-    )(ar, ai, cr, ci, lstarts)
+    )(ar, ai, cr, ci)
     return out[:h, :L]
