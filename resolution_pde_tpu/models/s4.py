@@ -48,13 +48,18 @@ SSM_PARAM_NAMES = (
 
 
 class S4DKernelLayer(nn.Module):
-    """Diagonal SSM kernel (models/s4d.py:33-69). Produces (channels, H, L)."""
+    """Diagonal SSM kernel (models/s4d.py:33-69). Produces (channels, H, L).
+
+    kernel_impl: 'jnp' (XLA-fused Vandermonde) or 'pallas' (on-chip state
+    reduction, ops/pallas/vandermonde.py — the TPU replacement for the
+    reference's CUDA/pykeops kernels; bit-exact vs 'jnp' on v5e)."""
 
     d_model: int
     d_state: int = 64
     channels: int = 1
     dt_min: float = 1e-3
     dt_max: float = 1e-1
+    kernel_impl: str = "jnp"
 
     @nn.compact
     def __call__(self, L: int):
@@ -76,8 +81,16 @@ class S4DKernelLayer(nn.Module):
         )
         A = -jnp.exp(log_a_real) + 1j * a_imag  # (H, N/2)
         C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
-        kern = jax.vmap(
-            lambda cc: ssm_ops.s4d_kernel_zoh(cc, A, log_dt, L))(C)
+        if self.kernel_impl == "pallas":
+            from resolution_pde_tpu.ops.pallas import s4d_kernel_pallas
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            kern = jnp.stack([
+                s4d_kernel_pallas(C[ch], A, log_dt, L, interpret=interp)
+                for ch in range(self.channels)])
+        else:
+            kern = jax.vmap(
+                lambda cc: ssm_ops.s4d_kernel_zoh(cc, A, log_dt, L))(C)
         return kern  # (channels, H, L)
 
     def discretize(self):

@@ -209,3 +209,13 @@ def test_dplr_conv_equals_recurrence(rng):
         x = Ab @ x + Bb * u
         ks.append(float(jnp.real(jnp.conj(C) @ x)))
     np.testing.assert_allclose(np.asarray(ks), k, rtol=1e-3, atol=1e-4)
+
+
+def test_s4d_kernel_pallas_impl_matches(rng):
+    layer_j = S4DKernelLayer(d_model=4, d_state=8, channels=2)
+    layer_p = S4DKernelLayer(d_model=4, d_state=8, channels=2,
+                             kernel_impl="pallas")
+    params = layer_j.init(jax.random.key(0), 32)
+    kj = np.asarray(layer_j.apply(params, 32))
+    kp = np.asarray(layer_p.apply(params, 32))
+    np.testing.assert_allclose(kp, kj, rtol=1e-4, atol=1e-5)
