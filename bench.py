@@ -78,6 +78,10 @@ def main():
         # (max deviation ~1e-3 relative). Exact GELU stays the default
         # for parity evals.
         approx_gelu=True,
+        # Pallas fused FF: Dense->GELU->Dense->GELU->Dense->LayerNorm plus
+        # the residual add in ONE kernel, hidden activations never leave
+        # VMEM (ops/pallas/fused_ff.py). See RESULTS.md roofline analysis.
+        ff_impl="fused",
     )
     trainer = Trainer(model, learning_rate=1e-3)
 

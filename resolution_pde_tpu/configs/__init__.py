@@ -165,6 +165,12 @@ def _register_factories():
         "load_darcy_data_from_mat",
         "ks_pino_markov_dataset",
         "active_matter_all_markov_dataset",
+        "ks_multires_markov_dataset",
+        "ks_resize_multires_markov_dataset",
+        "burger_multires_markov_dataset",
+        "burger_resize_multires_markov_dataset",
+        "burger_resize_true_multires_markov_dataset",
+        "multi_file_active_matter_markov_dataset",
     ):
         fn = getattr(f, name)
         DATASET_FACTORIES[name] = fn
@@ -205,6 +211,32 @@ def _register_factories():
         "dataloaders.active_matter_all_markov."
         "active_matter_all_markov_dataset":
             "active_matter_all_markov_dataset",
+        # multi-file active matter under its real reference name + kwargs
+        # (active_matter_all_markov.py:285, conf/dataset/ns/ns_active_t*.yaml)
+        "dataloaders.active_matter_all_markov."
+        "multi_file_active_matter_markov_dataset":
+            "multi_file_active_matter_markov_dataset",
+        # single-file multires strategy (4th resolution strategy)
+        "dataloaders.ks_naive_multires.ks_multires_markov_dataset":
+            "ks_multires_markov_dataset",
+        "dataloaders.ks_resize_multires.ks_multires_markov_dataset":
+            "ks_resize_multires_markov_dataset",
+        "dataloaders.burger_naive_multires.burger_multires_markov_dataset":
+            "burger_multires_markov_dataset",
+        "dataloaders.burger_resize_multires.burger_multires_markov_dataset":
+            "burger_resize_multires_markov_dataset",
+        "dataloaders.burger_resize_true_multires."
+        "burger_true_multires_markov_dataset":
+            "burger_resize_true_multires_markov_dataset",
+        # targets whose reference modules do not exist in the snapshot but
+        # are named by shipped configs (conf/dataset/burger/burger_0.1.yaml,
+        # conf/dataset/ks/ks_pino.yaml): resolve to the equivalent factory
+        "dataloaders.cno_burger_markov.burger_markov_dataset":
+            "burger_markov_dataset",
+        "dataloaders.ks_pino_markov.ks_pino_markov_dataset":
+            "ks_pino_markov_dataset",
+        "dataloaders.burger_markov.burger_markov_dataset":
+            "burger_markov_dataset",
     }
     for alias, name in aliases.items():
         DATASET_FACTORIES[alias] = DATASET_FACTORIES[name]

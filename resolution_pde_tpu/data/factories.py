@@ -82,7 +82,14 @@ def _package(train, val, test, rollout, data_normalizer: bool,
         return (train.encoded(xn, yn), val.encoded(xn, yn),
                 test.encoded(xn, yn), rollout, xn, yn)
     if normalization_type == "minmax":
-        stats = fit_normalizers(train.x, train.y, "minmax")
+        if isinstance(train, MultiResDataset):
+            xs = np.concatenate(
+                [d.x.reshape(-1) for d in train.buckets.values()])
+            ys = np.concatenate(
+                [d.y.reshape(-1) for d in train.buckets.values()])
+            stats = fit_normalizers(xs, ys, "minmax")
+        else:
+            stats = fit_normalizers(train.x, train.y, "minmax")
         from resolution_pde_tpu.data.dataset import MinMaxNormalizer
 
         xn = MinMaxNormalizer(stats["min_data"], stats["max_data"])
@@ -297,10 +304,12 @@ def burger_true_multires_markov_dataset(
         data_mres_size: Optional[Dict[int, int]] = None,
         add_res=None, add_res_samples=None, downsample_from_res=None,
         use_low_pass_filter=False, lowpass_cutoff_ratio=1.0,
-        split_ratio=None, random_seed=42, data_normalizer=True,
-        normalization_type="simple", **kwargs):
+        add_res_method="naive", split_ratio=None, random_seed=42,
+        data_normalizer=True, normalization_type="simple", **kwargs):
     """True multi-res Burgers: per-res dirs burgers_{res}_{viscosity}
-    globbed by filename_pattern (burger_naive_true_multires.py:61-72)."""
+    globbed by filename_pattern (burger_naive_true_multires.py:61-72).
+    add_res_method='resize' makes the extra resolutions FFT-resized
+    (burger_resize_true_multires.py:251)."""
     if split_ratio is None:
         split_ratio = [0.8, 0.1, 0.1]
     data_mres_size = data_mres_size or {}
@@ -317,14 +326,15 @@ def burger_true_multires_markov_dataset(
         load_res, data_mres_size, add_res, add_res_samples,
         downsample_from_res, use_low_pass_filter, lowpass_cutoff_ratio,
         split_ratio, random_seed, data_normalizer, normalization_type,
-        pairing="burgers")
+        pairing="burgers", add_res_method=add_res_method)
 
 
 def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                               add_res_samples, downsample_from_res,
                               use_low_pass_filter, lowpass_cutoff_ratio,
                               split_ratio, random_seed, data_normalizer,
-                              normalization_type, pairing="ks"):
+                              normalization_type, pairing="ks",
+                              add_res_method="naive"):
     pair_fn = (markov_pairs_1d if pairing == "ks"
                else lambda u: markov_pairs_1d(u[:, 1:]))  # burgers skips t0
     split_names = ["train", "val", "test"]
@@ -353,6 +363,49 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
 
     base_res = downsample_from_res or (max(data_mres_size)
                                        if data_mres_size else None)
+
+    # extra resolutions reduced from the base resolution: naive slicing,
+    # spectral low-pass, or FFT resize (burger_naive_true_multires.py:423,
+    # burger_resize_true_multires.py:251)
+    if add_res and add_res_samples and base_res:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            tr_end, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            parts = {"train": u_base[:tr_end], "val": u_base[tr_end:va_end],
+                     "test": u_base[va_end:]}
+            src_res = u_base.shape[-1]
+            for target_res in add_res:
+                if target_res >= src_res:
+                    continue
+                n_target = (add_res_samples.get(target_res, 100)
+                            if isinstance(add_res_samples, dict)
+                            else int(add_res_samples))
+                for si, name in enumerate(split_names):
+                    k = int(n_target * split_ratio[si])
+                    if k <= 0:
+                        continue
+                    np.random.seed(random_seed + target_res + si + 10000)
+                    idx = np.random.choice(parts[name].shape[0], k,
+                                           replace=True)
+                    sampled = parts[name][idx]
+                    if add_res_method == "resize":
+                        down = resize_trajectories(
+                            sampled, target_res, spatial_ndim=1,
+                            method="downsample")
+                    elif use_low_pass_filter:
+                        cutoff = (target_res / src_res) * lowpass_cutoff_ratio
+                        from resolution_pde_tpu.ops.resize import (
+                            lowpass_filter_1d)
+
+                        down = np.asarray(lowpass_filter_1d(
+                            sampled, cutoff_ratio=cutoff))
+                        down = down[:, :, :: src_res // target_res]
+                    else:
+                        down = sampled[:, :, :: src_res // target_res]
+                    down = down[:, :, :target_res]
+                    x, y = pair_fn(down.astype(np.float32))
+                    _merge_bucket(buckets[name], down.shape[-1], x, y)
+
     rollout = None
     if base_res is not None:
         u_base = load_res(base_res)
@@ -691,13 +744,16 @@ def active_matter_all_markov_dataset(saved_folder, pattern="*.hdf5",
                                      normalization_type="simple",
                                      reduced_batch=1, reduced_resolution=1,
                                      reduced_resolution_t=1,
-                                     num_samples_max=-1, s=None, **kwargs):
+                                     num_samples_max=-1, s=None,
+                                     max_files=None, **kwargs):
     """Multi-file active matter: glob every matching file and concatenate
     (dataloaders/active_matter_all_markov.py:12-285)."""
     paths = sorted(glob.glob(os.path.join(saved_folder, pattern)))
     if not paths:
         raise FileNotFoundError(
             f"no files matching {pattern!r} in {saved_folder}")
+    if max_files is not None:
+        paths = paths[:max_files]
     parts = [data_io.read_active_matter_h5(p, fields) for p in paths]
     u = np.concatenate(parts, axis=0)
     u = reduce_trajectories(u, reduced_batch, reduced_resolution,
@@ -714,3 +770,212 @@ def active_matter_all_markov_dataset(saved_folder, pattern="*.hdf5",
         np.moveaxis(u[va_end:], -1, 2)))
     return _package(train, val, test, rollout, data_normalizer,
                     normalization_type)
+
+
+# ---------------------------------------------------------------------------
+# Single-file "multires" strategy: downsample one file into a resolution mix
+# (dataloaders/ks_naive_multires.py, ks_resize_multires.py,
+#  burger_naive_multires.py, burger_resize_multires.py)
+# ---------------------------------------------------------------------------
+
+def _add_res_list(add_res):
+    if add_res is None:
+        return []
+    if hasattr(add_res, "__iter__") and not isinstance(add_res, str):
+        return [int(r) for r in add_res]
+    return [int(add_res)]
+
+
+def _sample_at_resolutions(u_orig, add_res, k, seed, method):
+    """Draw k trajectories (with replacement) from the full-resolution data
+    and reduce each to every resolution in add_res — naive slicing
+    (ks_naive_multires.py:115-131) or FFT resize
+    (ks_resize_multires.py:143-165). Returns [(res, array), ...]."""
+    out = []
+    src_res = u_orig.shape[-1]
+    rng = np.random.RandomState(seed)
+    for res in _add_res_list(add_res):
+        if res > src_res:
+            continue  # reference skips upsampling with a warning
+        idx = rng.choice(u_orig.shape[0], k, replace=True)
+        samp = u_orig[idx]
+        if res != src_res:
+            if method == "resize":
+                samp = resize_trajectories(samp, res, spatial_ndim=1,
+                                           method="downsample")
+            else:
+                samp = samp[:, :, :: src_res // res][:, :, :res]
+        out.append((samp.shape[-1], np.ascontiguousarray(
+            samp, dtype=np.float32)))
+    return out
+
+
+def _merge_bucket(buckets, key, x, y):
+    if key in buckets:
+        old = buckets[key]
+        buckets[key] = ArrayDataset(np.concatenate([old.x, x]),
+                                    np.concatenate([old.y, y]))
+    else:
+        buckets[key] = ArrayDataset(x, y)
+
+
+def _as_res_dataset(buckets):
+    if len(buckets) == 1:
+        return next(iter(buckets.values()))
+    return MultiResDataset(buckets)
+
+
+def ks_multires_markov_dataset(filename, saved_folder, data_normalizer=True,
+                               normalization_type="simple",
+                               add_res=None, num_add_res_samples=0,
+                               random_seed=42, multires_method="naive",
+                               val_filename="KS_valid.h5",
+                               test_filename="KS_test.h5",
+                               reduced_batch=1, reduced_resolution=1,
+                               reduced_resolution_t=1, num_samples_max=-1,
+                               s=None, split_ratio=(0.8, 0.1, 0.1), **kwargs):
+    """Single-file-per-split KS multires: base data at the reduced
+    resolution plus `num_add_res_samples` extra trajectories per resolution
+    in `add_res`, drawn from the FULL-resolution data and reduced by naive
+    slicing (dataloaders/ks_naive_multires.py:242-340) or FFT resize
+    (ks_resize_multires.py:332-470, multires_method='resize'). The extra
+    samples are apportioned per split by split_ratio, seeded
+    deterministically (our seed derivation differs from the reference's
+    string hash — PARITY.md).
+
+    Returns (train, val, test, rollout, x_norm, y_norm); the reference
+    returns no rollout slot, ours carries the test trajectories (repo
+    convention, see module docstring)."""
+    split_names = ["train", "val", "test"]
+    buckets = {n: {} for n in split_names}
+    rollout_u = None
+    red = dict(reduced_batch=reduced_batch,
+               reduced_resolution=reduced_resolution,
+               reduced_resolution_t=reduced_resolution_t,
+               num_samples_max=num_samples_max)
+    for si, (name, fn) in enumerate(zip(
+            split_names, (filename, val_filename, test_filename))):
+        path = os.path.join(os.path.abspath(saved_folder), fn)
+        u_orig = data_io.read_ks_h5(path)["u"]
+        u = reduce_trajectories(u_orig, spatial_ndim=1, **red)
+        if s is not None:
+            u = resize_trajectories(u, s, spatial_ndim=1)
+        x, y = markov_pairs_1d(u)
+        _merge_bucket(buckets[name], u.shape[-1], x, y)
+        if name == "test":
+            rollout_u = u
+        k = int(num_add_res_samples * split_ratio[si])
+        if k > 0:
+            for key, samp in _sample_at_resolutions(
+                    u_orig, add_res, k, random_seed + si, multires_method):
+                xa, ya = markov_pairs_1d(samp)
+                _merge_bucket(buckets[name], key, xa, ya)
+    rollout = (TrajectoryDataset(np.ascontiguousarray(rollout_u,
+                                                      dtype=np.float32))
+               if rollout_u is not None else None)
+    return _package(_as_res_dataset(buckets["train"]),
+                    _as_res_dataset(buckets["val"]),
+                    _as_res_dataset(buckets["test"]),
+                    rollout, data_normalizer, normalization_type)
+
+
+def burger_multires_markov_dataset(filename, saved_folder,
+                                   data_normalizer=True,
+                                   normalization_type="minmax",
+                                   add_res=None, num_add_res_samples=0,
+                                   random_seed=42, multires_method="naive",
+                                   reduced_batch=1, reduced_resolution=1,
+                                   reduced_resolution_t=1,
+                                   num_samples_max=-1, s=None, **kwargs):
+    """Single-file Burgers multires (burger_naive_multires.py:200-320,
+    burger_resize_multires.py:233-360 with multires_method='resize'):
+    PDEBench pairing x=[:,1:-1], y=[:,2:]; extra lower-resolution samples
+    (0.8 * num_add_res_samples, the reference generates them with
+    split='train' before splitting) mixed in, then a seed-42 random split
+    of the COMBINED mixed-resolution sample list into 0.8/0.1/0.1."""
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u_orig = data_io.read_pdebench_h5(path)["u"]
+    u = reduce_trajectories(u_orig, reduced_batch, reduced_resolution,
+                            reduced_resolution_t,
+                            num_samples_max=num_samples_max, spatial_ndim=1)
+    if s is not None:
+        u = resize_trajectories(u, s, spatial_ndim=1)
+
+    def pdebench_pairs(traj):
+        x = traj[:, 1:-1]
+        y = traj[:, 2:]
+        b, t, m = x.shape
+        return (np.ascontiguousarray(x.reshape(b * t, 1, m)),
+                np.ascontiguousarray(y.reshape(b * t, 1, m)))
+
+    # ordered per-resolution chunks: main data first, then extras
+    chunks = [(u.shape[-1],) + pdebench_pairs(u)]
+    k = int(num_add_res_samples * 0.8)
+    if k > 0:
+        for key, samp in _sample_at_resolutions(
+                u_orig, add_res, k, random_seed, multires_method):
+            chunks.append((key,) + pdebench_pairs(samp))
+
+    # global seed-42 random split over the combined mixed-res sample list
+    # (burger_naive_multires.py:240-248 random_split semantics)
+    total = sum(c[1].shape[0] for c in chunks)
+    perm = _randsplit_indices(total, 42)
+    tr_end = int(0.8 * total)
+    va_end = tr_end + int(0.1 * total)
+    split_of = np.empty(total, dtype=np.int8)
+    split_of[perm[:tr_end]] = 0
+    split_of[perm[tr_end:va_end]] = 1
+    split_of[perm[va_end:]] = 2
+
+    buckets = [{}, {}, {}]
+    offset = 0
+    for key, x, y in chunks:
+        n = x.shape[0]
+        local = split_of[offset:offset + n]
+        for si in range(3):
+            sel = np.nonzero(local == si)[0]
+            if sel.size:
+                _merge_bucket(buckets[si], key, x[sel], y[sel])
+        offset += n
+
+    _, traj_va_end = split_ratio_indices(u.shape[0])
+    rollout = TrajectoryDataset(np.ascontiguousarray(u[traj_va_end:],
+                                                     dtype=np.float32))
+    return _package(_as_res_dataset(buckets[0]), _as_res_dataset(buckets[1]),
+                    _as_res_dataset(buckets[2]), rollout, data_normalizer,
+                    normalization_type)
+
+
+def ks_resize_multires_markov_dataset(*args, **kwargs):
+    """dataloaders.ks_resize_multires.ks_multires_markov_dataset: the FFT
+    resize flavor of the single-file multires strategy."""
+    kwargs.setdefault("multires_method", "resize")
+    return ks_multires_markov_dataset(*args, **kwargs)
+
+
+def burger_resize_multires_markov_dataset(*args, **kwargs):
+    """dataloaders.burger_resize_multires.burger_multires_markov_dataset."""
+    kwargs.setdefault("multires_method", "resize")
+    return burger_multires_markov_dataset(*args, **kwargs)
+
+
+def multi_file_active_matter_markov_dataset(file_pattern, saved_folder,
+                                            data_normalizer=True,
+                                            s=None, max_files=None,
+                                            normalization_type="minmax",
+                                            **kwargs):
+    """Multi-file active matter (active_matter_all_markov.py:285): glob
+    `file_pattern`, optionally cap at max_files, minmax normalization
+    (the reference's 7-tuple surface; used by conf/dataset/ns/ns_active_t*)."""
+    return active_matter_all_markov_dataset(
+        saved_folder, pattern=file_pattern, data_normalizer=data_normalizer,
+        normalization_type=normalization_type, s=s, max_files=max_files,
+        **kwargs)
+
+
+def burger_resize_true_multires_markov_dataset(*args, **kwargs):
+    """dataloaders.burger_resize_true_multires.
+    burger_true_multires_markov_dataset (burger_resize_true_multires.py:251):
+    true-mres Burgers whose extra resolutions come from FFT resize."""
+    kwargs.setdefault("add_res_method", "resize")
+    return burger_true_multires_markov_dataset(*args, **kwargs)

@@ -127,6 +127,38 @@ class WNDense(nn.Module):
         return y
 
 
+class _ParamLinear(nn.Module):
+    """Creates TorchLinear-compatible params and returns them (no compute).
+
+    Used by FeedForward's fused path so the param tree is IDENTICAL to the
+    unfused one (WNDense_i/TorchLinear_0/{kernel,bias}) — checkpoints and
+    reference weight transplants work unchanged across ff_impl."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        k = self.param("kernel", torch_kernel_init, (fan_in, self.features))
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        return k, b
+
+
+class _ParamWNDense(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        return _ParamLinear(self.features, name="TorchLinear_0")(fan_in)
+
+
+class _ParamLayerNorm(nn.Module):
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return s, b
+
+
 class FeedForward(nn.Module):
     """FFNO feed-forward: n_layers linear layers with `factor` expansion.
 
@@ -135,6 +167,11 @@ class FeedForward(nn.Module):
     reference's FeedForward accepts ff_weight_norm but IGNORES it (it
     builds plain nn.Linear, custom_layer.py:57); we reproduce that, so the
     field is kept for signature parity only.
+
+    ff_impl='fused' runs the whole chain as one Pallas TPU kernel (hidden
+    activations never leave VMEM — see ops/pallas/fused_ff.py); requires
+    dropout == 0 (falls back to the dense path otherwise). The param tree
+    is identical across impls.
     """
 
     dim: int
@@ -145,9 +182,14 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     dtype: Any = None
     approx_gelu: bool = False  # tanh-approx GELU (cheaper on the VPU)
+    ff_impl: str = "dense"  # 'dense' | 'fused' (Pallas)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, residual=None):
+        """residual: optional tensor added to the output (the FFNO skip);
+        the fused path folds the add into the kernel."""
+        if self.ff_impl == "fused" and self.dropout == 0.0:
+            return self._fused(x, residual)
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
             # plain linear regardless of ff_weight_norm (reference parity)
@@ -161,7 +203,30 @@ class FeedForward(nn.Module):
                 # f32 statistics; epsilon matches torch.nn.LayerNorm (1e-5)
                 x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
                     x.astype(jnp.float32)).astype(x.dtype)
+        if residual is not None:
+            x = residual + x
         return x
+
+    def _fused(self, x, residual=None):
+        from resolution_pde_tpu.ops.pallas.fused_ff import fused_feedforward
+
+        kernels, biases = [], []
+        fan_in = x.shape[-1]
+        for i in range(self.n_layers):
+            out_dim = (self.dim if i == self.n_layers - 1
+                       else self.dim * self.factor)
+            k, b = _ParamWNDense(out_dim, name=f"WNDense_{i}")(fan_in)
+            kernels.append(k)
+            biases.append(b)
+            fan_in = out_dim
+        ln = (_ParamLayerNorm(name="LayerNorm_0")(self.dim)
+              if self.layer_norm else None)
+        cd = self.dtype if self.dtype is not None else x.dtype
+        # compiled Mosaic on TPU backends; interpreter elsewhere (CPU tests)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_feedforward(x, kernels, biases, ln, residual,
+                                 approx_gelu=self.approx_gelu,
+                                 compute_dtype=cd, interpret=interpret)
 
 
 class PointwiseMLP(nn.Module):

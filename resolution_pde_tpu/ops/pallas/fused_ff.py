@@ -1,0 +1,315 @@
+"""Fused FFNO FeedForward as a Pallas TPU kernel (forward + custom VJP).
+
+The FFNO feed-forward (models/custom_layer.py:49-68 in the reference:
+Dense -> GELU -> ... -> Dense -> LayerNorm) dominates the train step on
+TPU, and it is bandwidth-bound: at the bench shape the (B*H*W, width*factor)
+hidden activations are ~268 MB in bf16 and round-trip HBM between every
+GEMM, plus again for GELU/LayerNorm and once more in the backward pass.
+
+This kernel tiles over rows (points) and keeps every hidden activation in
+VMEM: per tile it runs the whole chain
+    x @ W1 + b1 -> GELU -> @ W2 + b2 -> GELU -> @ W3 + b3 -> LayerNorm
+with bf16 MXU matmuls and f32 accumulation, reading only the (tile, C_in)
+input and writing only the (tile, C_out) output. HBM traffic drops from
+~10 tensors of size N*F to 2 tensors of size N*C.
+
+The backward pass is a second Pallas kernel (flash-attention-style): it
+recomputes the hidden activations per tile from the saved input, then runs
+the full gradient chain in VMEM. Weight/bias/LayerNorm grads are
+accumulated in f32 across the sequential TPU grid via constant-index
+output blocks.
+
+Numerics: matmuls in `compute_dtype` (bf16 for training) with f32
+accumulation; GELU/LayerNorm and all gradient reductions in f32. With
+compute_dtype=float32 the op matches the unfused FeedForward to roundoff
+(tested in tests/test_fused_ff.py, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_INV_SQRT_2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+_LN_EPS = 1e-5  # torch.nn.LayerNorm default (reference parity)
+
+
+def _gelu(z, approx: bool):
+    if approx:
+        u = _SQRT_2_OVER_PI * (z + 0.044715 * z * z * z)
+        return 0.5 * z * (1.0 + jnp.tanh(u))
+    return 0.5 * z * (1.0 + jax.lax.erf(z * _INV_SQRT_2))
+
+
+def _gelu_grad(z, approx: bool):
+    if approx:
+        z2 = z * z
+        u = _SQRT_2_OVER_PI * (z + 0.044715 * z * z2)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * 0.044715 * z2)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * du
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * _INV_SQRT_2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+    return cdf + z * pdf
+
+
+def _pick_tile(n: int, prefer=(512, 1024, 256, 128, 64, 32, 16, 8)) -> int:
+    for t in prefer:
+        if n % t == 0:
+            return t
+    return 0  # caller pads
+
+
+# forward keeps few intermediates -> bigger tiles amortize better; backward
+# holds ~6 (tile, F) f32 buffers so stay at 512 rows
+_FWD_TILES = (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+_BWD_TILES = (512, 1024, 256, 128, 64, 32, 16, 8)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
+                approx_gelu, has_residual, cd, interpret):
+    n, _ = x.shape
+    tile = _pick_tile(n, _FWD_TILES)
+    c_out = kernels[-1].shape[1]
+
+    args = [x.astype(cd)]
+    in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    if has_residual:
+        args.append(residual)
+        in_specs.append(pl.BlockSpec((tile, c_out), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    for k, b in zip(kernels, biases):
+        args += [k.astype(cd), b.reshape(1, -1).astype(jnp.float32)]
+        in_specs += [_const_spec(k.shape), _const_spec((1, b.shape[0]))]
+    if has_ln:
+        scale, bias = ln
+        args += [scale.reshape(1, -1).astype(jnp.float32),
+                 bias.reshape(1, -1).astype(jnp.float32)]
+        in_specs += [_const_spec((1, c_out)), _const_spec((1, c_out))]
+
+    base = 2 if has_residual else 1
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        h = refs[0][:]
+        for i in range(n_layers):
+            k = refs[base + 2 * i][:]
+            b = refs[base + 1 + 2 * i][:]
+            z = jnp.dot(h, k, preferred_element_type=jnp.float32) + b
+            if i < n_layers - 1:
+                h = _gelu(z, approx_gelu).astype(cd)
+        if has_ln:
+            s = refs[base + 2 * n_layers][:]
+            t = refs[base + 1 + 2 * n_layers][:]
+            mu = jnp.mean(z, axis=-1, keepdims=True)
+            zc = z - mu
+            var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+            z = zc * jax.lax.rsqrt(var + _LN_EPS) * s + t
+        if has_residual:
+            z = z + refs[1][:].astype(jnp.float32)
+        out_ref[:] = z.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c_out), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
+                cd, interpret):
+    n, c_in = x.shape
+    tile = _pick_tile(n, _BWD_TILES)
+    c_out = kernels[-1].shape[1]
+
+    args = [x.astype(cd), g]
+    in_specs = [
+        pl.BlockSpec((tile, c_in), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, c_out), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for k, b in zip(kernels, biases):
+        args += [k.astype(cd), b.reshape(1, -1).astype(jnp.float32)]
+        in_specs += [_const_spec(k.shape), _const_spec((1, b.shape[0]))]
+    if has_ln:
+        args += [ln[0].reshape(1, -1).astype(jnp.float32)]
+        in_specs += [_const_spec((1, c_out))]
+
+    # outputs: dx (tiled) + per-weight f32 accumulators (constant blocks)
+    out_shapes = [jax.ShapeDtypeStruct((n, c_in), x.dtype)]
+    out_specs = [pl.BlockSpec((tile, c_in), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for k, b in zip(kernels, biases):
+        out_shapes += [jax.ShapeDtypeStruct(k.shape, jnp.float32),
+                       jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32)]
+        out_specs += [_const_spec(k.shape), _const_spec((1, b.shape[0]))]
+    if has_ln:
+        out_shapes += [jax.ShapeDtypeStruct((1, c_out), jnp.float32)] * 2
+        out_specs += [_const_spec((1, c_out))] * 2
+
+    n_in_refs = len(args)
+
+    def kernel(*refs):
+        ins, outs = refs[:n_in_refs], refs[n_in_refs:]
+        dx_ref = outs[0]
+        acc_refs = outs[1:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in acc_refs:
+                r[:] = jnp.zeros_like(r)
+
+        ks = [ins[2 + 2 * i][:] for i in range(n_layers)]
+        bs = [ins[3 + 2 * i][:] for i in range(n_layers)]
+
+        # recompute forward, keeping layer inputs h and pre-activations z
+        hs, zs = [], []
+        h = ins[0][:]
+        for i in range(n_layers):
+            hs.append(h)
+            z = jnp.dot(h, ks[i], preferred_element_type=jnp.float32) + bs[i]
+            zs.append(z)
+            if i < n_layers - 1:
+                h = _gelu(z, approx_gelu).astype(cd)
+
+        gg = ins[1][:].astype(jnp.float32)
+        if has_ln:
+            s = ins[2 + 2 * n_layers][:]
+            z = zs[-1]
+            mu = jnp.mean(z, axis=-1, keepdims=True)
+            zc = z - mu
+            var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + _LN_EPS)
+            xhat = zc * rstd
+            dxhat = gg * s
+            dz = rstd * (
+                dxhat
+                - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+            )
+            acc_refs[2 * n_layers][:] += jnp.sum(gg * xhat, axis=0,
+                                                 keepdims=True)
+            acc_refs[2 * n_layers + 1][:] += jnp.sum(gg, axis=0,
+                                                     keepdims=True)
+        else:
+            dz = gg
+
+        for i in reversed(range(n_layers)):
+            dz_c = dz.astype(cd)
+            # dW_i = h_i^T @ dz  (contract rows)
+            acc_refs[2 * i][:] += jax.lax.dot_general(
+                hs[i], dz_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_refs[2 * i + 1][:] += jnp.sum(dz, axis=0, keepdims=True)
+            # dh = dz @ W_i^T  (contract W's out axis)
+            dh = jax.lax.dot_general(
+                dz_c, ks[i], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if i > 0:
+                dz = dh * _gelu_grad(zs[i - 1], approx_gelu)
+        dx_ref[:] = dh.astype(dx_ref.dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+
+    dx = outs[0]
+    dks = tuple(outs[1 + 2 * i].astype(kernels[i].dtype)
+                for i in range(n_layers))
+    dbs = tuple(outs[2 + 2 * i].reshape(-1).astype(biases[i].dtype)
+                for i in range(n_layers))
+    if has_ln:
+        dln = (outs[1 + 2 * n_layers].reshape(-1).astype(ln[0].dtype),
+               outs[2 + 2 * n_layers].reshape(-1).astype(ln[1].dtype))
+    else:
+        dln = None
+    return dx, dks, dbs, dln
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_ff(n_layers: int, has_ln: bool, approx_gelu: bool,
+                   has_residual: bool, cd_name: str, interpret: bool):
+    cd = jnp.dtype(cd_name)
+    bkw = dict(n_layers=n_layers, has_ln=has_ln, approx_gelu=approx_gelu,
+               cd=cd, interpret=interpret)
+    fkw = dict(has_residual=has_residual, **bkw)
+
+    @jax.custom_vjp
+    def f(x, kernels, biases, ln, residual):
+        return _fwd_pallas(x, kernels, biases, ln, residual, **fkw)
+
+    def f_fwd(x, kernels, biases, ln, residual):
+        return f(x, kernels, biases, ln, residual), (x, kernels, biases, ln)
+
+    def f_bwd(res, g):
+        x, kernels, biases, ln = res
+        dx, dks, dbs, dln = _bwd_pallas(x, g, kernels, biases, ln, **bkw)
+        # residual enters the output additively -> its cotangent is g
+        dres = g if has_residual else None
+        return dx, dks, dbs, dln, dres
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fused_feedforward(x, kernels, biases, ln=None, residual=None, *,
+                      approx_gelu: bool = True,
+                      compute_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Fused Dense->GELU->...->Dense[->LayerNorm] chain.
+
+    x: (..., C_in). kernels: tuple of (in_i, out_i) f32 arrays with
+    matching chain dims. biases: tuple of (out_i,). ln: optional
+    (scale, bias) each (C_out,) to apply LayerNorm after the last linear.
+    residual: optional (..., C_out) tensor added to the output inside the
+    kernel (fuses the FFNO skip connection, saving one HBM round-trip).
+    Differentiable (custom VJP, recompute-based backward). Rows are tiled;
+    if the flattened row count has no aligned divisor the input is
+    zero-padded to a multiple of 256 (padded rows never contribute to
+    gradients because their cotangent is zero).
+    """
+    lead = x.shape[:-1]
+    c_in = x.shape[-1]
+    c_out = kernels[-1].shape[1]
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, c_in)
+    r2 = residual.reshape(n, c_out) if residual is not None else None
+    pad = 0
+    if _pick_tile(n) == 0:
+        pad = (-n) % 256
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if r2 is not None:
+            r2 = jnp.pad(r2, ((0, pad), (0, 0)))
+    f = _make_fused_ff(len(kernels), ln is not None, bool(approx_gelu),
+                       residual is not None,
+                       jnp.dtype(compute_dtype).name, bool(interpret))
+    out = f(x2, tuple(kernels), tuple(biases),
+            tuple(ln) if ln is not None else None, r2)
+    if pad:
+        out = out[:n]
+    return out.reshape(*lead, c_out)

@@ -334,3 +334,101 @@ def test_graph_surface(rng):
         build_dgl_graph_dataset()
     with pytest.raises(TypeError):
         SequentialDataSet()  # abstract
+
+
+# ---------------------------------------------------------------------------
+# single-file multires factories (ks_naive_multires.py, burger_naive_multires)
+# ---------------------------------------------------------------------------
+
+def test_ks_multires_factory_naive_and_resize(tmp_path):
+    from resolution_pde_tpu.data.dataset import MultiResDataset
+    from resolution_pde_tpu.data.factories import (
+        ks_multires_markov_dataset, ks_resize_multires_markov_dataset)
+
+    for name in ("KS_train.h5", "KS_valid.h5", "KS_test.h5"):
+        _write_ks_file(str(tmp_path / name), n=10, t=5, s=64,
+                       seed=hash(name) % 100)
+    for factory in (ks_multires_markov_dataset,
+                    ks_resize_multires_markov_dataset):
+        train, val, test, rollout, xn, yn = factory(
+            "KS_train.h5", str(tmp_path), reduced_resolution=2,
+            add_res=[16], num_add_res_samples=10)
+        # base bucket at 32 (reduced), extra bucket at 16
+        assert isinstance(train, MultiResDataset)
+        assert train.resolutions == [16, 32]
+        # extras apportioned 0.8/0.1/0.1: train got 8 trajectories x 4 pairs
+        assert len(train.buckets[16]) == 8 * 4
+        assert len(val.buckets[16]) == 1 * 4
+        x, y = train.buckets[16][0]
+        assert x.shape == (1, 16)
+        assert rollout is not None
+        # normalized: global stats approx zero-mean
+        flat = np.concatenate(
+            [d.x.reshape(-1) for d in train.buckets.values()])
+        assert abs(flat.mean()) < 0.2
+
+
+def test_burger_multires_factory_global_split(tmp_path):
+    from resolution_pde_tpu.data.dataset import MultiResDataset
+    from resolution_pde_tpu.data.factories import (
+        burger_multires_markov_dataset)
+
+    _write_pdebench_file(str(tmp_path / "burgers.h5"), n=20, t=8, s=64)
+    out = burger_multires_markov_dataset(
+        "burgers.h5", str(tmp_path), reduced_resolution=2,
+        add_res=[16], num_add_res_samples=10,
+        normalization_type="minmax")
+    train, val, test, rollout = out[:4]
+    mn_d, mx_d, mn_m, mx_m = out[4:]
+    assert isinstance(train, MultiResDataset)
+    assert set(train.resolutions) <= {16, 32}
+    # total samples conserved across the global random split:
+    # main 20 traj x 6 pairs + extras 8 traj x 6 pairs
+    total = len(train) + len(val) + len(test)
+    assert total == 20 * 6 + 8 * 6
+    assert len(train) == int(0.8 * total)
+    assert np.isfinite([mn_d, mx_d, mn_m, mx_m]).all()
+
+
+def test_burger_resize_true_multires_add_res(tmp_path):
+    import os as _os
+    from resolution_pde_tpu.data.factories import (
+        burger_resize_true_multires_markov_dataset)
+
+    for res in (64, 32):
+        d = tmp_path / f"burgers_{res}_0.001"
+        d.mkdir()
+        _write_pdebench_file(str(d / "1D_Burgers_Sols_Nu0.001.hdf5"),
+                             n=10, t=6, s=res, seed=res)
+    train, val, test, rollout, xn, yn = \
+        burger_resize_true_multires_markov_dataset(
+            str(tmp_path), viscosity=0.001,
+            data_mres_size={64: 0, 32: 8},
+            add_res=[16], add_res_samples={16: 10},
+            downsample_from_res=64, normalization_type="simple")
+    assert 16 in train.resolutions  # FFT-resized extras present
+    x, _ = train.buckets[16][0]
+    assert x.shape == (1, 16)
+
+
+def test_multi_file_active_matter_alias(tmp_path):
+    """The reference target name + file_pattern kwarg resolve and run
+    (active_matter_all_markov.py:285)."""
+    import h5py as _h5
+    from resolution_pde_tpu.configs import DATASET_FACTORIES
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        with _h5.File(str(tmp_path / f"active_matter_{i}.hdf5"), "w") as f:
+            g = f.create_group("t0_fields")
+            g.create_dataset(
+                "concentration",
+                data=rng.standard_normal((4, 5, 16, 16)).astype(np.float32))
+    fn = DATASET_FACTORIES[
+        "dataloaders.active_matter_all_markov."
+        "multi_file_active_matter_markov_dataset"]
+    out = fn(file_pattern="active_matter_*.hdf5",
+             saved_folder=str(tmp_path), max_files=1)
+    train, val, test, rollout = out[:4]
+    assert len(out) == 8  # minmax 7-tuple surface + rollout slot
+    assert len(train) > 0

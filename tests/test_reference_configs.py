@@ -1,0 +1,84 @@
+"""Every shipped reference dataset config must resolve against our
+registries: its `_target_` maps to a factory and the factory's signature
+binds the yaml's kwargs (VERDICT r1 item #2's acceptance test).
+
+Reads the PUBLIC reference's conf tree directly (no code import); skipped
+when /root/reference is absent.
+"""
+
+import glob
+import inspect
+import os
+
+import pytest
+import yaml
+
+REF_CONF = "/root/reference/conf"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_CONF), reason="reference snapshot not available")
+
+
+def _dataset_yamls():
+    return sorted(glob.glob(os.path.join(REF_CONF, "dataset", "*", "*.yaml")))
+
+
+def _model_yamls():
+    return sorted(glob.glob(os.path.join(REF_CONF, "model", "*", "*.yaml")))
+
+
+@pytest.mark.parametrize("path", _dataset_yamls(),
+                         ids=lambda p: "/".join(p.split("/")[-2:]))
+def test_dataset_target_resolves_and_binds(path):
+    from resolution_pde_tpu.configs import DATASET_FACTORIES
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    params = cfg.get("dataset_params")
+    if not params or "_target_" not in params:
+        pytest.skip("no dataset_params/_target_ in this yaml")
+    target = params["_target_"]
+    assert target in DATASET_FACTORIES, (
+        f"{os.path.basename(path)}: unresolved _target_ {target}")
+    fn = DATASET_FACTORIES[target]
+    kwargs = {k: v for k, v in params.items() if k != "_target_"}
+    # signature must BIND the yaml kwargs (catches renamed/missing params
+    # like the round-1 `pattern` vs `file_pattern` bug)
+    sig = inspect.signature(fn)
+    sig.bind(**kwargs)  # raises TypeError on mismatch
+    # ... and every kwarg the yaml names that is not swallowed by **kwargs
+    # must exist OR the factory must declare a VAR_KEYWORD catch-all
+    has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in sig.parameters.values())
+    if not has_var_kw:
+        for k in kwargs:
+            assert k in sig.parameters, (
+                f"{target} does not accept {k!r} and has no **kwargs")
+
+    # the eval-time target swap (naive_utils.py:84-93) must resolve too
+    eval_target = params.get("eval_dataset_target")
+    if eval_target:
+        short = eval_target.rsplit(".", 1)[-1]
+        assert (eval_target in DATASET_FACTORIES
+                or short in DATASET_FACTORIES), (
+            f"eval_dataset_target {eval_target} unresolved")
+
+
+@pytest.mark.parametrize("path", _model_yamls(),
+                         ids=lambda p: "/".join(p.split("/")[-2:]))
+def test_model_target_resolves(path):
+    from resolution_pde_tpu.models import MODEL_REGISTRY, get_model
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    if not cfg or "_target_" not in cfg:
+        pytest.skip("no _target_")
+    target = cfg["_target_"]
+    if target is None:
+        # conf/model/pos/pos.yaml ships `_target_: null` — the reference
+        # special-cases Poseidon in the driver (main_1d.py:106-110). Our
+        # registry must still resolve the 'pos' model group name.
+        assert "pos" in str(path)
+        get_model("pos")
+        return
+    get_model(target)  # raises KeyError if unknown
