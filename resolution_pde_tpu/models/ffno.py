@@ -32,6 +32,7 @@ from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_2d,
     factorized_spectral_conv_2d_dft,
     factorized_spectral_conv_2d_dft_v2,
+    factorized_spectral_conv_2d_dft_v3,
 )
 
 
@@ -140,10 +141,17 @@ class FSpectralConv2d(nn.Module):
                     x = factorized_spectral_conv_2d_dft_v2(
                         xin, wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
-                else:
+                elif self.spectral_impl == "dft_v3":
+                    x = factorized_spectral_conv_2d_dft_v3(
+                        xin, wy, wx, self.n_modes,
+                        gemm_dtype=self.compute_dtype).astype(dt)
+                elif self.spectral_impl == "fft":
                     x = factorized_spectral_conv_2d(
                         x.astype(jnp.float32), wy, wx,
                         self.n_modes).astype(dt)
+                else:
+                    raise ValueError(
+                        f"unknown spectral_impl {self.spectral_impl!r}")
             else:
                 raise ValueError(f"unsupported 2D mode {self.mode!r}")
         return FeedForward(

@@ -190,3 +190,18 @@ def test_dft_path_bf16_gemms_close(rng):
                                         gemm_dtype=jnp.bfloat16)
     rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
     assert rel < 0.05  # bf16 noise, f32 accumulation
+
+
+def test_dft_v3_matches_fft_path():
+    import numpy as np
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d, factorized_spectral_conv_2d_dft_v3)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 6)), jnp.float32)
+    wy = jnp.asarray(rng.standard_normal((6, 6, 5, 2)) * 0.3, jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((6, 6, 5, 2)) * 0.3, jnp.float32)
+    ref = factorized_spectral_conv_2d(x, wy, wx, 5)
+    out = factorized_spectral_conv_2d_dft_v3(x, wy, wx, 5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
