@@ -74,6 +74,14 @@ def _populate():
     register("models.s4_model.S4BaseModel", s4_base.S4BaseModel)
     register("models.s4seq_model.S4SeqModel", s4_base.S4SeqModel)
     register("models.s4seq_model.OneToSeqModel", s4_base.OneToSeqModel)
+    register("S4BaseSeqModel", s4_base.S4BaseSeqModel)
+    register("S4DualSeqModel", s4_base.S4DualSeqModel)
+    register("SeqAdd", s4_base.SeqAdd)
+    register("ChainModel", s4_base.ChainModel)
+    register("models.s4seq_model.S4BaseSeqModel", s4_base.S4BaseSeqModel)
+    register("models.s4seq_model.S4DualSeqModel", s4_base.S4DualSeqModel)
+    register("models.s4seq_model.SeqAdd", s4_base.SeqAdd)
+    register("models.s4seq_model.ChainModel", s4_base.ChainModel)
     register("models.mgpt.MoEGPTNO", mgpt.MoEGPTNO)
     from resolution_pde_tpu.models import poseidon
     register("SwinOperator2d", poseidon.SwinOperator2d)

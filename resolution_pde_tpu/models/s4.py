@@ -405,3 +405,41 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None):
         return new_state, y
 
     return init_state, step
+
+
+def dplr_recurrent_step_fn(kernel_params, L: int):
+    """Recurrent step for the FULL S4 (DPLR) kernel — the TPU replacement
+    for SSMKernelDPLR._setup_step/step (models/s4.py:1190-1218, 1787-1807).
+
+    kernel_params: a DPLRKernelLayer param subtree. L is the kernel length
+    the layer was trained at (the C recovery inverts I - Abar^L).
+    Returns (init_state, step) with state (B, H, N) complex; y matches the
+    convolutional output exactly (tests/test_s4.py).
+    """
+    log_dt = kernel_params["log_dt"]                       # (H,)
+    Lam = jax.lax.complex(-jnp.exp(kernel_params["Lambda_log_neg_re"]),
+                          kernel_params["Lambda_im"])      # (H, N)
+    P = jax.lax.complex(kernel_params["P_vec"][..., 0],
+                        kernel_params["P_vec"][..., 1])
+    B = jax.lax.complex(kernel_params["B_vec"][..., 0],
+                        kernel_params["B_vec"][..., 1])
+    c = kernel_params["C"][0]                              # channel 0
+    C_t = jax.lax.complex(c[..., 0], c[..., 1])            # (H, N)
+
+    Ab, Bb, C = jax.vmap(
+        lambda lam, p, b, ct, ld: ssm_ops.discretize_dplr(
+            lam, p, b, ct, ld, L)
+    )(Lam, P, B, C_t, log_dt)                              # (H,N,N),(H,N),(H,N)
+    h, n = Lam.shape
+
+    def init_state(batch: int):
+        return jnp.zeros((batch, h, n), dtype=Ab.dtype)
+
+    def step(state, u):
+        """state (B, H, N); u (B, H) -> (new_state, y (B, H))."""
+        new_state = (jnp.einsum("hij,bhj->bhi", Ab, state)
+                     + Bb[None] * u[..., None])
+        y = jnp.real(jnp.einsum("hn,bhn->bh", jnp.conj(C), new_state))
+        return new_state, y
+
+    return init_state, step

@@ -182,3 +182,175 @@ def predict_chunked(apply_fn, x0, grid, n_timesteps: int,
         y_new = apply_fn(x_, grid, pred_steps)[:, -lg_length:]
         y = jnp.concatenate([y, y_new], axis=1)
     return y[:, :n_timesteps]
+
+
+# ---------------------------------------------------------------------------
+# Sequence-model family tail (models/s4seq_model.py:22, 156, 333, 495)
+# ---------------------------------------------------------------------------
+
+class S4BaseSeqModel(nn.Module):
+    """Sequence-in/sequence-out S4 backbone (s4seq_model.py:22-113):
+    x (B, T, S, V) + grid (B, S, 1) -> (B, T, S, d_output); space is
+    flattened into batch and causal S4 runs over TIME.
+
+    The reference's setup_step/step/default_state recurrent API is the
+    functional pair from `s4seq_recurrent_fns` (lax.scan-ready)."""
+
+    d_input: int
+    d_output: int = 1
+    d_model: int = 128
+    n_layers: int = 4
+    exo_dropout: float = 0.0
+    interlayer_act: Optional[str] = None
+    mode: str = "diag"
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        b, t, s, v = x.shape
+        input_shape = x.shape
+        g = jnp.broadcast_to(grid[:, None], (b, t, s, grid.shape[-1]))
+        x = jnp.concatenate([x, g], axis=-1)
+        x = iop.batch_space(x)  # ((B S), T, V+1)
+        x = nn.Dense(self.d_model)(x)
+        for _ in range(self.n_layers):
+            z = S4Block(self.d_model, mode=self.mode)(x, deterministic)
+            if self.exo_dropout > 0.0:
+                z = nn.Dropout(self.exo_dropout,
+                               deterministic=deterministic)(z)
+            x = z + x
+            if self.interlayer_act:
+                x = ACTIVATIONS[self.interlayer_act](x)
+        x = nn.Dense(self.d_output)(x)
+        return iop.unbatch_space(x, input_shape)
+
+
+class S4DualSeqModel(nn.Module):
+    """Alternating space/time S4 stack (s4seq_model.py:156-331): per layer
+    the processor decides the scan axis — 'BatchTime' flattens time into
+    batch and runs (optionally bidirectional) S4 over SPACE; 'BatchSpace'
+    flattens space into batch and runs causal S4 over TIME (the reference
+    asserts bidirectional=False there for causality, s4seq_model.py:188).
+
+    x (B, T, S, V) + grid (B, S, 1) -> (B, T, S, d_output)."""
+
+    d_input: int
+    d_output: int = 1
+    d_model: int = 128
+    n_layers: int = 4
+    layer_processors: Sequence[str] = ("BatchTime", "BatchSpace")
+    bidirectional_space: bool = True
+    mode: str = "diag"
+    exo_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        b, t, s, v = x.shape
+        g = jnp.broadcast_to(grid[:, None], (b, t, s, grid.shape[-1]))
+        x = jnp.concatenate([x, g], axis=-1)
+        x = nn.Dense(self.d_model)(x)
+        d = self.d_model
+        for i in range(self.n_layers):
+            proc = self.layer_processors[i % len(self.layer_processors)]
+            if proc == "BatchTime":
+                # time -> batch; bidirectional S4 over SPACE
+                z = x.reshape(b * t, s, d)
+                z = S4Block(d, mode=self.mode,
+                            bidirectional=self.bidirectional_space)(
+                    z, deterministic)
+                z = z.reshape(b, t, s, d)
+            elif proc == "BatchSpace":
+                # space -> batch; causal S4 over TIME
+                z = jnp.moveaxis(x, 1, 2).reshape(b * s, t, d)
+                z = S4Block(d, mode=self.mode, bidirectional=False)(
+                    z, deterministic)
+                z = jnp.moveaxis(z.reshape(b, s, t, d), 2, 1)
+            else:
+                raise ValueError(f"unknown layer processor {proc!r}")
+            if self.exo_dropout > 0.0:
+                z = nn.Dropout(self.exo_dropout,
+                               deterministic=deterministic)(z)
+            x = z + x
+        return nn.Dense(self.d_output)(x)
+
+
+class SeqAdd(nn.Module):
+    """Sum of two sequence models (s4seq_model.py:333-352)."""
+
+    model1: nn.Module
+    model2: nn.Module
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        return (self.model1(x, grid, deterministic)
+                + self.model2(x, grid, deterministic))
+
+
+class ChainModel(nn.Module):
+    """Temporal super-resolution wrapper (s4seq_model.py:495-527): insert
+    chain_length-1 zero frames between the input timesteps, run the inner
+    sequence model at the fine time grid, read every chain_length-th
+    output. x layout (B, T, S, V) (the reference uses trailing time; our
+    drivers are time-first)."""
+
+    model: nn.Module
+    chain_length: int = 2
+
+    @nn.compact
+    def __call__(self, x, grid, deterministic: bool = True):
+        b, t = x.shape[:2]
+        inp = jnp.zeros((b, t * self.chain_length) + x.shape[2:], x.dtype)
+        inp = inp.at[:, :: self.chain_length].set(x)
+        y = self.model(inp, grid, deterministic)
+        return y[:, self.chain_length - 1 :: self.chain_length]
+
+
+def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
+                        L_train: int):
+    """Build the recurrent (init_state, step) pair for an
+    S4BaseSeqModel/S4SeqModel param tree — the TPU-functional equivalent of
+    the reference's setup_step/default_state/step
+    (s4seq_model.py:58-113).
+
+    step(state, x_t, grid) consumes one timestep x_t (B_, V) with grid
+    (B_, G) (B_ = batch*space after flattening) and returns
+    (y_t (B_, d_output), new_state). Outputs match the causal
+    convolutional forward exactly (tests/test_s4_base_mgpt.py).
+    """
+    from resolution_pde_tpu.models.s4 import (
+        dplr_recurrent_step_fn, s4d_recurrent_step_fn)
+
+    p = params["params"] if "params" in params else params
+    enc_k, enc_b = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+    dec_k, dec_b = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+    layers = []
+    for i in range(n_layers):
+        blk = p[f"S4Block_{i}"]
+        conv = blk["FFTConvLayer_0"]
+        if mode == "diag":
+            init_s, kstep = s4d_recurrent_step_fn(conv["S4DKernelLayer_0"])
+        else:
+            init_s, kstep = dplr_recurrent_step_fn(
+                conv["DPLRKernelLayer_0"], L_train)
+        layers.append((init_s, kstep, conv["D"][0],
+                       blk["Dense_0"]["kernel"], blk["Dense_0"]["bias"]))
+
+    def init_state(batch: int):
+        return [layer[0](batch) for layer in layers]
+
+    def step(state, x_t, grid):
+        import jax
+
+        h = jnp.concatenate([x_t, grid], axis=-1) @ enc_k + enc_b
+        new_states = []
+        for (init_s, kstep, D, glu_k, glu_b), s in zip(layers, state):
+            s2, y = kstep(s, h)
+            y = y + D[None] * h            # FFTConv D bypass (s4.py:1762)
+            y = jax.nn.gelu(y, approximate=False)
+            y2 = y @ glu_k + glu_b         # S4Block GLU output
+            y = (y2[..., :d_model]
+                 * jax.nn.sigmoid(y2[..., d_model:]))
+            h = y + h                      # residual
+            new_states.append(s2)
+        return h @ dec_k + dec_b, new_states
+
+    return init_state, step

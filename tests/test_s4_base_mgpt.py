@@ -3,6 +3,7 @@ MoE-GPT operator."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from resolution_pde_tpu.models import io_processors as iop
@@ -114,3 +115,104 @@ def test_moe_gpt_fourier_embedding(rng):
     x = jnp.asarray(rng.standard_normal((2, 5, 3)), jnp.float32)
     out = horizontal_fourier_embedding(x, n=3)
     assert out.shape == (2, 5, 3 * (4 * 3 + 3))
+
+
+# ---------------------------------------------------------------------------
+# seq-model family tail (s4seq_model.py:22,156,333,495) + recurrent stepping
+# ---------------------------------------------------------------------------
+
+def _seq_inputs(rng, b=2, t=10, s=6, v=1):
+    x = jnp.asarray(rng.standard_normal((b, t, s, v)), jnp.float32)
+    grid = jnp.asarray(
+        np.broadcast_to(np.linspace(0, 1, s)[None, :, None], (b, s, 1)),
+        jnp.float32)
+    return x, grid
+
+
+def test_s4baseseq_forward_shapes(rng):
+    from resolution_pde_tpu.models.s4_base import S4BaseSeqModel
+
+    x, grid = _seq_inputs(rng)
+    m = S4BaseSeqModel(d_input=1, d_output=1, d_model=16, n_layers=2)
+    p = m.init(jax.random.key(0), x, grid)
+    y = m.apply(p, x, grid)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("mode", ["diag", "dplr"])
+def test_s4seq_conv_equals_recurrent_step(rng, mode):
+    """Model-level: causal convolutional forward == lax.scan over the
+    recurrent step built from the SAME params (the reference's
+    setup_step/step contract, s4seq_model.py:58-113)."""
+    from resolution_pde_tpu.models.s4_base import (
+        S4BaseSeqModel, s4seq_recurrent_fns)
+
+    b, t, s, v, d = 2, 8, 4, 1, 12
+    x, grid = _seq_inputs(rng, b, t, s, v)
+    m = S4BaseSeqModel(d_input=v, d_output=1, d_model=d, n_layers=2,
+                       mode=mode)
+    p = m.init(jax.random.key(0), x, grid)
+    y_conv = np.asarray(m.apply(p, x, grid))  # (B, T, S, 1)
+
+    init_state, step = s4seq_recurrent_fns(p, d, 2, mode, L_train=t)
+    # flatten space into batch exactly like the model does
+    xt = np.moveaxis(np.asarray(x), 1, 2).reshape(b * s, t, v)
+    gt = np.asarray(grid).reshape(b * s, 1)
+    state = init_state(b * s)
+    ys = []
+    for k in range(t):
+        y_k, state = step(state, jnp.asarray(xt[:, k]), jnp.asarray(gt))
+        ys.append(np.asarray(y_k))
+    y_rec = np.stack(ys, axis=1).reshape(b, s, t, 1)
+    y_rec = np.moveaxis(y_rec, 1, 2)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=2e-3, atol=2e-4)
+
+
+def test_s4dualseq_alternates_axes(rng):
+    from resolution_pde_tpu.models.s4_base import S4DualSeqModel
+
+    x, grid = _seq_inputs(rng, b=2, t=6, s=8)
+    m = S4DualSeqModel(d_input=1, d_output=2, d_model=16, n_layers=2)
+    p = m.init(jax.random.key(0), x, grid)
+    y = m.apply(p, x, grid)
+    assert y.shape == (2, 6, 8, 2)
+    # causality of the time layers: changing a LATE timestep must not
+    # change an early output
+    x2 = x.at[:, -1].add(10.0)
+    y2 = m.apply(p, x2, grid)
+    np.testing.assert_allclose(np.asarray(y2[:, 0]), np.asarray(y[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seqadd_and_chainmodel(rng):
+    from resolution_pde_tpu.models.s4_base import (
+        ChainModel, S4BaseSeqModel, SeqAdd)
+
+    x, grid = _seq_inputs(rng, t=4)
+    m1 = S4BaseSeqModel(d_input=1, d_output=1, d_model=8, n_layers=1)
+    m2 = S4BaseSeqModel(d_input=1, d_output=1, d_model=8, n_layers=1)
+    add = SeqAdd(model1=m1, model2=m2)
+    p = add.init(jax.random.key(0), x, grid)
+    y = add.apply(p, x, grid)
+    assert y.shape == x.shape
+    # sum semantics: equals applying each submodel with its own params
+    y1 = m1.apply({"params": p["params"]["model1"]}, x, grid)
+    y2 = m2.apply({"params": p["params"]["model2"]}, x, grid)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1 + y2),
+                               rtol=1e-5, atol=1e-6)
+
+    chain = ChainModel(model=m1, chain_length=3)
+    pc = chain.init(jax.random.key(1), x, grid)
+    yc = chain.apply(pc, x, grid)
+    assert yc.shape == x.shape  # one output per input timestep
+
+
+def test_registry_resolves_seq_family():
+    from resolution_pde_tpu.models import get_model
+
+    for name in ("models.s4seq_model.S4BaseSeqModel",
+                 "models.s4seq_model.S4DualSeqModel",
+                 "models.s4seq_model.SeqAdd",
+                 "models.s4seq_model.ChainModel"):
+        get_model(name)
