@@ -85,7 +85,10 @@ def _populate():
     register("models.mgpt.MoEGPTNO", mgpt.MoEGPTNO)
     from resolution_pde_tpu.models import poseidon
     register("SwinOperator2d", poseidon.SwinOperator2d)
-    register("pos", poseidon.SwinOperator2d)
+    # 'pos' resolves to the full hierarchical ScOT port (conf/model/pos)
+    register("ScOT2d", poseidon.ScOT2d)
+    register("pos", poseidon.ScOT2d)
+    register("scOT.model.ScOT", poseidon.ScOT2d)
 
 
 _populate()

@@ -164,3 +164,98 @@ IMPORTERS = {
     "ffno1d": import_ffno1d,
     "ffno2d": import_ffno2d,
 }
+
+
+# ---------------------------------------------------------------------------
+# ScOT / SwinV2 (Poseidon) import — HF-named state dicts
+# ---------------------------------------------------------------------------
+
+def _t2j(v):
+    """Accept numpy arrays or live torch tensors."""
+    try:
+        v = v.detach().numpy()
+    except AttributeError:
+        pass
+    return np.asarray(v)
+
+
+def swinv2_block_params_from_sd(sd: dict, prefix: str) -> dict:
+    """Map one HF Swinv2Layer from a torch state_dict onto our
+    models.poseidon.Swinv2Block param tree (names as in
+    transformers.models.swinv2: `{prefix}.attention.self.query.weight` ...).
+
+    This is the building block for importing scOT/Poseidon checkpoints —
+    scOT's transformer blocks are HF SwinV2 blocks, so its state dict uses
+    this naming for every encoder/decoder block. Validated against
+    transformers in tests/test_poseidon.py."""
+    def lin(name, bias=True):
+        out = {"kernel": _t2j(sd[f"{prefix}.{name}.weight"]).T}
+        if bias:
+            out["bias"] = _t2j(sd[f"{prefix}.{name}.bias"])
+        return out
+
+    def ln(name):
+        return {"scale": _t2j(sd[f"{prefix}.{name}.weight"]),
+                "bias": _t2j(sd[f"{prefix}.{name}.bias"])}
+
+    return {
+        "attention": {
+            "query": lin("attention.self.query"),
+            "key": lin("attention.self.key", bias=False),
+            "value": lin("attention.self.value"),
+            "logit_scale": _t2j(sd[f"{prefix}.attention.self.logit_scale"]),
+            "cpb_mlp0": lin(
+                "attention.self.continuous_position_bias_mlp.0"),
+            "cpb_mlp1": lin(
+                "attention.self.continuous_position_bias_mlp.2",
+                bias=False),
+            "proj": lin("attention.output.dense"),
+        },
+        "layernorm_before": {"LayerNorm_0": ln("layernorm_before")},
+        "layernorm_after": {"LayerNorm_0": ln("layernorm_after")},
+        "intermediate": lin("intermediate.dense"),
+        "output": lin("output.dense"),
+    }
+
+
+def import_scot_encoder(sd: dict, depths, base="swinv2") -> dict:
+    """Map an HF Swinv2Model-style encoder state dict (patch embeddings +
+    stages of blocks + patch-merging downsamples) onto the corresponding
+    ScOT2d param subtrees. Returns a partial param dict with keys
+    patch_embed/patch_norm/enc{i}_block{j}/merge{i}.
+
+    Poseidon checkpoints carry more (decoder, conditioning, heads); this
+    covers the encoder half whose naming is fixed by transformers. Raises
+    KeyError listing what is missing so adapting to a given checkpoint's
+    exact layout is mechanical."""
+    params = {
+        "patch_embed": {
+            "kernel": _t2j(
+                sd[f"{base}.embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": _t2j(
+                sd[f"{base}.embeddings.patch_embeddings.projection.bias"]),
+        },
+        "patch_norm": {
+            "scale": _t2j(sd[f"{base}.embeddings.norm.weight"]),
+            "bias": _t2j(sd[f"{base}.embeddings.norm.bias"]),
+        },
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            params[f"enc{i}_block{j}"] = swinv2_block_params_from_sd(
+                sd, f"{base}.encoder.layers.{i}.blocks.{j}")
+        dkey = f"{base}.encoder.layers.{i}.downsample.reduction.weight"
+        if dkey in sd:
+            params[f"merge{i}"] = {
+                "reduction": {"kernel": _t2j(sd[dkey]).T},
+                "norm": {
+                    "scale": _t2j(
+                        sd[f"{base}.encoder.layers.{i}.downsample"
+                           ".norm.weight"]),
+                    "bias": _t2j(
+                        sd[f"{base}.encoder.layers.{i}.downsample"
+                           ".norm.bias"]),
+                },
+            }
+    return params

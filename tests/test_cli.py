@@ -146,3 +146,42 @@ def test_scientific_notation_overrides():
     assert cfg.training.eta_min == pytest.approx(5e-6)
     assert cfg.dataset.dataset_params.num_samples_max == 100
     assert isinstance(cfg.dataset.dataset_params.num_samples_max, int)
+
+
+# ---------------------------------------------------------------------------
+# every shipped config must load + instantiate (data-file-free)
+# ---------------------------------------------------------------------------
+
+def _shipped(group):
+    import glob as g
+    import os
+    from resolution_pde_tpu import configs as C
+    d = os.path.join(os.path.dirname(C.__file__), group)
+    return sorted(os.path.basename(p)[:-5]
+                  for p in g.glob(os.path.join(d, "*.yaml")))
+
+
+@pytest.mark.parametrize("name", _shipped("model"))
+def test_every_shipped_model_config_instantiates(name):
+    from resolution_pde_tpu.configs import load_config, instantiate_model
+
+    cfg = load_config(model=name)
+    extra = {}
+    if "cno" in name:
+        extra["size"] = 64  # the driver injects cno_train_size (common.py:78)
+    model = instantiate_model(cfg.model, **extra)
+    assert model is not None
+
+
+@pytest.mark.parametrize("name", _shipped("dataset"))
+def test_every_shipped_dataset_config_resolves(name):
+    import inspect
+    from resolution_pde_tpu.configs import DATASET_FACTORIES, load_config
+
+    cfg = load_config(dataset=name)
+    params = dict(cfg.dataset.dataset_params)
+    target = params.pop("_target_")
+    if target not in DATASET_FACTORIES:
+        target = target.rsplit(".", 1)[-1]
+    assert target in DATASET_FACTORIES
+    inspect.signature(DATASET_FACTORIES[target]).bind(**params)

@@ -58,3 +58,184 @@ def test_swin_operator_trains(rng):
 def test_pretrained_poseidon_requires_scot():
     with pytest.raises(ImportError, match="scOT"):
         load_pretrained_poseidon()
+
+
+# ---------------------------------------------------------------------------
+# ScOT port: golden parity of the SwinV2 block vs transformers (torch)
+# ---------------------------------------------------------------------------
+
+def _swinv2_block_params_from_torch(layer):
+    """Map a transformers Swinv2Layer state onto our Swinv2Block tree."""
+    import numpy as np
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    att = layer.attention
+    return {
+        "attention": {
+            "query": {"kernel": t2j(att.self.query.weight).T,
+                      "bias": t2j(att.self.query.bias)},
+            "key": {"kernel": t2j(att.self.key.weight).T},
+            "value": {"kernel": t2j(att.self.value.weight).T,
+                      "bias": t2j(att.self.value.bias)},
+            "logit_scale": t2j(att.self.logit_scale),
+            "cpb_mlp0": {
+                "kernel": t2j(att.self.continuous_position_bias_mlp[0]
+                              .weight).T,
+                "bias": t2j(att.self.continuous_position_bias_mlp[0].bias)},
+            "cpb_mlp1": {
+                "kernel": t2j(att.self.continuous_position_bias_mlp[2]
+                              .weight).T},
+            "proj": {"kernel": t2j(att.output.dense.weight).T,
+                     "bias": t2j(att.output.dense.bias)},
+        },
+        "layernorm_before": {"LayerNorm_0": {
+            "scale": t2j(layer.layernorm_before.weight),
+            "bias": t2j(layer.layernorm_before.bias)}},
+        "layernorm_after": {"LayerNorm_0": {
+            "scale": t2j(layer.layernorm_after.weight),
+            "bias": t2j(layer.layernorm_after.bias)}},
+        "intermediate": {"kernel": t2j(layer.intermediate.dense.weight).T,
+                         "bias": t2j(layer.intermediate.dense.bias)},
+        "output": {"kernel": t2j(layer.output.dense.weight).T,
+                   "bias": t2j(layer.output.dense.bias)},
+    }
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_swinv2_block_matches_transformers(rng, shift):
+    """Our flax SwinV2 block (cosine attention + log-CPB + post-norm) must
+    reproduce transformers.models.swinv2.Swinv2Layer with transplanted
+    weights — the golden target for the scOT port."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.swinv2.modeling_swinv2 import (
+        Swinv2Config, Swinv2Layer)
+    from resolution_pde_tpu.models.poseidon import Swinv2Block
+
+    dim, heads, ws, h, w = 16, 4, 4, 8, 8
+    cfg = Swinv2Config(embed_dim=dim, window_size=ws, qkv_bias=True,
+                       mlp_ratio=4.0, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0,
+                       hidden_act="gelu", layer_norm_eps=1e-5)
+    torch.manual_seed(0)
+    ref = Swinv2Layer(cfg, dim=dim, input_resolution=(h, w),
+                      num_heads=heads, shift_size=shift)
+    ref.eval()
+
+    x = rng.standard_normal((2, h * w, dim)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x), (h, w))[0].numpy()
+
+    blk = Swinv2Block(dim, heads, ws, shift=shift, use_conditioning=False)
+    params = {"params": _swinv2_block_params_from_torch(ref)}
+    y = blk.apply(params, jnp.asarray(x.reshape(2, h, w, dim)), None)
+    np.testing.assert_allclose(np.asarray(y).reshape(2, h * w, dim), y_ref,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_swinv2_patch_merging_matches_transformers(rng):
+    torch = pytest.importorskip("torch")
+    from transformers.models.swinv2.modeling_swinv2 import (
+        Swinv2PatchMerging)
+    from resolution_pde_tpu.models.poseidon import PatchMerging
+
+    dim, h, w = 8, 6, 6
+    torch.manual_seed(1)
+    ref = Swinv2PatchMerging((h, w), dim)
+    ref.eval()
+    x = rng.standard_normal((2, h * w, dim)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x), (h, w)).numpy()
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    params = {"params": {
+        "reduction": {"kernel": t2j(ref.reduction.weight).T},
+        "norm": {"scale": t2j(ref.norm.weight),
+                 "bias": t2j(ref.norm.bias)},
+    }}
+    y = PatchMerging().apply(params, jnp.asarray(x.reshape(2, h, w, dim)))
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(2, (h // 2) * (w // 2), 2 * dim), y_ref,
+        rtol=2e-5, atol=2e-6)
+
+
+def test_scot2d_full_model_and_conditioning(rng):
+    """U-shaped ScOT: forward shape, finite output, and lead-time
+    conditioning actually changes the output (pos.yaml use_conditioning)."""
+    from resolution_pde_tpu.models.poseidon import ScOT2d
+
+    m = ScOT2d(num_channels=2, num_out_channels=2, patch_size=4,
+               embed_dim=16, depths=(2, 2, 2), num_heads=(2, 2, 4),
+               skip_connections=(2, 2, 0), window_size=4)
+    x = jnp.asarray(rng.standard_normal((2, 2, 32, 32)), jnp.float32)
+    p = m.init(jax.random.key(0), x, 0.5)
+    y1 = m.apply(p, x, 0.5)["output"]
+    assert y1.shape == (2, 2, 32, 32)
+    assert np.isfinite(np.asarray(y1)).all()
+    # zero-init conditioning is identity at init -> train a step to make
+    # the time MLPs nonzero? cheaper: perturb an alpha param directly
+    import flax
+    flat = flax.traverse_util.flatten_dict(p["params"])
+    for k in flat:
+        if "alpha" in k and k[-1] == "kernel":
+            flat[k] = flat[k] + 0.5
+            break
+    p2 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    ya = m.apply(p2, x, 0.1)["output"]
+    yb = m.apply(p2, x, 0.9)["output"]
+    assert float(jnp.max(jnp.abs(ya - yb))) > 1e-4
+
+
+def test_scot2d_registered_as_pos():
+    from resolution_pde_tpu.models import get_model
+    from resolution_pde_tpu.models.poseidon import ScOT2d
+
+    assert get_model("pos") is ScOT2d
+    assert get_model("ScOT2d") is ScOT2d
+
+
+def test_swinv2_block_sd_importer_matches(rng):
+    """State-dict-level importer (utils.torch_import) produces the same
+    forward as the module-attribute transplant."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.swinv2.modeling_swinv2 import (
+        Swinv2Config, Swinv2Layer)
+    from resolution_pde_tpu.models.poseidon import Swinv2Block
+    from resolution_pde_tpu.utils.torch_import import (
+        swinv2_block_params_from_sd)
+
+    dim, heads, ws, h, w = 16, 4, 4, 8, 8
+    cfg = Swinv2Config(embed_dim=dim, window_size=ws)
+    torch.manual_seed(2)
+    ref = Swinv2Layer(cfg, dim=dim, input_resolution=(h, w),
+                      num_heads=heads, shift_size=0)
+    ref.eval()
+    sd = {f"blk.{k}": v.detach().numpy() for k, v in
+          ref.state_dict().items()}
+    params = {"params": swinv2_block_params_from_sd(sd, "blk")}
+    x = rng.standard_normal((2, h * w, dim)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x), (h, w))[0].numpy()
+    blk = Swinv2Block(dim, heads, ws, shift=0, use_conditioning=False)
+    y = blk.apply(params, jnp.asarray(x.reshape(2, h, w, dim)), None)
+    np.testing.assert_allclose(np.asarray(y).reshape(2, h * w, dim), y_ref,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_scot_checkpoint_import_gated(tmp_path):
+    """Full pretrained-Poseidon parity needs a real scOT checkpoint (no
+    network egress in this environment). When one exists locally, import
+    its encoder and run; otherwise skip."""
+    import os
+    ckpt = os.environ.get("POSEIDON_CKPT", "/root/data/poseidon_b.pt")
+    if not os.path.exists(ckpt):
+        pytest.skip("no local Poseidon/scOT checkpoint")
+    from resolution_pde_tpu.utils.torch_import import (
+        import_scot_encoder, load_torch_state_dict)
+
+    sd = load_torch_state_dict(ckpt)
+    params = import_scot_encoder(sd, depths=(8, 8, 8, 8))
+    assert "patch_embed" in params
