@@ -28,6 +28,13 @@ def main(argv=None, spatial_ndim: int = 1):
     bundle = common.unpack_data(data, norm_type)
 
     batch_size = cfg.training.get("batch_size", 16)
+    if spatial_ndim == 2:
+        # reference main_2d.py:88-94 scales the global batch by the device
+        # count so the per-device batch stays constant under DataParallel;
+        # mirror it over the mesh's data-parallel extent
+        from resolution_pde_tpu.parallel.mesh import (data_axis_size,
+                                                      make_mesh)
+        batch_size *= data_axis_size(make_mesh())
     train_loader, val_loader, test_loader = common.build_loaders(
         bundle, batch_size, cfg.dataset.get("train_mres", False),
         seed=cfg.training.get("seed", 0))

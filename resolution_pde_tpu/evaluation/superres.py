@@ -26,7 +26,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from resolution_pde_tpu.evaluation.frequency import (
+    finalize_frequency_1d,
+    finalize_frequency_2d,
+    spectrum_sums_1d,
+    spectrum_sums_2d,
+)
 from resolution_pde_tpu.ops.losses import relative_l2
+
+_spectrum_sums_1d = jax.jit(spectrum_sums_1d)
+_spectrum_sums_2d = jax.jit(spectrum_sums_2d)
 from resolution_pde_tpu.ops.resize import fft_resize_1d, fft_resize_2d
 
 
@@ -90,7 +99,8 @@ def evaluate_all_resolutions(
         try:
             ds = dataset_builder(target_res)
             total, n = 0.0, 0
-            preds, targets = [], []
+            err_acc = mag_acc = None
+            spatial_shape = None
             for i in range(0, len(ds), batch_size):
                 bx = jnp.asarray(ds.x[i:i + batch_size])
                 by = jnp.asarray(ds.y[i:i + batch_size])
@@ -101,12 +111,24 @@ def evaluate_all_resolutions(
                 total += float(relative_l2(pred, by))
                 n += 1
                 if analyze_frequencies:
-                    preds.append(np.asarray(pred))
-                    targets.append(np.asarray(by))
+                    # accumulate the additive spectra DEVICE-side; no host
+                    # transfer of full prediction tensors (r1 weak #5)
+                    sums = (_spectrum_sums_1d if spatial_ndim == 1
+                            else _spectrum_sums_2d)(pred, by)
+                    spatial_shape = by.shape[2:]
+                    if err_acc is None:
+                        err_acc, mag_acc = sums
+                    else:
+                        err_acc = err_acc + sums[0]
+                        mag_acc = mag_acc + sums[1]
             results[target_res] = total / max(n, 1)
-            if analyze_frequencies:
-                frequency_data[target_res] = (
-                    np.concatenate(preds), np.concatenate(targets))
+            if analyze_frequencies and err_acc is not None:
+                if spatial_ndim == 1:
+                    frequency_data[target_res] = finalize_frequency_1d(
+                        err_acc, mag_acc, spatial_shape[-1])
+                else:
+                    frequency_data[target_res] = finalize_frequency_2d(
+                        err_acc, mag_acc, *spatial_shape)
         except Exception as e:  # defensive per-resolution guard
             if strict:
                 raise

@@ -162,7 +162,7 @@ class Trainer:
         optimizer = self.optimizer
 
         @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, x, y, y_normalizer):
+        def train_step(state: TrainState, x, y, y_normalizer, weights=None):
             key = jax.random.fold_in(state.dropout_key, state.step)
             mutable = list(state.model_state)
 
@@ -180,7 +180,8 @@ class Trainer:
                     )
                     new_model_state = state.model_state
                 pred, target = self._decode_for_loss(pred, y, y_normalizer)
-                return relative_l2(pred, target), new_model_state
+                return (relative_l2(pred, target, weights=weights),
+                        new_model_state)
 
             (loss, new_model_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -200,11 +201,11 @@ class Trainer:
         model = self.model
 
         @jax.jit
-        def eval_step(params, model_state, x, y, y_normalizer):
+        def eval_step(params, model_state, x, y, y_normalizer, weights=None):
             variables = {"params": params, **model_state}
             pred = model.apply(variables, x, deterministic=True)
             pred, target = self._decode_for_loss(pred, y, y_normalizer)
-            return relative_l2(pred, target)
+            return relative_l2(pred, target, weights=weights)
 
         return eval_step
 
@@ -213,8 +214,9 @@ class Trainer:
         total, n = 0.0, 0
         losses = []
         for x, y in loader:
-            x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
-            state, loss = self._train_step(state, x, y, self.y_normalizer)
+            (x, y), w = shard_batch((jnp.asarray(x), jnp.asarray(y)),
+                                    self.mesh)
+            state, loss = self._train_step(state, x, y, self.y_normalizer, w)
             losses.append(loss)
             n += 1
         # one host sync per epoch, not per batch
@@ -229,9 +231,10 @@ class Trainer:
             y_normalizer = self.y_normalizer
         total, n = 0.0, 0
         for x, y in loader:
-            x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
+            (x, y), w = shard_batch((jnp.asarray(x), jnp.asarray(y)),
+                                    self.mesh)
             total += float(self._eval_step(state.params, state.model_state,
-                                           x, y, y_normalizer))
+                                           x, y, y_normalizer, w))
             n += 1
         return total / max(n, 1)
 
@@ -240,13 +243,13 @@ class Trainer:
         """Capture a jax.profiler trace of the train step (the tracing
         subsystem the reference lacks, SURVEY.md §5.1). View with
         TensorBoard or xprof."""
-        x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
-        state, loss = self._train_step(state, x, y, self.y_normalizer)
+        (x, y), w = shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
+        state, loss = self._train_step(state, x, y, self.y_normalizer, w)
         jax.block_until_ready(loss)
         with jax.profiler.trace(trace_dir):
             for _ in range(n_steps):
                 state, loss = self._train_step(state, x, y,
-                                               self.y_normalizer)
+                                               self.y_normalizer, w)
             jax.block_until_ready(loss)
         return state, trace_dir
 

@@ -160,7 +160,9 @@ def test_evaluate_all_resolutions_sweep(rng):
         analyze_frequencies=True)
     assert set(out["results"]) == {32, 64, 128}
     assert all(np.isfinite(v) for v in out["results"].values())
-    assert out["frequency_data"][64][0].shape == (8, 1, 64)
+    err, mag, freqs = out["frequency_data"][64]
+    assert err.shape == mag.shape == freqs.shape == (64 // 2 + 1,)
+    assert np.isfinite(err).all() and np.isfinite(mag).all()
 
 
 def test_evaluate_all_resolutions_defensive(rng):
