@@ -6,6 +6,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -71,7 +72,18 @@ def main(argv=None, spatial_ndim: int = 1):
     variables = {"params": state.params, **state.model_state}
 
     # --- super-resolution sweep (naive_utils / resize_utils) ---
+    save_figures = bool(cfg.get("save_figures",
+                                cfg.training.get("save_figures", False)))
+    fig_dir = None
+    if save_figures:
+        # reference writes figures/<job_id> (main_1d.py:208-210)
+        import time as _time
+
+        fig_dir = os.path.join(
+            "figures", f"{cfg.project_name}_{int(_time.time())}")
+
     results = {}
+    sweep = None
     if cfg.dataset.get("max_test_resolution"):
         sweep = evaluate_all_resolutions(
             model, variables, common.make_superres_builder(cfg),
@@ -82,6 +94,8 @@ def main(argv=None, spatial_ndim: int = 1):
             batch_size=batch_size,
             spatial_ndim=spatial_ndim,
             resize_to_train=cfg.dataset.get("resize_to_train", False),
+            analyze_frequencies=save_figures,
+            n_plot_examples=5 if save_figures else 0,
         )
         results = sweep["results"]
         logger.log_table(
@@ -89,6 +103,36 @@ def main(argv=None, spatial_ndim: int = 1):
             [(r, v) for r, v in sorted(results.items())])
         for r, v in sorted(results.items()):
             print(f"Resolution {r:4d}: rel-L2 {v:.6f}")
+
+    if save_figures and sweep is not None:
+        from resolution_pde_tpu.utils import plotting as P
+
+        pde = cfg.dataset.get("pde", "pde")
+        P.plot_super_resolution(results, save_path=os.path.join(
+            fig_dir, f"{pde}_super_resolution.png"))
+        P.save_results_csv(results, os.path.join(
+            fig_dir, f"{pde}_super_resolution.csv"),
+            columns=("resolution", "rel_l2"))
+        P.plot_examples_multiple(sweep["plot_data"], pde=pde,
+                                 save_dir=fig_dir,
+                                 spatial_ndim=spatial_ndim)
+        if spatial_ndim == 2 and sweep["plot_data"]:
+            P.plot_ns_channels(sweep["plot_data"], save_dir=fig_dir)
+        for res, (err, mag, freqs) in sweep["frequency_data"].items():
+            P.plot_frequency_decomposition(
+                err, mag, freqs,
+                save_path=os.path.join(fig_dir,
+                                       f"{pde}_frequency_res{res}.png"))
+        if (spatial_ndim == 2
+                and cfg.dataset.get("evaluation_type") == "use_resize"
+                and sweep["plot_data"]):
+            base = max(sweep["plot_data"])
+            x0 = sweep["plot_data"][base]["inputs"][:1, :1]
+            for res in sorted(results):
+                if res != base:
+                    P.analyze_resize_frequencies(x0, base, res,
+                                                 save_dir=fig_dir)
+        print(f"Figures written to {fig_dir}")
 
     # --- autoregressive rollout (autoregressive_step) ---
     rollout_results = {}

@@ -69,10 +69,15 @@ def evaluate_all_resolutions(
     resize_to_train: bool = False,
     analyze_frequencies: bool = False,
     strict: bool = False,
+    n_plot_examples: int = 0,
 ) -> dict:
     """Evaluate at every resolution in the ladder.
 
-    Returns {'results': {res: rel_l2}, 'frequency_data': {res: (pred, target)}}.
+    Returns {'results': {res: rel_l2},
+             'frequency_data': {res: (error_per_mode, magnitude, freqs)},
+             'plot_data': {res: {inputs, predictions, targets}}} — the
+    first n_plot_examples samples per resolution, for the figure writers
+    (utils/plotting.py).
     """
     if test_resolutions is None:
         base = max_test_resolution or current_res
@@ -95,6 +100,7 @@ def evaluate_all_resolutions(
 
     results: Dict[int, float] = {}
     frequency_data = {}
+    plot_data = {}
     for target_res in test_resolutions:
         try:
             ds = dataset_builder(target_res)
@@ -110,6 +116,13 @@ def evaluate_all_resolutions(
                 pred = fn(params, bx)
                 total += float(relative_l2(pred, by))
                 n += 1
+                if n_plot_examples > 0 and target_res not in plot_data:
+                    k = min(n_plot_examples, bx.shape[0])
+                    plot_data[target_res] = {
+                        "inputs": np.asarray(bx[:k]),
+                        "predictions": np.asarray(pred[:k]),
+                        "targets": np.asarray(by[:k]),
+                    }
                 if analyze_frequencies:
                     # accumulate the additive spectra DEVICE-side; no host
                     # transfer of full prediction tensors (r1 weak #5)
@@ -134,4 +147,5 @@ def evaluate_all_resolutions(
                 raise
             print(f"resolution {target_res} failed: {e}")
             results[target_res] = float("nan")
-    return {"results": results, "frequency_data": frequency_data}
+    return {"results": results, "frequency_data": frequency_data,
+            "plot_data": plot_data}

@@ -85,9 +85,8 @@ class S4DKernelLayer(nn.Module):
             from resolution_pde_tpu.ops.pallas import s4d_kernel_pallas
 
             interp = jax.default_backend() not in ("tpu", "axon")
-            kern = jnp.stack([
-                s4d_kernel_pallas(C[ch], A, log_dt, L, interpret=interp)
-                for ch in range(self.channels)])
+            # channels fold into the kernel grid: one launch total
+            kern = s4d_kernel_pallas(C, A, log_dt, L, interpret=interp)
         else:
             kern = jax.vmap(
                 lambda cc: ssm_ops.s4d_kernel_zoh(cc, A, log_dt, L))(C)
@@ -111,6 +110,7 @@ class DPLRKernelLayer(nn.Module):
     channels: int = 1
     dt_min: float = 1e-3
     dt_max: float = 1e-1
+    kernel_impl: str = "jnp"  # 'jnp' | 'pallas' (on-chip Cauchy reduction)
 
     @nn.compact
     def __call__(self, L: int):
@@ -160,6 +160,16 @@ class DPLRKernelLayer(nn.Module):
         Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])
         Bc = jax.lax.complex(b_vec[..., 0], b_vec[..., 1])
         Cc = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N)
+
+        if self.kernel_impl == "pallas":
+            from resolution_pde_tpu.ops.pallas.cauchy import (
+                dplr_kernel_pallas)
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return jnp.stack([
+                dplr_kernel_pallas(Lambda, Pc, Bc, Cc[ch], log_dt, L,
+                                   interpret=interp)
+                for ch in range(self.channels)])
 
         def per_h(lam_h, p_h, b_h, c_h, ldt_h):
             return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)

@@ -178,3 +178,165 @@ def save_results_csv(results: Dict, path: str, columns=("key", "value")):
         for k in sorted(results):
             w.writerow([k, results[k]])
     return path
+
+
+def plot_examples_multiple(plot_data: Dict[int, dict], pde: str = "PDE",
+                           save_dir=None, num_examples: int = 5,
+                           spatial_ndim: int = 1):
+    """Per-resolution multi-example grids (plot_utils.py:25-182 /
+    879-1050): rows = examples, cols = resolutions; 1D overlays
+    prediction vs target, 2D shows prediction/target/|error| panels.
+
+    plot_data: {res: {'inputs','predictions','targets'}} from
+    evaluate_all_resolutions(n_plot_examples=...).
+    """
+    plt = _plt()
+    resolutions = sorted(plot_data)
+    if not resolutions:
+        return None
+    n_ex = min(num_examples,
+               min(plot_data[r]["predictions"].shape[0]
+                   for r in resolutions))
+    if spatial_ndim == 1:
+        fig, axes = plt.subplots(n_ex, len(resolutions),
+                                 figsize=(4 * len(resolutions), 2.5 * n_ex),
+                                 squeeze=False)
+        for j, res in enumerate(resolutions):
+            d = plot_data[res]
+            for i in range(n_ex):
+                ax = axes[i][j]
+                ax.plot(d["targets"][i, 0], label="target", lw=1.0)
+                ax.plot(d["predictions"][i, 0], "--", label="pred", lw=1.0)
+                if i == 0:
+                    ax.set_title(f"res {res}")
+                if i == 0 and j == 0:
+                    ax.legend(fontsize=7)
+    else:
+        fig, axes = plt.subplots(
+            n_ex * 3, len(resolutions),
+            figsize=(3 * len(resolutions), 2.2 * n_ex * 3), squeeze=False)
+        for j, res in enumerate(resolutions):
+            d = plot_data[res]
+            for i in range(n_ex):
+                pr, tg = d["predictions"][i, 0], d["targets"][i, 0]
+                for k, (img, name) in enumerate(
+                        ((pr, "pred"), (tg, "target"),
+                         (np.abs(pr - tg), "|err|"))):
+                    ax = axes[3 * i + k][j]
+                    ax.imshow(img, cmap="viridis")
+                    ax.set_xticks([])
+                    ax.set_yticks([])
+                    if j == 0:
+                        ax.set_ylabel(f"ex{i} {name}", fontsize=7)
+                    if i == 0 and k == 0:
+                        ax.set_title(f"res {res}")
+    fig.suptitle(f"{pde}: predictions across resolutions")
+    fig.tight_layout()
+    if save_dir:
+        _ensure_dir(save_dir)
+        path = os.path.join(save_dir, f"{pde}_examples_multi_res.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_ns_channels(plot_data: Dict[int, dict], save_dir=None,
+                     num_examples: int = 2):
+    """NS multi-channel plots + error maps (plot_utils.py:600-878): for
+    each resolution, one row per (example, channel) with prediction,
+    target, and signed error panels."""
+    plt = _plt()
+    paths = []
+    for res in sorted(plot_data):
+        d = plot_data[res]
+        pred, tgt = d["predictions"], d["targets"]
+        n_ex = min(num_examples, pred.shape[0])
+        n_ch = pred.shape[1]
+        fig, axes = plt.subplots(n_ex * n_ch, 3,
+                                 figsize=(9, 2.6 * n_ex * n_ch),
+                                 squeeze=False)
+        for i in range(n_ex):
+            for c in range(n_ch):
+                row = i * n_ch + c
+                pr, tg = pred[i, c], tgt[i, c]
+                vmax = float(np.abs(tg).max()) or 1.0
+                for k, (img, name, cmap, vlim) in enumerate((
+                        (pr, "prediction", "viridis", None),
+                        (tg, "target", "viridis", None),
+                        (pr - tg, "error", "RdBu_r", vmax * 0.2))):
+                    ax = axes[row][k]
+                    kw = ({"vmin": -vlim, "vmax": vlim} if vlim else {})
+                    im = ax.imshow(img, cmap=cmap, **kw)
+                    fig.colorbar(im, ax=ax, fraction=0.046)
+                    ax.set_title(f"ex{i} ch{c} {name}", fontsize=8)
+                    ax.set_xticks([])
+                    ax.set_yticks([])
+        fig.suptitle(f"NS channels @ res {res}")
+        fig.tight_layout()
+        if save_dir:
+            _ensure_dir(save_dir)
+            path = os.path.join(save_dir, f"ns_channels_res{res}.png")
+            fig.savefig(path, dpi=120)
+            plt.close(fig)
+            paths.append(path)
+        else:
+            paths.append(fig)
+    return paths
+
+
+def analyze_resize_frequencies(input_data, input_res: int, output_res: int,
+                               save_dir=None):
+    """Spectral-resize retention/energy analysis (plot_utils.py:309-564):
+    what band-selection between input_res and output_res keeps, as spectrum
+    images, retention fractions, and an energy summary. input_data:
+    (1, 1, input_res, input_res)."""
+    plt = _plt()
+    x = np.asarray(input_data, dtype=np.float32)
+    f = np.fft.rfft2(x)
+    out_h, out_w = output_res, output_res
+    f_z = np.zeros((*x.shape[:-2], out_h, out_w // 2 + 1), dtype=f.dtype)
+    # band selection bounds exactly as utils/res_utils.py resize()
+    top1 = min((f.shape[-2] + 1) // 2, (out_h + 1) // 2)
+    top2 = min(f.shape[-1], out_w // 2 + 1)
+    bot1 = min(f.shape[-2] // 2, out_h // 2)
+    f_z[..., :top1, :top2] = f[..., :top1, :top2]
+    if bot1 > 0:
+        f_z[..., -bot1:, :top2] = f[..., -bot1:, :top2]
+
+    f_amp = np.abs(f[0, 0])
+    fz_amp = np.abs(f_z[0, 0])
+    energy_in = float((f_amp ** 2).sum())
+    energy_out = float((fz_amp ** 2).sum())
+    op = ("UPSAMPLING" if output_res > input_res
+          else "DOWNSAMPLING" if output_res < input_res else "NO CHANGE")
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 9))
+    im = axes[0][0].imshow(np.log1p(f_amp), cmap="viridis", aspect="auto")
+    axes[0][0].set_title(f"input spectrum {f.shape[-2]}x{f.shape[-1]}")
+    fig.colorbar(im, ax=axes[0][0])
+    im = axes[0][1].imshow(np.log1p(fz_amp), cmap="viridis", aspect="auto")
+    axes[0][1].set_title(f"kept spectrum {f_z.shape[-2]}x{f_z.shape[-1]}")
+    fig.colorbar(im, ax=axes[0][1])
+    axes[1][0].bar(["freq bins kept", "spatial rows kept"],
+                   [top2 / f.shape[-1], (top1 + bot1) / f.shape[-2]])
+    axes[1][0].set_ylim(0, 1.05)
+    axes[1][0].set_title("retention fractions")
+    axes[1][1].axis("off")
+    axes[1][1].text(
+        0.02, 0.5,
+        f"{input_res} -> {output_res} ({op})\n"
+        f"energy retained: {100.0 * energy_out / max(energy_in, 1e-30):.2f}%\n"
+        f"rows copied: top {top1}, bottom {bot1}\n"
+        f"cols copied: {top2} / {f.shape[-1]}",
+        fontsize=11, va="center", family="monospace")
+    fig.suptitle(f"FFT resize frequency analysis ({op})")
+    fig.tight_layout()
+    if save_dir:
+        _ensure_dir(save_dir)
+        path = os.path.join(
+            save_dir, f"resize_freq_{input_res}_to_{output_res}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig

@@ -185,3 +185,30 @@ def test_every_shipped_dataset_config_resolves(name):
         target = target.rsplit(".", 1)[-1]
     assert target in DATASET_FACTORIES
     inspect.signature(DATASET_FACTORIES[target]).bind(**params)
+
+
+def test_driver_writes_figures(tmp_path, monkeypatch):
+    """save_figures wiring: the 1D driver emits the multi-example grid,
+    super-res curve + CSV, and frequency plots (reference figures/<job_id>,
+    main_1d.py:208-210)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from resolution_pde_tpu.cli.main_1d import main
+
+    _make_ks_dir(tmp_path, s=32, n=6, t=4)
+    monkeypatch.chdir(tmp_path)
+    out = main([
+        "model=ffno_1d", "dataset=ks_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=32", "dataset.max_test_resolution=32",
+        "dataset.rollout_steps=0",
+        "training.epochs=1", "training.batch_size=4",
+        "save_figures=true",
+        "model.width=8", "model.n_layers=1", "model.n_modes=4",
+    ])
+    figs = list((tmp_path / "figures").rglob("*.png"))
+    csvs = list((tmp_path / "figures").rglob("*.csv"))
+    assert any("examples_multi_res" in f.name for f in figs)
+    assert any("super_resolution" in f.name for f in figs)
+    assert any("frequency" in f.name for f in figs)
+    assert csvs

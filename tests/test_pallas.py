@@ -54,3 +54,60 @@ def test_vandermonde_kernel_matches_ssm_op(rng):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_s4d_pallas_multichannel_single_launch(rng):
+    """(CH, H, N) C in one launch matches per-channel calls."""
+    from resolution_pde_tpu.ops.pallas import s4d_kernel_pallas
+
+    h, n, L, ch = 6, 8, 40, 3
+    A = -(0.5 + jnp.asarray(rng.uniform(0, 1, (h, n)), jnp.float32)) + \
+        1j * jnp.asarray(rng.standard_normal((h, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((ch, h, n))
+                    + 1j * rng.standard_normal((ch, h, n)), jnp.complex64)
+    log_dt = jnp.asarray(np.log(rng.uniform(1e-3, 1e-1, h)), jnp.float32)
+    multi = s4d_kernel_pallas(C, A, log_dt, L, interpret=True)
+    for c in range(ch):
+        single = s4d_kernel_pallas(C[c], A, log_dt, L, interpret=True)
+        np.testing.assert_allclose(np.asarray(multi[c]), np.asarray(single),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_cauchy_pallas_matches_jnp(rng):
+    from resolution_pde_tpu.ops.pallas.cauchy import cauchy_pallas
+    from resolution_pde_tpu.ops import ssm as ssm_ops
+
+    h, n, L = 5, 8, 36
+    lam = -(0.1 + jnp.asarray(rng.uniform(0, 1, (h, n)), jnp.float32)) + \
+        1j * jnp.asarray(rng.standard_normal((h, n)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((4, h, n))
+                    + 1j * rng.standard_normal((4, h, n)), jnp.complex64)
+    g = jnp.asarray(rng.standard_normal((h, L))
+                    + 1j * rng.standard_normal((h, L)), jnp.complex64)
+    out = cauchy_pallas(v, g, lam, interpret=True)
+    for t in range(4):
+        for hh in range(h):
+            ref = ssm_ops.cauchy(v[t, hh], g[hh], lam[hh])
+            np.testing.assert_allclose(np.asarray(out[t, hh]),
+                                       np.asarray(ref),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_dplr_kernel_pallas_matches_jnp(rng):
+    from resolution_pde_tpu.ops.pallas.cauchy import dplr_kernel_pallas
+    from resolution_pde_tpu.ops import ssm as ssm_ops
+
+    h, n, L = 4, 8, 32
+    Lam0, P0, B0, _ = ssm_ops.make_dplr_hippo(n)
+    Lam = jnp.asarray(np.broadcast_to(Lam0, (h, n)), jnp.complex64)
+    P = jnp.asarray(np.broadcast_to(P0, (h, n)), jnp.complex64)
+    B = jnp.asarray(np.broadcast_to(B0, (h, n)), jnp.complex64)
+    C_t = jnp.asarray(rng.standard_normal((h, n))
+                      + 1j * rng.standard_normal((h, n)), jnp.complex64)
+    log_dt = jnp.asarray(np.log(rng.uniform(1e-3, 1e-1, h)), jnp.float32)
+    out = dplr_kernel_pallas(Lam, P, B, C_t, log_dt, L, interpret=True)
+    ref = jax.vmap(lambda l, p, b, c, d: ssm_ops.dplr_kernel(l, p, b, c, d,
+                                                             L))(
+        Lam, P, B, C_t, log_dt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
