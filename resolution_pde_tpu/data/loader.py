@@ -36,15 +36,25 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    # background C++ producer ring when the native library is available
+    # and the arrays qualify; plain per-batch gather otherwise
+    use_pipeline = True
+
     def __iter__(self) -> Iterator:
         n = len(self.dataset)
         idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
         stop = n - n % self.batch_size if self.drop_last else n
+        x, y = self.dataset.x, self.dataset.y
+        if (self.use_pipeline and native._load()
+                and x.dtype == np.float32 and x.flags.c_contiguous
+                and y.dtype == np.float32 and y.flags.c_contiguous):
+            yield from native.BatchPipeline(x, y, idx[:stop],
+                                            self.batch_size)
+            return
         for i in range(0, stop, self.batch_size):
             sel = idx[i: i + self.batch_size]
             # multithreaded native gather when available (data/native.py)
-            yield (native.gather(self.dataset.x, sel),
-                   native.gather(self.dataset.y, sel))
+            yield (native.gather(x, sel), native.gather(y, sel))
 
 
 class ResolutionBucketedLoader:

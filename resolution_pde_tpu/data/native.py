@@ -62,6 +62,22 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_float, ctypes.c_float,
             ]
+            lib.pipeline_create.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ]
+            lib.pipeline_create.restype = ctypes.c_void_p
+            lib.pipeline_acquire.argtypes = [ctypes.c_void_p]
+            lib.pipeline_acquire.restype = ctypes.c_int64
+            lib.pipeline_slot.argtypes = [ctypes.c_void_p]
+            lib.pipeline_slot.restype = ctypes.c_int64
+            lib.pipeline_release.argtypes = [ctypes.c_void_p]
+            lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
             NATIVE_AVAILABLE = True
         except Exception:
@@ -103,3 +119,76 @@ def gather_encode(src: np.ndarray, idx: np.ndarray, mean: float,
                                 len(idx), row, float(mean),
                                 float(std_plus_eps))
     return out
+
+
+class BatchPipeline:
+    """Background batch producer over (x, y) arrays: a C++ thread assembles
+    batches for a given epoch order into a ring of preallocated buffers
+    while the consumer runs the device step (the native input-pipeline
+    runtime; see fast_pipeline.cpp pipeline_*).
+
+    Iterate to receive (x_batch, y_batch). By default batches are COPIES
+    (safe to hold); with copy=False they are views into the ring, valid
+    only until the next iteration step — use only when the consumer
+    transfers them immediately (e.g. jax.device_put).
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, order: np.ndarray,
+                 batch_size: int, depth: int = 3, copy: bool = True):
+        self.copy = copy
+        assert x.dtype == np.float32 and x.flags.c_contiguous
+        assert y.dtype == np.float32 and y.flags.c_contiguous
+        self._x, self._y = x, y  # keep alive
+        self._order = np.ascontiguousarray(order, dtype=np.int64)
+        self.batch_size = batch_size
+        xrow = int(np.prod(x.shape[1:]))
+        yrow = int(np.prod(y.shape[1:]))
+        self._xbufs = [np.empty((batch_size, *x.shape[1:]), np.float32)
+                       for _ in range(depth)]
+        self._ybufs = [np.empty((batch_size, *y.shape[1:]), np.float32)
+                       for _ in range(depth)]
+        xptrs = (ctypes.POINTER(ctypes.c_float) * depth)(
+            *[_ptr_f32(b) for b in self._xbufs])
+        yptrs = (ctypes.POINTER(ctypes.c_float) * depth)(
+            *[_ptr_f32(b) for b in self._ybufs])
+        lib = _load()
+        self._lib = lib
+        self._h = lib.pipeline_create(
+            _ptr_f32(x), _ptr_f32(y), xrow, yrow, _ptr_i64(self._order),
+            len(self._order), batch_size, depth, xptrs, yptrs)
+        self._held = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        if self._held:
+            self._lib.pipeline_release(self._h)
+            self._held = False
+        rows = self._lib.pipeline_acquire(self._h)
+        if rows < 0:
+            self.close()
+            raise StopIteration
+        slot = self._lib.pipeline_slot(self._h)
+        self._held = True
+        bx = self._xbufs[slot][:rows]
+        by = self._ybufs[slot][:rows]
+        if self.copy:
+            return bx.copy(), by.copy()
+        return bx, by
+
+    def close(self):
+        if self._h is not None:
+            if self._held:
+                self._lib.pipeline_release(self._h)
+                self._held = False
+            self._lib.pipeline_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

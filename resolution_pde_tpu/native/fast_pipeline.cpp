@@ -93,3 +93,135 @@ void batch_gather_encode_f32(const float* src, const int64_t* idx,
 int native_pipeline_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Background batch-producer ring (the native input-pipeline runtime).
+//
+// A producer thread assembles (x, y) batches — multithreaded gather into a
+// ring of caller-owned buffers — while the consumer (the jitted train
+// loop) drains them in order. This overlaps host batch assembly with
+// device compute without fighting the Python GIL (the producer holds no
+// Python state). Protocol, via ctypes (data/native.py):
+//   h = pipeline_create(x, y, order, ...buffers...)
+//   rows = pipeline_acquire(h)   // blocks until the next batch is ready
+//   ... consume slot (acquire_slot(h) says which buffer) ...
+//   pipeline_release(h)          // recycle the slot
+//   pipeline_destroy(h)
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <mutex>
+
+namespace {
+
+struct NativePipeline {
+  const float* x;
+  const float* y;
+  int64_t xrow, yrow;
+  std::vector<int64_t> order;
+  int64_t total_rows, batch, n_batches, depth;
+  std::vector<float*> xslots, yslots;
+  std::vector<int> state;       // 0 = empty, 1 = filled, 2 = consumer-held
+  std::vector<int64_t> rows_in_slot;
+  std::mutex mu;
+  std::condition_variable cv_fill, cv_cons;
+  std::thread producer;
+  bool stop = false;
+  int64_t next_consume = 0;     // batch index the consumer sees next
+  int64_t held_slot = -1;
+};
+
+void producer_loop(NativePipeline* p) {
+  for (int64_t b = 0; b < p->n_batches; ++b) {
+    int64_t slot = b % p->depth;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_fill.wait(lk, [&] { return p->stop || p->state[slot] == 0; });
+      if (p->stop) return;
+    }
+    int64_t begin = b * p->batch;
+    int64_t rows = std::min(p->batch, p->total_rows - begin);
+    batch_gather_f32(p->x, p->order.data() + begin, p->xslots[slot], rows,
+                     p->xrow);
+    batch_gather_f32(p->y, p->order.data() + begin, p->yslots[slot], rows,
+                     p->yrow);
+    {
+      std::lock_guard<std::mutex> lk(p->mu);
+      p->state[slot] = 1;
+      p->rows_in_slot[slot] = rows;
+    }
+    p->cv_cons.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// x/y: (n, xrow/yrow) f32; order: (total_rows,) i64 (the epoch's shuffled
+// sample order); xbufs/ybufs: `depth` caller-owned (batch, row) buffers.
+void* pipeline_create(const float* x, const float* y, int64_t xrow,
+                      int64_t yrow, const int64_t* order,
+                      int64_t total_rows, int64_t batch, int64_t depth,
+                      float** xbufs, float** ybufs) {
+  auto* p = new NativePipeline();
+  p->x = x;
+  p->y = y;
+  p->xrow = xrow;
+  p->yrow = yrow;
+  p->order.assign(order, order + total_rows);
+  p->total_rows = total_rows;
+  p->batch = batch;
+  p->n_batches = (total_rows + batch - 1) / batch;
+  p->depth = depth;
+  p->xslots.assign(xbufs, xbufs + depth);
+  p->yslots.assign(ybufs, ybufs + depth);
+  p->state.assign(depth, 0);
+  p->rows_in_slot.assign(depth, 0);
+  p->producer = std::thread(producer_loop, p);
+  return p;
+}
+
+// Blocks until the next batch (in epoch order) is ready. Returns its row
+// count, or -1 when the epoch is exhausted. The slot index to read is
+// pipeline_slot(h); call pipeline_release before the next acquire.
+int64_t pipeline_acquire(void* h) {
+  auto* p = static_cast<NativePipeline*>(h);
+  if (p->next_consume >= p->n_batches) return -1;
+  int64_t slot = p->next_consume % p->depth;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_cons.wait(lk, [&] { return p->state[slot] == 1; });
+  p->state[slot] = 2;
+  p->held_slot = slot;
+  p->next_consume += 1;
+  return p->rows_in_slot[slot];
+}
+
+int64_t pipeline_slot(void* h) {
+  return static_cast<NativePipeline*>(h)->held_slot;
+}
+
+void pipeline_release(void* h) {
+  auto* p = static_cast<NativePipeline*>(h);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (p->held_slot >= 0) p->state[p->held_slot] = 0;
+    p->held_slot = -1;
+  }
+  p->cv_fill.notify_all();
+}
+
+void pipeline_destroy(void* h) {
+  auto* p = static_cast<NativePipeline*>(h);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+    for (auto& s : p->state)
+      if (s == 2) s = 0;
+  }
+  p->cv_fill.notify_all();
+  if (p->producer.joinable()) p->producer.join();
+  delete p;
+}
+
+}  // extern "C"

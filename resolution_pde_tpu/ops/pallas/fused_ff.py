@@ -68,8 +68,8 @@ def _pick_tile(n: int, prefer=(512, 1024, 256, 128, 64, 32, 16, 8)) -> int:
 
 # forward keeps few intermediates -> bigger tiles amortize better; backward
 # holds ~6 (tile, F) f32 buffers so stay at 512 rows
-_FWD_TILES = (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-_BWD_TILES = (512, 1024, 256, 128, 64, 32, 16, 8)
+_FWD_TILES = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+_BWD_TILES = (1024, 512, 256, 128, 64, 32, 16, 8)
 
 
 def _const_spec(shape):

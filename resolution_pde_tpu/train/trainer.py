@@ -210,12 +210,24 @@ class Trainer:
         return eval_step
 
     # -- loops ---------------------------------------------------------
+    def _prefetch(self, loader: Iterable):
+        """Device-put one batch ahead of the compute step: jax dispatch is
+        async, so the (i+1)-th host->device transfer overlaps the i-th
+        train step instead of serializing after it."""
+        pending = None
+        for batch in loader:
+            nxt = shard_batch(tuple(jnp.asarray(a) for a in batch),
+                              self.mesh)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
     def train_epoch(self, state: TrainState, loader: Iterable) -> tuple:
         total, n = 0.0, 0
         losses = []
-        for x, y in loader:
-            (x, y), w = shard_batch((jnp.asarray(x), jnp.asarray(y)),
-                                    self.mesh)
+        for (x, y), w in self._prefetch(loader):
             state, loss = self._train_step(state, x, y, self.y_normalizer, w)
             losses.append(loss)
             n += 1

@@ -36,23 +36,26 @@ def main():
     C = _c(rng.standard_normal((H, N)), rng.standard_normal((H, N)))
     log_dt = jax.device_put(np.log(rng.uniform(1e-3, 1e-1, H)).astype(np.float32))
 
+    # pass ALL complex arrays as jit ARGUMENTS: complex closures become
+    # baked-in constants, and constant upload is a complex host->device
+    # transfer, which this backend cannot do (UNIMPLEMENTED)
     @jax.jit
-    def jnp_path(C):
+    def jnp_path(Lam, P, B, C, log_dt):
         return jax.vmap(lambda l, p, b, c, d: ssm_ops.dplr_kernel(
             l, p, b, c, d, L))(Lam, P, B, C, log_dt)
 
     @jax.jit
-    def pallas_path(C):
+    def pallas_path(Lam, P, B, C, log_dt):
         return dplr_kernel_pallas(Lam, P, B, C, log_dt, L)
 
     for name, fn in (("dplr_jnp", jnp_path), ("dplr_pallas", pallas_path)):
         try:
             for _ in range(2):
-                out = fn(C)
+                out = fn(Lam, P, B, C, log_dt)
             float(out[0, 0])
             t0 = time.perf_counter()
             for _ in range(10):
-                out = fn(C)
+                out = fn(Lam, P, B, C, log_dt)
             float(out[0, 0])
             results[f"{name}_ms"] = round(
                 (time.perf_counter() - t0) / 10 * 1e3, 3)
@@ -61,29 +64,31 @@ def main():
 
     # parity check on TPU
     try:
-        d = jax.jit(lambda C: jnp.max(jnp.abs(jnp_path(C)
-                                              - pallas_path(C))))(C)
+        d = jax.jit(lambda *a: jnp.max(jnp.abs(jnp_path(*a)
+                                               - pallas_path(*a))))(
+            Lam, P, B, C, log_dt)
         results["dplr_maxabsdiff"] = float(d)
     except Exception as e:
         results["dplr_cmp_err"] = repr(e)[:200]
 
-    # S4D multi-channel single launch
-    A = _c(-np.abs(rng.standard_normal((H, N // 2))) - 0.2,
-           rng.standard_normal((H, N // 2)))
-    C2 = _c(rng.standard_normal((2, H, N // 2)),
-            rng.standard_normal((2, H, N // 2)))
-
-    @jax.jit
-    def s4d_multi(C2):
-        return s4d_kernel_pallas(C2, A, log_dt, L)
-
+    # S4D multi-channel single launch (complex built INSIDE the jit)
     try:
+        ar = -np.abs(rng.standard_normal((H, N // 2))).astype(np.float32) - 0.2
+        ai = rng.standard_normal((H, N // 2)).astype(np.float32)
+        c2r = rng.standard_normal((2, H, N // 2)).astype(np.float32)
+        c2i = rng.standard_normal((2, H, N // 2)).astype(np.float32)
+
+        @jax.jit
+        def s4d_multi(c2r, c2i, ar, ai, log_dt):
+            return s4d_kernel_pallas(jax.lax.complex(c2r, c2i),
+                                     jax.lax.complex(ar, ai), log_dt, L)
+
         for _ in range(2):
-            out = s4d_multi(C2)
+            out = s4d_multi(c2r, c2i, ar, ai, log_dt)
         float(out[0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(10):
-            out = s4d_multi(C2)
+            out = s4d_multi(c2r, c2i, ar, ai, log_dt)
         float(out[0, 0, 0])
         results["s4d_pallas_2ch_ms"] = round(
             (time.perf_counter() - t0) / 10 * 1e3, 3)

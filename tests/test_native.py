@@ -41,3 +41,45 @@ def test_non_contiguous_falls_back(rng):
     idx = np.arange(8)
     out = native.gather(src, idx)  # silently numpy path
     np.testing.assert_array_equal(out, src[idx])
+
+
+def test_batch_pipeline_matches_plain_gather():
+    """The background producer ring yields exactly the plain loader's
+    batches in order (including the short straggler)."""
+    from resolution_pde_tpu.data import native
+
+    if not native._load():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((37, 3, 8)).astype(np.float32)
+    y = rng.standard_normal((37, 1, 8)).astype(np.float32)
+    order = rng.permutation(37)
+    got = []
+    pipe = native.BatchPipeline(x, y, order, batch_size=8)
+    for bx, by in pipe:
+        got.append((bx.copy(), by.copy()))  # views are slot-recycled
+    assert len(got) == 5
+    for i, (bx, by) in enumerate(got):
+        sel = order[i * 8:(i + 1) * 8]
+        np.testing.assert_array_equal(bx, x[sel])
+        np.testing.assert_array_equal(by, y[sel])
+
+
+def test_loader_uses_pipeline_and_matches_fallback():
+    from resolution_pde_tpu.data.dataset import ArrayDataset
+    from resolution_pde_tpu.data.loader import Loader
+    from resolution_pde_tpu.data import native
+
+    rng = np.random.default_rng(1)
+    ds = ArrayDataset(rng.standard_normal((20, 2, 4)).astype(np.float32),
+                      rng.standard_normal((20, 2, 4)).astype(np.float32))
+    a = Loader(ds, 6, shuffle=True, seed=7)
+    b = Loader(ds, 6, shuffle=True, seed=7)
+    b.use_pipeline = False
+    batches_a = [(bx.copy(), by.copy()) for bx, by in a]
+    batches_b = list(b)
+    assert len(batches_a) == len(batches_b)
+    for (ax, ay), (bx, by) in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
