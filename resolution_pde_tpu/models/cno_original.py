@@ -10,8 +10,9 @@ model from the config surface (SURVEY.md §2.3) on the vanilla-CNO skeleton
 (ops/filters.py) in place of torch bicubic antialiasing, and filtered
 resampling for the up/down blocks.
 
-radial=True (radially symmetric 2D filter) is not implemented — the shipped
-config uses radial: False (separable filters); requesting it raises.
+radial=True selects the radially-symmetric jinc filter
+(ops/filters.py design_lowpass_filter_2d_radial); the shipped config uses
+radial: False (separable windowed-sinc).
 """
 
 from __future__ import annotations
@@ -38,12 +39,13 @@ class _FilteredAct(nn.Module):
     cutoff_den: float = 2.0001
     filter_size: int = 6
     half_width_mult: float = 0.8
+    radial: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x channels-last (B, H, W, C)."""
         kw = dict(cutoff_den=self.cutoff_den, filter_size=self.filter_size,
-                  half_width_mult=self.half_width_mult)
+                  half_width_mult=self.half_width_mult, radial=self.radial)
         u = self.lrelu_upsampling
         xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
         if self.out_size == self.in_size:
@@ -69,6 +71,7 @@ class _Block(nn.Module):
     cutoff_den: float = 2.0001
     filter_size: int = 6
     half_width_mult: float = 0.8
+    radial: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -78,7 +81,8 @@ class _Block(nn.Module):
                              momentum=0.9, epsilon=1e-5)(x)
         return _FilteredAct(self.in_size, self.out_size,
                             self.lrelu_upsampling, self.cutoff_den,
-                            self.filter_size, self.half_width_mult)(x)
+                            self.filter_size, self.half_width_mult,
+                            self.radial)(x)
 
 
 class _ResBlock(nn.Module):
@@ -89,12 +93,13 @@ class _ResBlock(nn.Module):
     cutoff_den: float = 2.0001
     filter_size: int = 6
     half_width_mult: float = 0.8
+    radial: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out = _Block(self.channels, self.size, self.size, self.use_bn,
                      self.lrelu_upsampling, self.cutoff_den,
-                     self.filter_size, self.half_width_mult)(
+                     self.filter_size, self.half_width_mult, self.radial)(
             x, deterministic)
         out = nn.Conv(self.channels, (3, 3), padding="SAME")(out)
         if self.use_bn:
@@ -122,10 +127,6 @@ class CNO2dOriginal(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.radial:
-            raise NotImplementedError(
-                "radial filters not implemented; shipped config uses "
-                "radial: false")
         if x.shape[-1] != self.size or x.shape[-2] != self.size:
             raise ValueError(
                 f"CNO2dOriginal built for size {self.size}, got "
@@ -133,7 +134,7 @@ class CNO2dOriginal(nn.Module):
         fkw = dict(use_bn=self.use_bn,
                    lrelu_upsampling=self.lrelu_upsampling,
                    cutoff_den=self.cutoff_den, filter_size=self.filter_size,
-                   half_width_mult=self.half_width_mult)
+                   half_width_mult=self.half_width_mult, radial=self.radial)
         nl = self.N_layers
         lift_dim = self.channel_multiplier // 2
         enc_feats = [lift_dim] + [2 ** i * self.channel_multiplier

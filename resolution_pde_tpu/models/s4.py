@@ -37,6 +37,15 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from resolution_pde_tpu.models.layers import gelu
+
+ACTIVATIONS_S4 = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "id": lambda x: x,
+    "identity": lambda x: x,
+}
 from resolution_pde_tpu.ops import ssm as ssm_ops
 from resolution_pde_tpu.ops.grids import concat_grid_1d, concat_grid_2d
 
@@ -230,28 +239,53 @@ class FFTConvLayer(nn.Module):
 
 
 class S4Block(nn.Module):
-    """S4Block with default options (models/s4.py:1838-1999): FFTConv ->
-    dropout -> GLU output linear. Gate/bottleneck paths (off in every
-    reference config) are not replicated."""
+    """S4Block (models/s4.py:1838-1999): optional bottleneck down-projection
+    and multiplicative gate (GSS-style) around the FFTConv, then
+    mult_act -> dropout -> final linear (default 'glu'). With the default
+    options (gate=None, bottleneck=None, final_act='glu') the param tree
+    and computation match the pre-gate version exactly."""
 
     d_model: int
     d_state: int = 64
     mode: str = "dplr"
     bidirectional: bool = False
     dropout: float = 0.0
+    gate: Optional[int] = None          # gate expansion factor (s4.py:1899)
+    gate_act: Optional[str] = None
+    bottleneck: Optional[int] = None    # inner-dim divisor (s4.py:1888)
+    mult_act: Optional[str] = None
+    final_act: Optional[str] = "glu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        d_inner = (self.d_model // self.bottleneck if self.bottleneck
+                   else self.d_model)
+        if self.gate:
+            v = nn.Dense(d_inner * self.gate, name="input_gate")(x)
+            if self.gate_act:
+                v = ACTIVATIONS_S4[self.gate_act](v)
+        if self.bottleneck:
+            x = nn.Dense(d_inner, name="input_linear")(x)
         y = FFTConvLayer(
-            self.d_model, self.d_state, self.mode, channels=1,
+            d_inner, self.d_state, self.mode, channels=1,
             bidirectional=self.bidirectional, dropout=self.dropout,
         )(x, deterministic)
+        if self.gate:
+            if y.shape[-1] != d_inner * self.gate:
+                y = nn.Dense(d_inner * self.gate, name="output_gate")(y)
+            y = y * v
+        if self.mult_act:
+            y = ACTIVATIONS_S4[self.mult_act](y)
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        # final_act='glu': Linear(d -> 2d) + GLU
-        y = nn.Dense(2 * self.d_model)(y)
-        y = y[..., : self.d_model] * jax.nn.sigmoid(y[..., self.d_model:])
-        return y
+        if self.final_act is None:
+            return y
+        if self.final_act == "glu":
+            y = nn.Dense(2 * self.d_model)(y)
+            return (y[..., : self.d_model]
+                    * jax.nn.sigmoid(y[..., self.d_model:]))
+        y = nn.Dense(self.d_model)(y)
+        return ACTIVATIONS_S4[self.final_act](y)
 
 
 class S4D(nn.Module):

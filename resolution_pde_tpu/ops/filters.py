@@ -55,6 +55,56 @@ def design_lowpass_filter(factor: int, filter_size: int = 6,
     return taps.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def design_lowpass_filter_2d_radial(factor: int, filter_size: int = 6,
+                                    cutoff_den: float = 2.0001,
+                                    half_width_mult: float = 0.8) -> np.ndarray:
+    """Radially-symmetric 2D low-pass (the camlab CNO's `radial: true`
+    option, conf/model/cno_2d/cno_2d_original.yaml:16): circular-ideal
+    response (jinc kernel) under a radial Kaiser window, unit DC gain."""
+    from scipy.special import j1
+
+    numtaps = filter_size * factor + 1
+    fc = (0.5 / cutoff_den) / factor
+    half_width = (half_width_mult * (0.5 - 0.5 / cutoff_den)) / factor
+    atten = 2.285 * (numtaps - 1) * np.pi * (2 * half_width) + 7.95
+    beta = (0.1102 * (atten - 8.7) if atten > 50 else
+            0.5842 * (atten - 21) ** 0.4 + 0.07886 * (atten - 21)
+            if atten > 21 else 0.0)
+    n = np.arange(numtaps) - (numtaps - 1) / 2
+    yy, xx = np.meshgrid(n, n, indexing="ij")
+    r = np.sqrt(xx * xx + yy * yy)
+    h = np.where(r < 1e-9, np.pi * fc * fc,
+                 fc * j1(2.0 * np.pi * fc * np.maximum(r, 1e-9))
+                 / np.maximum(r, 1e-9))
+    half = (numtaps - 1) / 2
+    t = np.clip(r / max(half, 1e-9), 0.0, 1.0)
+    w = np.i0(beta * np.sqrt(np.maximum(1.0 - t * t, 0.0))) / np.i0(beta)
+    h = h * w
+    h = h / h.sum()
+    return h.astype(np.float32)
+
+
+def _conv2d_same(x, taps2d):
+    """Depthwise 2D convolution over the last two axes with periodic
+    padding (the CNO domain is periodic)."""
+    k = taps2d.shape[0]
+    pad_l = (k - 1) // 2
+    pad_r = k - 1 - pad_l
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                 + [(pad_l, pad_r), (pad_l, pad_r)], mode="wrap")
+    w = jnp.asarray(taps2d)[::-1, ::-1]
+    lead = xp.shape[:-2]
+    out = jax.lax.conv_general_dilated(
+        xp.reshape(-1, 1, *xp.shape[-2:]),
+        w.reshape(1, 1, k, k),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(*lead, *out.shape[-2:])
+
+
 def _conv1d_same_last(x, taps):
     """Depthwise 1D convolution along the last axis with 'same'-style
     padding for an even-length kernel."""
@@ -89,15 +139,26 @@ def downsample_1d(x, factor: int, **design_kw):
     return _conv1d_same_last(x, taps)[..., ::factor]
 
 
-def upsample_2d(x, factor: int, **design_kw):
-    """Separable alias-free upsample over the last two axes."""
+def upsample_2d(x, factor: int, radial: bool = False, **design_kw):
+    """Alias-free upsample over the last two axes: separable windowed-sinc
+    by default, radially-symmetric jinc filter with radial=True."""
+    if radial:
+        taps = design_lowpass_filter_2d_radial(factor, **design_kw)
+        h, w_sz = x.shape[-2], x.shape[-1]
+        up = jnp.zeros((*x.shape[:-2], h * factor, w_sz * factor),
+                       dtype=x.dtype)
+        up = up.at[..., ::factor, ::factor].set(x)
+        return _conv2d_same(up, taps * factor * factor)
     x = upsample_1d(x, factor, **design_kw)
     x = jnp.swapaxes(x, -1, -2)
     x = upsample_1d(x, factor, **design_kw)
     return jnp.swapaxes(x, -1, -2)
 
 
-def downsample_2d(x, factor: int, **design_kw):
+def downsample_2d(x, factor: int, radial: bool = False, **design_kw):
+    if radial:
+        taps = design_lowpass_filter_2d_radial(factor, **design_kw)
+        return _conv2d_same(x, taps)[..., ::factor, ::factor]
     x = downsample_1d(x, factor, **design_kw)
     x = jnp.swapaxes(x, -1, -2)
     x = downsample_1d(x, factor, **design_kw)
@@ -105,11 +166,13 @@ def downsample_2d(x, factor: int, **design_kw):
 
 
 def filtered_lrelu_2d(x, up_factor: int = 2, negative_slope: float = 0.01,
-                      out_factor: int | None = None, **design_kw):
+                      out_factor: int | None = None, radial: bool = False,
+                      **design_kw):
     """Alias-free activation: upsample -> LeakyReLU -> downsample.
 
     x: (..., H, W). out_factor: net output downsample relative to the
     upsampled grid (default: back to the input size)."""
-    x = upsample_2d(x, up_factor, **design_kw)
+    x = upsample_2d(x, up_factor, radial=radial, **design_kw)
     x = jax.nn.leaky_relu(x, negative_slope)
-    return downsample_2d(x, out_factor or up_factor, **design_kw)
+    return downsample_2d(x, out_factor or up_factor, radial=radial,
+                         **design_kw)

@@ -70,14 +70,59 @@ def test_cno_original_shapes_and_training(rng):
 
 
 def test_cno_original_radial_not_implemented(rng):
-    model = CNO2dOriginal(in_dim=1, out_dim=1, size=32, N_layers=2,
-                          radial=True)
-    with pytest.raises(NotImplementedError):
-        model.init(jax.random.key(0), jnp.ones((1, 1, 32, 32)))
+    """radial=True is now SUPPORTED (radially-symmetric jinc filters); the
+    flag must change the computation vs separable filters."""
+    from resolution_pde_tpu.models.cno_original import CNO2dOriginal
 
-
+    x = jnp.asarray(rng.standard_normal((1, 1, 16, 16)), jnp.float32)
+    sep = CNO2dOriginal(in_dim=1, out_dim=1, size=16, N_layers=1,
+                        channel_multiplier=4, radial=False)
+    rad = CNO2dOriginal(in_dim=1, out_dim=1, size=16, N_layers=1,
+                        channel_multiplier=4, radial=True)
+    v = sep.init(jax.random.key(0), x)
+    ys = sep.apply(v, x, deterministic=True)
+    yr = rad.apply(v, x, deterministic=True)  # same params, other filters
+    assert ys.shape == yr.shape
+    assert float(jnp.max(jnp.abs(ys - yr))) > 1e-6
 def test_cno_original_registry():
     from resolution_pde_tpu.models import get_model
 
     assert (get_model("CNO.CNO2d_original_version.CNOModule.CNO")
             is CNO2dOriginal)
+
+
+def test_radial_filter_preserves_bandlimited_signal():
+    """The radial jinc low-pass must pass a low-frequency 2D mode through
+    the up/down round-trip nearly unchanged (alias-free contract), like
+    the separable design."""
+    from resolution_pde_tpu.ops.filters import downsample_2d, upsample_2d
+
+    n = 32
+    t = np.arange(n) / n
+    sig = (np.sin(2 * np.pi * 2 * t)[:, None]
+           * np.cos(2 * np.pi * 3 * t)[None, :]).astype(np.float32)
+    x = jnp.asarray(sig)[None, None]
+    # short kernels (filter_size=6) have passband ripple; both designs
+    # must round-trip within it, and DC exactly
+    for radial in (False, True):
+        rt = downsample_2d(upsample_2d(x, 2, radial=radial), 2,
+                           radial=radial)
+        err = float(jnp.max(jnp.abs(rt - x)))
+        assert err < 0.12, (radial, err)
+        # DC passes within the polyphase ripple of the short kernel
+        const = jnp.ones_like(x)
+        rc = downsample_2d(upsample_2d(const, 2, radial=radial), 2,
+                           radial=radial)
+        np.testing.assert_allclose(np.asarray(rc), 1.0, atol=0.03)
+
+
+def test_cno_original_radial_forward(rng):
+    from resolution_pde_tpu.models.cno_original import CNO2dOriginal
+
+    m = CNO2dOriginal(in_dim=1, out_dim=1, size=32, N_layers=2,
+                      channel_multiplier=8, radial=True)
+    x = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    y = m.apply(variables, x, deterministic=True)
+    assert y.shape == (2, 1, 32, 32)
+    assert np.isfinite(np.asarray(y)).all()

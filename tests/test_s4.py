@@ -219,3 +219,30 @@ def test_s4d_kernel_pallas_impl_matches(rng):
     kj = np.asarray(layer_j.apply(params, 32))
     kp = np.asarray(layer_p.apply(params, 32))
     np.testing.assert_allclose(kp, kj, rtol=1e-4, atol=1e-5)
+
+
+def test_s4block_gate_and_bottleneck(rng):
+    """GSS-style gate/bottleneck options (models/s4.py:1838-1999): shapes,
+    finiteness, and that the DEFAULT options keep the original param tree
+    (backward compat for checkpoints)."""
+    from resolution_pde_tpu.models.s4 import S4Block
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+
+    default = S4Block(8, d_state=8, mode="diag")
+    pd = default.init(jax.random.key(0), x)
+    assert set(pd["params"]) == {"FFTConvLayer_0", "Dense_0"}
+    assert default.apply(pd, x).shape == (2, 16, 8)
+
+    gss = S4Block(8, d_state=8, mode="diag", gate=2, gate_act="gelu",
+                  bottleneck=2, mult_act="gelu", final_act="gelu")
+    pg = gss.init(jax.random.key(1), x)
+    names = set(pg["params"])
+    assert {"input_gate", "input_linear", "FFTConvLayer_0"} <= names
+    y = gss.apply(pg, x)
+    assert y.shape == (2, 16, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+    nolinear = S4Block(8, d_state=8, mode="diag", final_act=None)
+    pn = nolinear.init(jax.random.key(2), x)
+    assert nolinear.apply(pn, x).shape == (2, 16, 8)
