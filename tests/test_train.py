@@ -190,3 +190,34 @@ def test_multislice_mesh_dp(rng):
     ys = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P(("dcn", "data"))))
     state, loss = trainer._train_step(state, xs, ys, None)
     assert np.isfinite(float(loss))
+
+
+def test_checkpoint_manifest_guards_structure(tmp_path, rng):
+    """Restoring into a DIFFERENT model with the same leaf count must fail
+    loudly with named paths, not silently mis-map (VERDICT r1 weak #7)."""
+    import pytest
+    from resolution_pde_tpu.models import FFNO1D
+    from resolution_pde_tpu.train import Trainer
+    from resolution_pde_tpu.train.checkpoint import (restore_checkpoint,
+                                                     save_checkpoint)
+
+    x = jnp.asarray(rng.standard_normal((2, 1, 32)), jnp.float32)
+    m1 = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                n_modes=4)
+    t1 = Trainer(m1, learning_rate=1e-3)
+    s1 = t1.init(x)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, s1)
+
+    # same model restores fine
+    s1b, _ = restore_checkpoint(path, t1.init(x))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s1b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same leaf COUNT, different shapes -> named error
+    m2 = FFNO1D(in_channels=1, out_channels=1, width=16, n_layers=1,
+                n_modes=4)
+    t2 = Trainer(m2, learning_rate=1e-3)
+    with pytest.raises(ValueError, match="structure does not match"):
+        restore_checkpoint(path, t2.init(x))
