@@ -101,26 +101,37 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
         in_specs += [_const_spec((1, c_out)), _const_spec((1, c_out))]
 
     base = 2 if has_residual else 1
+    # sub-chain splitting (Mosaic VPU/MXU overlap) helps an isolated FF
+    # microbench by ~6% (scripts/perf_probe8.py) but measured ~2% SLOWER
+    # in the full train step; keep the single chain
+    nsplit = 1
+    sub = tile // nsplit
 
     def kernel(*refs):
         out_ref = refs[-1]
-        h = refs[0][:]
-        for i in range(n_layers):
-            k = refs[base + 2 * i][:]
-            b = refs[base + 1 + 2 * i][:]
-            z = jnp.dot(h, k, preferred_element_type=jnp.float32) + b
-            if i < n_layers - 1:
-                h = _gelu(z, approx_gelu).astype(cd)
+        ks = [refs[base + 2 * i][:] for i in range(n_layers)]
+        bs = [refs[base + 1 + 2 * i][:] for i in range(n_layers)]
         if has_ln:
-            s = refs[base + 2 * n_layers][:]
-            t = refs[base + 1 + 2 * n_layers][:]
-            mu = jnp.mean(z, axis=-1, keepdims=True)
-            zc = z - mu
-            var = jnp.mean(zc * zc, axis=-1, keepdims=True)
-            z = zc * jax.lax.rsqrt(var + _LN_EPS) * s + t
-        if has_residual:
-            z = z + refs[1][:].astype(jnp.float32)
-        out_ref[:] = z.astype(out_ref.dtype)
+            ln_s = refs[base + 2 * n_layers][:]
+            ln_t = refs[base + 1 + 2 * n_layers][:]
+        chunks = [refs[0][j * sub:(j + 1) * sub] for j in range(nsplit)]
+        for i in range(n_layers):
+            zs = [jnp.dot(h, ks[i], preferred_element_type=jnp.float32)
+                  + bs[i] for h in chunks]
+            if i < n_layers - 1:
+                chunks = [_gelu(z, approx_gelu).astype(cd) for z in zs]
+            else:
+                chunks = zs
+        for j in range(nsplit):
+            z = chunks[j]
+            if has_ln:
+                mu = jnp.mean(z, axis=-1, keepdims=True)
+                zc = z - mu
+                var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+                z = zc * jax.lax.rsqrt(var + _LN_EPS) * ln_s + ln_t
+            if has_residual:
+                z = z + refs[1][j * sub:(j + 1) * sub].astype(jnp.float32)
+            out_ref[j * sub:(j + 1) * sub] = z.astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,

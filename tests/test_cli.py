@@ -212,3 +212,45 @@ def test_driver_writes_figures(tmp_path, monkeypatch):
     assert any("super_resolution" in f.name for f in figs)
     assert any("frequency" in f.name for f in figs)
     assert csvs
+
+
+def test_main_1d_s4_window_pipeline(tmp_path, monkeypatch):
+    """S4 window-dataset pipeline through the CLI (ks_s4 config)."""
+    _make_ks_dir(tmp_path, s=32, n=8, t=8)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_1d import main
+
+    out = main([
+        "model=s4d_1d", "dataset=ks_s4",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.window_size=4",
+        "dataset.original_res=32", "dataset.max_test_resolution=0",
+        "dataset.rollout_steps=0",
+        "model.d_model=16", "model.n_layers=1",
+        "training.epochs=1", "training.batch_size=8",
+    ])
+    assert np.isfinite(out["test_loss"])
+
+
+def test_main_2d_darcy_pipeline(tmp_path, monkeypatch):
+    """Steady-state Darcy through the 2D driver (no rollout)."""
+    rng = np.random.default_rng(0)
+    nu = rng.standard_normal((12, 1, 16, 16)).astype(np.float32)
+    sol = rng.standard_normal((12, 1, 16, 16)).astype(np.float32)
+    with h5py.File(str(tmp_path / "darcy.h5"), "w") as f:
+        f.create_dataset("nu", data=nu[:, 0])
+        f.create_dataset("tensor", data=sol)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_2d import main
+
+    out = main([
+        "model=fno_2d", "dataset=darcy",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.filename=darcy.h5",
+        "dataset.original_res=16", "dataset.max_test_resolution=0",
+        "dataset.rollout_steps=0",
+        "model.width=8", "model.modes1=4", "model.modes2=4",
+        "model.n_blocks=1",
+        "training.epochs=1", "training.batch_size=4",
+    ])
+    assert np.isfinite(out["test_loss"])

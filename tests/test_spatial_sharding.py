@@ -13,7 +13,7 @@ from resolution_pde_tpu.models import FFNO2D, FNO2d
 from resolution_pde_tpu.parallel import make_mesh
 
 
-@pytest.mark.parametrize("impl", ["fft", "dft"])
+@pytest.mark.parametrize("impl", ["fft", "dft", "dft_v3"])
 def test_ffno2d_spatial_sharding_matches_replicated(rng, impl):
     mesh = make_mesh({"data": 2, "spatial": 4})
     model = FFNO2D(in_channels=1, out_channels=1, width=8, n_layers=2,
