@@ -259,3 +259,48 @@ def import_scot_encoder(sd: dict, depths, base="swinv2") -> dict:
                 },
             }
     return params
+
+
+def import_unet1d(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference models/unet.py:7-108 UNet1d state_dict -> our UNet1d
+    variables ({'params', 'batch_stats'}).
+
+    torch ConvNd weights (out, in, k) map to flax (k, in, out); transposed
+    convs additionally FLIP the tap axis (flax's conv_transpose correlates
+    where torch convolves — verified against torch in
+    tests/test_reference_parity.py::test_unet1d_full_model_golden).
+    """
+    names = ["encoder1", "encoder2", "encoder3", "encoder4", "bottleneck",
+             "decoder4", "decoder3", "decoder2", "decoder1"]
+    short = {"encoder1": "enc1", "encoder2": "enc2", "encoder3": "enc3",
+             "encoder4": "enc4", "bottleneck": "bottleneck",
+             "decoder4": "dec4", "decoder3": "dec3", "decoder2": "dec2",
+             "decoder1": "dec1"}
+    params: dict = {}
+    stats: dict = {}
+    for i, name in enumerate(names):
+        dc_p: dict = {}
+        dc_s: dict = {}
+        pre = f"{name}.{short[name]}"
+        for j in (1, 2):
+            conv_w = sd[f"{pre}conv{j}.weight"]
+            dc_p[f"Conv_{j - 1}"] = {
+                "kernel": np.ascontiguousarray(conv_w.transpose(2, 1, 0))}
+            dc_p[f"BatchNorm_{j - 1}"] = {
+                "scale": sd[f"{pre}norm{j}.weight"],
+                "bias": sd[f"{pre}norm{j}.bias"]}
+            dc_s[f"BatchNorm_{j - 1}"] = {
+                "mean": sd[f"{pre}norm{j}.running_mean"],
+                "var": sd[f"{pre}norm{j}.running_var"]}
+        params[f"_DoubleConv_{i}"] = dc_p
+        stats[f"_DoubleConv_{i}"] = dc_s
+    for i, up in enumerate(["upconv4", "upconv3", "upconv2", "upconv1"]):
+        params[f"ConvTranspose_{i}"] = {
+            "kernel": np.ascontiguousarray(
+                sd[f"{up}.weight"].transpose(2, 0, 1)[::-1]),
+            "bias": sd[f"{up}.bias"]}
+    params["Conv_0"] = {
+        "kernel": np.ascontiguousarray(sd["conv.weight"].transpose(2, 1, 0)),
+        "bias": sd["conv.bias"]}
+    return {"params": {"_UNet_0": params},
+            "batch_stats": {"_UNet_0": stats}}

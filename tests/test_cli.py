@@ -254,3 +254,42 @@ def test_main_2d_darcy_pipeline(tmp_path, monkeypatch):
         "training.epochs=1", "training.batch_size=4",
     ])
     assert np.isfinite(out["test_loss"])
+
+
+def test_eval_drivers_end_to_end(tmp_path, monkeypatch):
+    """autoregressive_eval + frequency_evaluation drivers: train briefly,
+    save a checkpoint, then re-load it through BOTH eval drivers
+    (reference autoregressive_eval.py:31-223, frequency_evaluation.py:31-165)."""
+    _make_ks_dir(tmp_path, s=32, n=8, t=6)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_1d import main as train_main
+
+    common_args = [
+        "model=ffno_1d", "dataset=ks_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=32", "dataset.max_test_resolution=32",
+        "model.width=8", "model.n_layers=1", "model.n_modes=4",
+        "training.batch_size=8",
+    ]
+    out = train_main(common_args + ["training.epochs=1",
+                                    "dataset.rollout_steps=0"])
+    ckpt = out["checkpoint"]
+
+    from resolution_pde_tpu.cli.autoregressive_eval import main as ar_main
+
+    res = ar_main(common_args + [
+        f"dataset.saved_checkpoint_path={ckpt}",
+        "dataset.rollout_steps=2",
+    ])
+    assert set(res["teacher_forcing"]) == {32}
+    assert set(res["rollout"]) == {32}
+    assert all(np.isfinite(v) for v in res["rollout"].values())
+
+    from resolution_pde_tpu.cli.frequency_evaluation import main as fq_main
+
+    res = fq_main(common_args + [
+        f"dataset.saved_checkpoint_path={ckpt}",
+    ])
+    assert "default" in res
+    err = res["default"]["error_per_mode"]
+    assert err.shape == (32 // 2 + 1,) and np.isfinite(err).all()

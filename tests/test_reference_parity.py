@@ -439,3 +439,40 @@ def test_fno2d_full_model_golden(ref_modules, rng):
     }
     got = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_unet1d_full_model_golden(rng):
+    """Reference models/unet.py:7-108 UNet1d -> our UNet1d via the library
+    importer (utils.torch_import.import_unet1d): convs, BN affine +
+    running stats, flipped transposed convs, head."""
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from models import unet as ref_unet
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(0)
+    ref = ref_unet.UNet1d(in_channels=1, out_channels=1, width=4)
+    # give the BN running stats non-trivial values
+    with torch.no_grad():
+        ref.train()
+        ref(torch.randn(8, 1, 32))
+        ref.eval()
+
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models.unet import UNet1d
+    from resolution_pde_tpu.utils.torch_import import import_unet1d
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = import_unet1d(sd)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ours = UNet1d(in_channels=1, out_channels=1, width=4)
+    x = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x)).numpy()
+    y = ours.apply(variables, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
