@@ -171,6 +171,7 @@ def _register_factories():
         "burger_resize_multires_markov_dataset",
         "burger_resize_true_multires_markov_dataset",
         "multi_file_active_matter_markov_dataset",
+        "point_cloud_markov_dataset",
     ):
         fn = getattr(f, name)
         DATASET_FACTORIES[name] = fn
@@ -237,6 +238,8 @@ def _register_factories():
             "ks_pino_markov_dataset",
         "dataloaders.burger_markov.burger_markov_dataset":
             "burger_markov_dataset",
+        # dgl-free realization of the GNOT graph loader (dgl_data.py:33)
+        "dataloaders.dgl_data.FNODataset": "point_cloud_markov_dataset",
     }
     for alias, name in aliases.items():
         DATASET_FACTORIES[alias] = DATASET_FACTORIES[name]

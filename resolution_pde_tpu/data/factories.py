@@ -979,3 +979,35 @@ def burger_resize_true_multires_markov_dataset(*args, **kwargs):
     true-mres Burgers whose extra resolutions come from FFT resize."""
     kwargs.setdefault("add_res_method", "resize")
     return burger_true_multires_markov_dataset(*args, **kwargs)
+
+
+def point_cloud_markov_dataset(filename, saved_folder, data_normalizer=True,
+                               normalization_type="simple",
+                               reduced_batch=1, reduced_resolution=1,
+                               reduced_resolution_t=1, num_samples_max=-1,
+                               **kwargs):
+    """GNOT/point-cloud operator dataset (the dgl-free realization of
+    dataloaders/dgl_data.py:33-147): 2D NS fields become node features on
+    a normalized point cloud; x rows are [features | positions] so the
+    GNOTOperator wrapper can split query/branch/pos
+    (models/mgpt.py GNOTOperator). Returns the standard factory tuple with
+    x (N, T, c+2) and y (N, T, c)."""
+    from resolution_pde_tpu.data.graph import grid_to_point_cloud
+
+    path = os.path.join(os.path.abspath(saved_folder), filename)
+    u = data_io.read_ns(path)[..., None]
+    u = reduce_trajectories(u, reduced_batch, reduced_resolution,
+                            reduced_resolution_t,
+                            num_samples_max=num_samples_max, spatial_ndim=2)
+    u = u[..., 0]  # (n, t, h, w)
+    n, t, h, w = u.shape
+    frames = u.reshape(n * t, h, w)
+    feats, pos = grid_to_point_cloud(frames)     # (n*t, h*w, 1), (h*w, 2)
+    feats = feats.reshape(n, t, h * w, 1)
+    x_feat = feats[:, :-1].reshape(-1, h * w, 1)
+    y = feats[:, 1:].reshape(-1, h * w, 1)
+    pos_b = np.broadcast_to(pos[None], (x_feat.shape[0],) + pos.shape)
+    x = np.concatenate([x_feat, pos_b], axis=-1).astype(np.float32)
+    train, val, test = _split_pairs(x, np.ascontiguousarray(y), seed=42)
+    return _package(train, val, test, None, data_normalizer,
+                    normalization_type)

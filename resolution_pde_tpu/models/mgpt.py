@@ -182,3 +182,33 @@ class MoEGPTNO(nn.Module):
                 x, y, pos, deterministic)
         return _MLP(self.n_hidden, self.output_size, self.mlp_layers,
                     name="out_mlp")(x)
+
+
+class GNOTOperator(nn.Module):
+    """Standard-pipeline adapter for MoEGPTNO: x (B, T, c + space_dim) rows
+    are [node features | positions]; query and branch both read the
+    features, the gate reads the positions (the reference's GNOT operator
+    surface, models/mgpt.py:223-330, driven by dgl_data-style point
+    clouds). Output (B, T, output_size)."""
+
+    space_dim: int = 2
+    output_size: int = 1
+    n_layers: int = 2
+    n_hidden: int = 64
+    n_head: int = 1
+    n_experts: int = 2
+    mlp_layers: int = 2
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        feats = x[..., : -self.space_dim]
+        pos = x[..., -self.space_dim:]
+        g = jnp.concatenate([feats, pos], axis=-1)
+        return MoEGPTNO(
+            trunk_size=g.shape[-1], branch_size=g.shape[-1],
+            space_dim=self.space_dim, output_size=self.output_size,
+            n_layers=self.n_layers, n_hidden=self.n_hidden,
+            n_head=self.n_head, n_experts=self.n_experts,
+            mlp_layers=self.mlp_layers, act=self.act,
+        )(g, g, pos, deterministic)

@@ -71,6 +71,7 @@ def _populate():
     register("S4SeqModel", s4_base.S4SeqModel)
     register("OneToSeqModel", s4_base.OneToSeqModel)
     register("MoEGPTNO", mgpt.MoEGPTNO)
+    register("GNOTOperator", mgpt.GNOTOperator)
     register("models.s4_model.S4BaseModel", s4_base.S4BaseModel)
     register("models.s4seq_model.S4SeqModel", s4_base.S4SeqModel)
     register("models.s4seq_model.OneToSeqModel", s4_base.OneToSeqModel)
