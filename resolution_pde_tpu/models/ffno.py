@@ -145,6 +145,15 @@ class FSpectralConv2d(nn.Module):
                     x = factorized_spectral_conv_2d_dft_v3(
                         xin, wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
+                elif self.spectral_impl == "pallas":
+                    from resolution_pde_tpu.ops.spectral import (
+                        factorized_spectral_conv_2d_pallas)
+                    import jax as _jax
+
+                    x = factorized_spectral_conv_2d_pallas(
+                        x.astype(jnp.float32), wy, wx, self.n_modes,
+                        interpret=_jax.default_backend() not in
+                        ("tpu", "axon")).astype(dt)
                 elif self.spectral_impl == "fft":
                     x = factorized_spectral_conv_2d(
                         x.astype(jnp.float32), wy, wx,

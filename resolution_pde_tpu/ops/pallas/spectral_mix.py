@@ -79,28 +79,13 @@ def _make_kernel(precision):
   return _kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_modes", "fft_norm", "row_tile",
-                                    "interpret", "precision"))
-def truncated_spectral_mix_1d(x, weight, n_modes: int,
-                              fft_norm: str = "ortho", row_tile: int = 16,
-                              interpret: bool = False,
-                              precision: str = "highest"):
-    """One FFNO axis pass, fused. x: (R, W, C) f32; weight: (C, O, m, 2).
-
-    Returns (R, W, O) f32. Matches factorized_spectral_conv_1d applied
-    rowwise (tested in tests/test_pallas.py).
-
-    precision: 'highest' gives true-f32 MXU passes (matches the FFT path to
-    roundoff); 'default' allows bf16 multiplies with f32 accumulation
-    (~1e-2 relative, fine for training; ~2x faster).
-    """
+def _mix_pallas(x, fc, fs, ic, is_, wr, wi, row_tile: int,
+                interpret: bool, precision: str):
+    """Matrix-parameterized core: x (R, W, C) f32; fc/fs (W, m);
+    ic/is (m, W); wr/wi (C, O, m) -> (R, W, O) f32."""
     r, w, c = x.shape
-    m = min(n_modes, w // 2 + 1)
-    o = weight.shape[1]
-    fc, fs, ic, is_ = (jnp.asarray(a) for a in _dft_matrices(w, m, fft_norm))
-    wr = weight[:, :, :m, 0]
-    wi = weight[:, :, :m, 1]
+    m = fc.shape[1]
+    o = wr.shape[1]
 
     tile = min(row_tile, r)
     if r % tile:
@@ -135,3 +120,78 @@ def truncated_spectral_mix_1d(x, weight, n_modes: int,
         interpret=interpret,
     )(x.astype(jnp.float32), fc, fs, ic, is_, wr, wi)
     return out[:r]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mix_op(n_modes: int, fft_norm: str, row_tile: int,
+                 interpret: bool, precision: str):
+    """custom_vjp wrapper: the op is LINEAR in x and W, so the x-adjoint is
+    the SAME kernel with transposed factors (fc<->ic.T, fs<->is.T,
+    wr -> wr^T, wi -> -wi^T) and the W-grad is two truncated-DFT GEMMs —
+    training through spectral_impl='pallas' works end to end."""
+
+    def factors(w):
+        m = min(n_modes, w // 2 + 1)
+        return tuple(jnp.asarray(a) for a in _dft_matrices(w, m, fft_norm))
+
+    def fwd_only(x, weight):
+        fc, fs, ic, is_ = factors(x.shape[1])
+        m = fc.shape[1]
+        return _mix_pallas(x, fc, fs, ic, is_, weight[:, :, :m, 0],
+                           weight[:, :, :m, 1], row_tile, interpret,
+                           precision)
+
+    @jax.custom_vjp
+    def op(x, weight):
+        return fwd_only(x, weight)
+
+    def op_fwd(x, weight):
+        return fwd_only(x, weight), (x, weight)
+
+    def op_bwd(res, g):
+        x, weight = res
+        fc, fs, ic, is_ = factors(x.shape[1])
+        m = fc.shape[1]
+        wr = weight[:, :, :m, 0]
+        wi = weight[:, :, :m, 1]
+        # x-adjoint through the same kernel
+        dx = _mix_pallas(g, ic.T, is_.T, fc.T, fs.T,
+                         jnp.transpose(wr, (1, 0, 2)),
+                         -jnp.transpose(wi, (1, 0, 2)),
+                         row_tile, interpret, precision)
+        # weight grads: truncated spectra of x and of the cotangent
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        zr = jnp.einsum("rwc,wm->rcm", x, fc, precision=prec)
+        zi = jnp.einsum("rwc,wm->rcm", x, fs, precision=prec)
+        gr = jnp.einsum("rwo,mw->rom", g, ic, precision=prec)
+        gi = jnp.einsum("rwo,mw->rom", g, is_, precision=prec)
+        dwr = (jnp.einsum("rcm,rom->com", zr, gr, precision=prec)
+               + jnp.einsum("rcm,rom->com", zi, gi, precision=prec))
+        dwi = (jnp.einsum("rcm,rom->com", zr, gi, precision=prec)
+               - jnp.einsum("rcm,rom->com", zi, gr, precision=prec))
+        dweight = jnp.zeros_like(weight)
+        dweight = dweight.at[:, :, :m, 0].set(dwr)
+        dweight = dweight.at[:, :, :m, 1].set(dwi)
+        return dx, dweight
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def truncated_spectral_mix_1d(x, weight, n_modes: int,
+                              fft_norm: str = "ortho", row_tile: int = 16,
+                              interpret: bool = False,
+                              precision: str = "highest"):
+    """One FFNO axis pass, fused and DIFFERENTIABLE (custom VJP).
+    x: (R, W, C) f32; weight: (C, O, m, 2). Returns (R, W, O) f32.
+    Matches factorized_spectral_conv_1d applied rowwise
+    (tested in tests/test_pallas.py).
+
+    precision: 'highest' gives true-f32 MXU passes (matches the FFT path to
+    roundoff); 'default' allows bf16 multiplies with f32 accumulation
+    (~1e-2 relative, fine for training; ~2x faster).
+    """
+    op = _make_mix_op(int(n_modes), str(fft_norm), int(row_tile),
+                      bool(interpret), str(precision))
+    return op(x, weight)

@@ -362,3 +362,31 @@ def factorized_spectral_conv_2d_dft_v3(x, weight_y, weight_x, n_modes: int,
     xx = _dft_pass_last_axis_v3(xt, weight_x, n_modes, fft_norm, gemm_dtype)
     xx = jnp.swapaxes(xx, -1, -2)
     return jnp.moveaxis(xx + yy, 1, -1)
+
+
+def factorized_spectral_conv_2d_pallas(x, weight_y, weight_x, n_modes: int,
+                                       fft_norm: str = "ortho",
+                                       interpret: bool = False):
+    """Both FFNO axis passes through the fused Pallas kernel
+    (ops/pallas/spectral_mix.py): per row tile, the truncated spectrum
+    never leaves VMEM. f32-exact (Precision.HIGHEST inside the kernel) —
+    the fastest f32-exact option on TPU (RESULTS.md: 4.5 ms vs 8.5 ms for
+    the XLA FFT path per axis pass at the bench shape); the bf16 training
+    fast path remains dft_v3.
+
+    x: (B, H, W, C) channels-last; returns (B, H, W, C)."""
+    from resolution_pde_tpu.ops.pallas.spectral_mix import (
+        truncated_spectral_mix_1d)
+
+    b, h, w_sz, c = x.shape
+    # y pass: rows are (B*H) slices along W
+    yy = truncated_spectral_mix_1d(
+        x.reshape(b * h, w_sz, c), weight_y, n_modes, fft_norm,
+        interpret=interpret).reshape(b, h, w_sz, c)
+    # x pass: rows are (B*W) slices along H
+    xt = jnp.swapaxes(x, 1, 2).reshape(b * w_sz, h, c)
+    xx = truncated_spectral_mix_1d(
+        xt, weight_x, n_modes, fft_norm,
+        interpret=interpret).reshape(b, w_sz, h, c)
+    xx = jnp.swapaxes(xx, 1, 2)
+    return yy + xx
