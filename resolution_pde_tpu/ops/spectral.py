@@ -369,10 +369,12 @@ def factorized_spectral_conv_2d_pallas(x, weight_y, weight_x, n_modes: int,
                                        interpret: bool = False):
     """Both FFNO axis passes through the fused Pallas kernel
     (ops/pallas/spectral_mix.py): per row tile, the truncated spectrum
-    never leaves VMEM. f32-exact (Precision.HIGHEST inside the kernel) —
-    the fastest f32-exact option on TPU (RESULTS.md: 4.5 ms vs 8.5 ms for
-    the XLA FFT path per axis pass at the bench shape); the bf16 training
-    fast path remains dft_v3.
+    never leaves VMEM. f32-exact (Precision.HIGHEST inside the kernel).
+    Model-level f32 eval at the bench shape (probe #9): fft 100 ms,
+    THIS 74 ms, dft 57 ms, dft_v3 57 ms — so dft_v3 is the preferred
+    f32-exact path and the bf16 training fast path; this kernel is kept
+    as the VMEM-resident alternative (wins when HBM is contended) and as
+    the differentiable fused-spectral building block.
 
     x: (B, H, W, C) channels-last; returns (B, H, W, C)."""
     from resolution_pde_tpu.ops.pallas.spectral_mix import (
