@@ -20,6 +20,29 @@ case "$EXP" in
   ks_s4)             # BASELINE config 5: S4 on KS windows + rollout + frequency sweep
     python -m resolution_pde_tpu.cli.main_1d model=s4_1d dataset=ks_s4
     python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d dataset=ks_s4 ;;
+  # --- round-2 config families ---
+  ks_mres)           # single-file multires (naive downsample mix)
+    python -m resolution_pde_tpu.cli.main_1d model=ffno_1d dataset=ks_naive_mres ;;
+  ks_resize)         # FFT-resize strategy
+    python -m resolution_pde_tpu.cli.main_1d model=cno_1d dataset=ks_resize ;;
+  ks_pino)           # PINO-format KS, minmax normalization
+    python -m resolution_pde_tpu.cli.main_1d model=ffno_1d dataset=ks_pino ;;
+  burger_mres)       # single-file multires Burgers
+    python -m resolution_pde_tpu.cli.main_1d model=ffno_1d dataset=burger_naive_mres ;;
+  burger_true_mres)  # true multi-resolution Burgers (per-res dirs)
+    python -m resolution_pde_tpu.cli.main_1d model=ffno_1d dataset=burger_naive_true_mres ;;
+  ns_active)         # multi-file active matter (The-Well format)
+    python -m resolution_pde_tpu.cli.main_2d model=ffno_2d dataset=ns_active_t2 ;;
+  darcy)             # steady-state Darcy
+    python -m resolution_pde_tpu.cli.main_2d model=fno_2d dataset=darcy_flow ;;
+  pos)               # Poseidon/ScOT operator
+    python -m resolution_pde_tpu.cli.main_2d model=pos dataset=ns_naive ;;
+  gnot)              # GNOT point-cloud operator
+    python -m resolution_pde_tpu.cli.main_2d model=mgpt dataset=ns_gnot ;;
+  demo_1d)           # self-contained end-to-end KS demo (generates data)
+    python scripts/integration_demo.py ;;
+  demo_2d)           # self-contained end-to-end NS demo, TPU fast path
+    python scripts/integration_demo_2d.py --fast ;;
   bench)
     python bench.py ;;
   *)
