@@ -354,3 +354,71 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
         return h @ dec_k + dec_b, new_states
 
     return init_state, step
+
+
+def s4dualseq_recurrent_fns(params, model: "S4DualSeqModel",
+                            L_train: int):
+    """Recurrent (init_state, step) for S4DualSeqModel — the reference's
+    setup_step/step (s4seq_model.py:245-331): 'BatchSpace' (time) layers
+    step their SSM state per spatial point; 'BatchTime' (spatial) layers
+    apply their full bidirectional convolution on the current frame (they
+    act per-timestep in conv mode too, so conv == recurrent exactly —
+    tested in tests/test_s4_base_mgpt.py).
+
+    step(state, x_t (B, S, V), grid (B, S, G)) ->
+        (y_t (B, S, d_output), new_state)."""
+    import jax
+
+    from resolution_pde_tpu.models.s4 import (
+        S4Block, dplr_recurrent_step_fn, s4d_recurrent_step_fn)
+
+    p = params["params"] if "params" in params else params
+    enc_k, enc_b = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+    dec_k, dec_b = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+    d = model.d_model
+    layers = []
+    for i in range(model.n_layers):
+        proc = model.layer_processors[i % len(model.layer_processors)]
+        blk = p[f"S4Block_{i}"]
+        if proc == "BatchTime":
+            mod = S4Block(d, mode=model.mode,
+                          bidirectional=model.bidirectional_space)
+            layers.append(("spatial", mod, blk))
+        else:
+            conv = blk["FFTConvLayer_0"]
+            if model.mode == "diag":
+                init_s, kstep = s4d_recurrent_step_fn(
+                    conv["S4DKernelLayer_0"])
+            else:
+                init_s, kstep = dplr_recurrent_step_fn(
+                    conv["DPLRKernelLayer_0"], L_train)
+            layers.append(("time", (init_s, kstep, conv["D"][0],
+                                    blk["Dense_0"]["kernel"],
+                                    blk["Dense_0"]["bias"]), blk))
+
+    def init_state(batch_times_space: int):
+        return [layer[1][0](batch_times_space)
+                if layer[0] == "time" else None for layer in layers]
+
+    def step(state, x_t, grid):
+        b, s_pts, _ = x_t.shape
+        h = jnp.concatenate([x_t, grid], axis=-1) @ enc_k + enc_b
+        new_states = []
+        for (kind, obj, blk), st in zip(layers, state):
+            if kind == "spatial":
+                z = obj.apply({"params": blk}, h)
+                new_states.append(None)
+            else:
+                init_s, kstep, D, glu_k, glu_b = obj
+                hf = h.reshape(b * s_pts, d)
+                st2, y = kstep(st, hf)
+                y = y + D[None] * hf
+                y = jax.nn.gelu(y, approximate=False)
+                y2 = y @ glu_k + glu_b
+                y = y2[..., :d] * jax.nn.sigmoid(y2[..., d:])
+                z = y.reshape(b, s_pts, d)
+                new_states.append(st2)
+            h = z + h
+        return h @ dec_k + dec_b, new_states
+
+    return init_state, step

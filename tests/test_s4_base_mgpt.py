@@ -250,3 +250,28 @@ def test_gnot_point_cloud_end_to_end(tmp_path, rng):
     for _ in range(4):
         state, l1 = trainer.train_epoch(state, loader)
     assert np.isfinite(l1) and l1 < l0
+
+
+@pytest.mark.parametrize("mode", ["diag", "dplr"])
+def test_s4dualseq_conv_equals_recurrent_step(rng, mode):
+    """Dual space/time model: conv forward == stepping (the reference's
+    S4DualSeqModel.step contract, s4seq_model.py:272-331)."""
+    from resolution_pde_tpu.models.s4_base import (
+        S4DualSeqModel, s4dualseq_recurrent_fns)
+
+    b, t, s, v, d = 2, 6, 4, 1, 12
+    x, grid = _seq_inputs(rng, b, t, s, v)
+    m = S4DualSeqModel(d_input=v, d_output=1, d_model=d, n_layers=2,
+                       layer_processors=("BatchTime", "BatchSpace"),
+                       mode=mode)
+    p = m.init(jax.random.key(0), x, grid)
+    y_conv = np.asarray(m.apply(p, x, grid))
+
+    init_state, step = s4dualseq_recurrent_fns(p, m, L_train=t)
+    state = init_state(b * s)
+    ys = []
+    for k in range(t):
+        y_k, state = step(state, x[:, k], grid)
+        ys.append(np.asarray(y_k))
+    y_rec = np.stack(ys, axis=1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=2e-3, atol=2e-4)
