@@ -422,3 +422,55 @@ def s4dualseq_recurrent_fns(params, model: "S4DualSeqModel",
         return h @ dec_k + dec_b, new_states
 
     return init_state, step
+
+
+def chain_predict(params, inner_model, x0, grid, n_timesteps: int,
+                  train_timesteps: int, chain_length: int = 2,
+                  lg_length: Optional[int] = None):
+    """ChainModel's recurrent long-horizon rollout
+    (s4seq_model.py:514-546 _predict_inL/predict): step the INNER sequence
+    model on the fine time grid, feeding the prediction back every
+    `chain_length` steps and zeros in between; chunk the horizon into
+    train_timesteps windows re-seeded from the last prediction.
+
+    params: ChainModel variables ({'params': {'model': ...}}) or the inner
+    model's variables. inner_model: the S4BaseSeqModel instance.
+    x0 (B, S, V); grid (B, S, G). Returns (B, n_timesteps, S, d_output).
+    """
+    import jax
+
+    p = params["params"] if "params" in params else params
+    if "model" in p:  # ChainModel wrapping
+        p = p["model"]
+    init_state, step = s4seq_recurrent_fns(
+        {"params": p}, inner_model.d_model, inner_model.n_layers,
+        inner_model.mode, L_train=train_timesteps * chain_length)
+    b, s_pts, v = x0.shape
+
+    def window(x_seed):
+        """train_timesteps outputs from one recurrent window."""
+        state = init_state(b * s_pts)
+        gf = grid.reshape(b * s_pts, -1)
+
+        def body(carry, k):
+            state, inp = carry
+            y, state = step(state, inp.reshape(b * s_pts, v), gf)
+            y = y.reshape(b, s_pts, -1)
+            is_emit = (k + 1) % chain_length == 0
+            nxt = jnp.where(is_emit, y, jnp.zeros_like(y))
+            return (state, nxt), (y, is_emit)
+
+        (_, _), (ys, emits) = jax.lax.scan(
+            body, (state, x_seed),
+            jnp.arange(train_timesteps * chain_length))
+        # keep every chain_length-th output
+        return ys[chain_length - 1::chain_length]  # (T, B, S, d)
+
+    if lg_length is None:
+        lg_length = train_timesteps
+    y = window(x0)  # (train_timesteps, B, S, d)
+    while y.shape[0] < n_timesteps:
+        x_ = y[-train_timesteps + lg_length - 1]
+        y_new = window(x_)[-lg_length:]
+        y = jnp.concatenate([y, y_new], axis=0)
+    return jnp.moveaxis(y[:n_timesteps], 0, 1)  # (B, T, S, d)

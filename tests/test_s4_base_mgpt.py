@@ -275,3 +275,21 @@ def test_s4dualseq_conv_equals_recurrent_step(rng, mode):
         ys.append(np.asarray(y_k))
     y_rec = np.stack(ys, axis=1)
     np.testing.assert_allclose(y_rec, y_conv, rtol=2e-3, atol=2e-4)
+
+
+def test_chain_predict_recurrent_rollout(rng):
+    """ChainModel recurrent rollout (s4seq_model.py:514-546): finite
+    multi-window output of the right shape, fed-back states."""
+    from resolution_pde_tpu.models.s4_base import (
+        ChainModel, S4BaseSeqModel, chain_predict)
+
+    b, t, s, v, d = 2, 4, 4, 1, 8
+    x, grid = _seq_inputs(rng, b, t, s, v)
+    inner = S4BaseSeqModel(d_input=v, d_output=v, d_model=d, n_layers=1,
+                           mode="diag")
+    chain = ChainModel(model=inner, chain_length=2)
+    p = chain.init(jax.random.key(0), x, grid)
+    y = chain_predict(p, inner, x[:, 0], grid, n_timesteps=7,
+                      train_timesteps=t, chain_length=2)
+    assert y.shape == (b, 7, s, v)
+    assert np.isfinite(np.asarray(y)).all()
