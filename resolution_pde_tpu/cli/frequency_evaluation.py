@@ -19,8 +19,6 @@ import jax.numpy as jnp
 from resolution_pde_tpu.configs import parse_cli, instantiate_dataset
 from resolution_pde_tpu.cli import common
 from resolution_pde_tpu.evaluation import (
-    decompose_error_by_frequency_1d,
-    decompose_error_by_frequency_2d,
 )
 from resolution_pde_tpu.train.checkpoint import restore_checkpoint
 from resolution_pde_tpu.utils.metrics import MetricsLogger
@@ -65,21 +63,34 @@ def main(argv=None, spatial_ndim: int | None = None):
             pred = model.apply(v, bx, deterministic=True)
             return yn.decode(pred) if yn is not None else pred
 
-        # decoded predictions vs raw targets over the whole test set
-        preds, targets = [], []
+        # spectra accumulate DEVICE-side (additive sums, no host concat
+        # of the test set — same scheme as evaluation/superres.py)
+        from resolution_pde_tpu.evaluation.frequency import (
+            finalize_frequency_1d, finalize_frequency_2d,
+            spectrum_sums_1d, spectrum_sums_2d)
+
+        sums_fn = jax.jit(spectrum_sums_1d if spatial_ndim == 1
+                          else spectrum_sums_2d)
+        err_acc = mag_acc = None
+        spatial_shape = None
         for i in range(0, len(test), batch_size):
             bx = jnp.asarray(test.x[i:i + batch_size])
             by = jnp.asarray(test.y[i:i + batch_size])
-            preds.append(np.asarray(forward(variables, bx)))
-            targets.append(np.asarray(
-                yn.decode(by) if yn is not None else by))
-        pred = np.concatenate(preds)
-        target = np.concatenate(targets)
-
+            pred = forward(variables, bx)
+            tgt = yn.decode(by) if yn is not None else by
+            es, ms = sums_fn(pred, tgt)
+            spatial_shape = by.shape[2:]
+            if err_acc is None:
+                err_acc, mag_acc = es, ms
+            else:
+                err_acc = err_acc + es
+                mag_acc = mag_acc + ms
         if spatial_ndim == 1:
-            err, mag, freqs = decompose_error_by_frequency_1d(pred, target)
+            err, mag, freqs = finalize_frequency_1d(
+                err_acc, mag_acc, spatial_shape[-1])
         else:
-            err, mag, freqs = decompose_error_by_frequency_2d(pred, target)
+            err, mag, freqs = finalize_frequency_2d(
+                err_acc, mag_acc, *spatial_shape)
         results[key] = {"error_per_mode": err, "magnitude_per_mode": mag,
                         "frequencies": freqs}
         logger.log_table(
