@@ -18,8 +18,6 @@ import jax.numpy as jnp
 
 from resolution_pde_tpu.configs import parse_cli, instantiate_dataset
 from resolution_pde_tpu.cli import common
-from resolution_pde_tpu.evaluation import (
-)
 from resolution_pde_tpu.train.checkpoint import restore_checkpoint
 from resolution_pde_tpu.utils.metrics import MetricsLogger
 
