@@ -14,5 +14,13 @@ from resolution_pde_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from resolution_pde_tpu.parallel.tp import (
+    ffno_tp_specs,
+    shard_train_state,
+    specs_to_shardings,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "ffno_tp_specs", "shard_train_state", "specs_to_shardings",
+]

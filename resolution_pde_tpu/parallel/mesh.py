@@ -53,8 +53,10 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
     multi-slice data parallelism), optionally one spatial dim over
     "spatial"."""
     spec: list = [None] * ndim
-    spec[batch_axis] = (("dcn", "data") if "dcn" in mesh.axis_names
-                        else "data")
+    data_axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    if len(data_axes) == 1:
+        data_axes = data_axes[0]
+    spec[batch_axis] = data_axes or None
     if spatial_axis is not None and "spatial" in mesh.axis_names:
         spec[spatial_axis] = "spatial"
     return NamedSharding(mesh, P(*spec))

@@ -81,6 +81,7 @@ class Trainer:
         grad_clip: Optional[float] = None,
         ssm_lr: Optional[float] = None,
         seed: int = 0,
+        param_specs=None,
     ):
         """ssm_lr: per-parameter optimizer override for SSM kernel params
         (S4 family): those params train at min(ssm_lr, learning_rate) with
@@ -91,6 +92,10 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.use_normalizer = use_normalizer
         self.y_normalizer = y_normalizer
+        # tensor parallelism: a PartitionSpec tree over params (parallel/tp.py)
+        # pins the updated params to the TP layout every step so GSPMD
+        # propagation can't drift back to replicated.
+        self.param_specs = param_specs
 
         def _is_ssm(path) -> bool:
             from resolution_pde_tpu.models.s4 import SSM_PARAM_NAMES
@@ -160,6 +165,11 @@ class Trainer:
     def _build_train_step(self):
         model = self.model
         optimizer = self.optimizer
+        param_shardings = None
+        if self.param_specs is not None:
+            from resolution_pde_tpu.parallel.tp import specs_to_shardings
+
+            param_shardings = specs_to_shardings(self.param_specs, self.mesh)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, x, y, y_normalizer, weights=None):
@@ -189,6 +199,9 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            if param_shardings is not None:
+                params = jax.lax.with_sharding_constraint(
+                    params, param_shardings)
             new_state = state.replace(
                 params=params, opt_state=opt_state, step=state.step + 1,
                 model_state=new_model_state,
