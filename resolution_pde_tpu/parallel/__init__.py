@@ -19,8 +19,13 @@ from resolution_pde_tpu.parallel.tp import (
     shard_train_state,
     specs_to_shardings,
 )
+from resolution_pde_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_stage_params,
+)
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "ffno_tp_specs", "shard_train_state", "specs_to_shardings",
+    "pipeline_apply", "stack_stage_params",
 ]
