@@ -71,6 +71,40 @@ class _ExpertMLP(nn.Module):
         return nn.Dense(self.n_embd)(x)
 
 
+def _stacked_expert_init(in_axis=-2):
+    # per-expert lecun_normal (flax Dense default) with the expert dim as a
+    # batch axis, so each expert's slice is distributed like the loop impl's
+    return nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal", in_axis=in_axis, out_axis=-1,
+        batch_axis=(0,))
+
+
+class _StackedExpertMLP(nn.Module):
+    """All experts' weights in one tensor with a leading expert dim — the
+    expert-parallel layout: shard dim 0 over an "expert" mesh axis
+    (parallel/ep.py) and each device computes only its experts; the gated
+    sum's contraction over experts becomes one psum over ICI.
+
+    Same math as n_experts _ExpertMLP modules; returns (m, B, T, C)."""
+
+    n_embd: int
+    n_inner: int
+    n_experts: int
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, z):
+        m, c, i = self.n_experts, z.shape[-1], self.n_inner
+        w1 = self.param("w1", _stacked_expert_init(), (m, c, i))
+        b1 = self.param("b1", nn.initializers.zeros, (m, i))
+        w2 = self.param("w2", _stacked_expert_init(), (m, i, self.n_embd))
+        b2 = self.param("b2", nn.initializers.zeros, (m, self.n_embd))
+        h = jnp.einsum("btc,mci->mbti", z, w1) + b1[:, None, None, :]
+        h = ACTIVATIONS[self.act](h)
+        return (jnp.einsum("mbti,mio->mbto", h, w2)
+                + b2[:, None, None, :])
+
+
 class MoECrossAttentionBlock(nn.Module):
     """mgpt.py:140-205."""
 
@@ -82,6 +116,7 @@ class MoECrossAttentionBlock(nn.Module):
     act: str = "gelu"
     resid_pdrop: float = 0.0
     attn_pdrop: float = 0.0
+    expert_impl: str = "loop"  # 'loop' | 'stacked' (expert-parallel layout)
 
     @nn.compact
     def __call__(self, x, y, pos, deterministic: bool = True):
@@ -94,6 +129,11 @@ class MoECrossAttentionBlock(nn.Module):
         gate = g[:, :, None, :]  # (B, T1, 1, m)
 
         def moe(z, name):
+            if self.expert_impl == "stacked":
+                experts = _StackedExpertMLP(
+                    self.n_embd, self.n_inner, self.n_experts, self.act,
+                    name=f"{name}_stacked")(z)  # (m,B,T,C)
+                return jnp.einsum("mbtc,btm->btc", experts, g)
             experts = jnp.stack(
                 [_ExpertMLP(self.n_embd, self.n_inner, self.act,
                             name=f"{name}_{i}")(z)
@@ -164,6 +204,7 @@ class MoEGPTNO(nn.Module):
     ffn_dropout: float = 0.0
     attn_dropout: float = 0.0
     horiz_fourier_dim: int = 0
+    expert_impl: str = "loop"  # 'loop' | 'stacked' (expert-parallel layout)
 
     @nn.compact
     def __call__(self, g, u, pos, deterministic: bool = True):
@@ -178,7 +219,7 @@ class MoEGPTNO(nn.Module):
             x = MoECrossAttentionBlock(
                 self.n_hidden, self.n_hidden, self.n_head, self.n_experts,
                 self.space_dim, self.act, self.ffn_dropout,
-                self.attn_dropout, name=f"block_{i}")(
+                self.attn_dropout, self.expert_impl, name=f"block_{i}")(
                 x, y, pos, deterministic)
         return _MLP(self.n_hidden, self.output_size, self.mlp_layers,
                     name="out_mlp")(x)

@@ -23,9 +23,10 @@ from resolution_pde_tpu.parallel.pipeline import (
     pipeline_apply,
     stack_stage_params,
 )
+from resolution_pde_tpu.parallel.ep import moe_ep_specs
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "ffno_tp_specs", "shard_train_state", "specs_to_shardings",
-    "pipeline_apply", "stack_stage_params",
+    "pipeline_apply", "stack_stage_params", "moe_ep_specs",
 ]
