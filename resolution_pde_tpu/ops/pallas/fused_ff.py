@@ -67,9 +67,12 @@ def _pick_tile(n: int, prefer=(512, 1024, 256, 128, 64, 32, 16, 8)) -> int:
 
 
 # forward keeps few intermediates -> bigger tiles amortize better; backward
-# holds ~6 (tile, F) f32 buffers so stay at 512 rows
-_FWD_TILES = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-_BWD_TILES = (1024, 512, 256, 128, 64, 32, 16, 8)
+# holds ~6 (tile, F) f32 buffers. The default scoped-VMEM budget (16 MB)
+# rejects these tiles, so the pallas_calls raise it (v5e has 128 MB VMEM);
+# measured on-chip: fwd 8192 beats 4096/1024 and bwd 4096 beats 1024 by ~5%
+_FWD_TILES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+_BWD_TILES = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _const_spec(shape):
@@ -140,6 +143,8 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
         out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c_out), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
 
@@ -244,6 +249,8 @@ def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
 
