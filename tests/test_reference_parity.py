@@ -476,3 +476,50 @@ def test_unet1d_full_model_golden(rng):
         y_ref = ref(torch.tensor(x)).numpy()
     y = ours.apply(variables, jnp.asarray(x), deterministic=True)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ffno1d_parity_across_resolutions_32_to_1024(ref_modules, rng):
+    """North-star acceptance (BASELINE.json:5): rel-L2 parity within 1e-4 at
+    EVERY eval resolution in [32..1024] with one transplanted weight set —
+    the effective-mode slicing must track the reference's
+    (models/spectral_convolution.py:183-196) at each grid size."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO1D
+
+    kw = dict(width=8, n_layers=2, n_modes=16, factor=2,
+              ff_weight_norm=False, n_ff_layers=2, layer_norm=False,
+              dropout=0.0, mode="full", activation="identity")
+    ref = ref_modules["ffno"].FFNO1D(in_channels=1, out_channels=1, **kw)
+    ref.eval()
+
+    mine = FFNO1D(in_channels=1, out_channels=1, use_grid=False, **kw)
+    x0 = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    p = mine.init(jax.random.key(0), jnp.asarray(x0))["params"]
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    p["WNDense_0"]["TorchLinear_0"]["kernel"] = t2j(ref.in_proj.weight).T
+    p["WNDense_0"]["TorchLinear_0"]["bias"] = t2j(ref.in_proj.bias)
+    p["WNDense_1"]["TorchLinear_0"]["kernel"] = t2j(ref.out_proj.weight).T
+    p["WNDense_1"]["TorchLinear_0"]["bias"] = t2j(ref.out_proj.bias)
+    for i, layer in enumerate(ref.fourier_layers):
+        blk = p[f"FSpectralConv1d_{i}"]
+        blk["fourier_weight"] = t2j(layer.fourier_weight[0])
+        ff = blk["FeedForward_0"]
+        for j in range(2):
+            lin = layer.backcast_ff.layers[j][0]
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["kernel"] = t2j(lin.weight).T
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["bias"] = t2j(lin.bias)
+
+    fwd = jax.jit(lambda x: mine.apply({"params": p}, x))
+    for res in (32, 64, 128, 256, 512, 1024):
+        x = rng.standard_normal((2, 1, res)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(fwd(jnp.asarray(x)))
+        rel_l2 = (np.linalg.norm(got - expected)
+                  / (np.linalg.norm(expected) + 1e-8))
+        assert rel_l2 < 1e-4, f"res {res}: rel-L2 {rel_l2:.2e}"
