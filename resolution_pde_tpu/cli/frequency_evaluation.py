@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from resolution_pde_tpu.configs import parse_cli, instantiate_dataset
+from resolution_pde_tpu.models.registry import unwrap_output
 from resolution_pde_tpu.cli import common
 from resolution_pde_tpu.train.checkpoint import restore_checkpoint
 from resolution_pde_tpu.utils.metrics import MetricsLogger
@@ -58,7 +59,7 @@ def main(argv=None, spatial_ndim: int | None = None):
 
         @jax.jit
         def forward(v, bx):
-            pred = model.apply(v, bx, deterministic=True)
+            pred = unwrap_output(model.apply(v, bx, deterministic=True))
             return yn.decode(pred) if yn is not None else pred
 
         # spectra accumulate DEVICE-side (additive sums, no host concat

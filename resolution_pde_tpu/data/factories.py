@@ -197,8 +197,8 @@ def ks_true_multires_markov_dataset(
                     continue
                 # deterministic per-(res, split) subsample
                 # (ks_naive_true_multires.py:341-343)
-                np.random.seed(random_seed + resolution + si)
-                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                rs = np.random.RandomState(random_seed + resolution + si)
+                idx = rs.choice(part.shape[0], min(k, part.shape[0]),
                                        replace=False)
                 part = part[idx]
             x, y = markov_pairs_1d(part)
@@ -223,8 +223,9 @@ def ks_true_multires_markov_dataset(
                     k = int(n_target * split_ratio[si])
                     if k <= 0:
                         continue
-                    np.random.seed(random_seed + target_res + si + 10000)
-                    idx = np.random.choice(parts[name].shape[0], k,
+                    rs = np.random.RandomState(
+                        random_seed + target_res + si + 10000)
+                    idx = rs.choice(parts[name].shape[0], k,
                                            replace=True)
                     sampled = parts[name][idx]
                     if use_low_pass_filter:
@@ -354,8 +355,8 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                 k = int(target * split_ratio[si])
                 if k <= 0:
                     continue
-                np.random.seed(random_seed + resolution + si)
-                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                rs = np.random.RandomState(random_seed + resolution + si)
+                idx = rs.choice(part.shape[0], min(k, part.shape[0]),
                                        replace=False)
                 part = part[idx]
             x, y = pair_fn(part.astype(np.float32))
@@ -384,8 +385,9 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                     k = int(n_target * split_ratio[si])
                     if k <= 0:
                         continue
-                    np.random.seed(random_seed + target_res + si + 10000)
-                    idx = np.random.choice(parts[name].shape[0], k,
+                    rs = np.random.RandomState(
+                        random_seed + target_res + si + 10000)
+                    idx = rs.choice(parts[name].shape[0], k,
                                            replace=True)
                     sampled = parts[name][idx]
                     if add_res_method == "resize":
@@ -495,8 +497,8 @@ def ns_true_multires_markov_dataset(
                 k = int(target * split_ratio[si])
                 if k <= 0:
                     continue
-                np.random.seed(random_seed + resolution + si)
-                idx = np.random.choice(part.shape[0], min(k, part.shape[0]),
+                rs = np.random.RandomState(random_seed + resolution + si)
+                idx = rs.choice(part.shape[0], min(k, part.shape[0]),
                                        replace=False)
                 part = part[idx]
             x, y = markov_pairs_2d(part.astype(np.float32))
@@ -519,8 +521,9 @@ def ns_true_multires_markov_dataset(
                     k = int(n_target * split_ratio[si])
                     if k <= 0:
                         continue
-                    np.random.seed(random_seed + target_res + si + 10000)
-                    idx = np.random.choice(parts[name].shape[0], k,
+                    rs = np.random.RandomState(
+                        random_seed + target_res + si + 10000)
+                    idx = rs.choice(parts[name].shape[0], k,
                                            replace=True)
                     sampled = parts[name][idx]
                     if use_low_pass_filter:

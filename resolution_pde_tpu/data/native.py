@@ -26,6 +26,12 @@ _lib = None
 _lock = threading.Lock()
 NATIVE_AVAILABLE = False
 
+# ABI version this binding expects; must match native_pipeline_version()
+# in fast_pipeline.cpp. Bump BOTH whenever exported symbols change so a
+# stale gitignored .so is rebuilt instead of silently disabling the
+# native path.
+_EXPECTED_ABI = 2
+
 
 def _build() -> bool:
     try:
@@ -38,12 +44,27 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """The .so must be rebuilt: missing, older than the source, or built
+    from a source with a different ABI version."""
+    if not os.path.exists(_SO):
+        return True
+    if os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        return True
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.native_pipeline_version.restype = ctypes.c_int
+        return int(lib.native_pipeline_version()) != _EXPECTED_ABI
+    except (OSError, AttributeError):
+        return True
+
+
 def _load():
     global _lib, NATIVE_AVAILABLE
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) and os.path.exists(_SRC):
+        if os.path.exists(_SRC) and _stale():
             if not _build():
                 _lib = False
                 return False

@@ -23,11 +23,13 @@ train/training.py:105-146 eval forward):
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from resolution_pde_tpu.models.registry import unwrap_output
 
 
 def _as_shape_tuple(spatial) -> tuple:
@@ -65,8 +67,8 @@ class ServingEngine:
         else:
             variables = jax.device_put(variables)
         self.variables = variables
-        self._programs: dict = {}   # (kind, spatial, batch[, steps]) -> exe
-        self._in_channels: Optional[int] = None
+        # (kind, spatial, in_channels, batch[, steps]) -> executable
+        self._programs: dict = {}
 
     # -- program construction -----------------------------------------
 
@@ -79,7 +81,8 @@ class ServingEngine:
                 x = xn.encode(x)
             if dtype is not None:
                 x = x.astype(dtype)
-            pred = model.apply(variables, x, deterministic=True)
+            pred = unwrap_output(
+                model.apply(variables, x, deterministic=True))
             pred = pred.astype(jnp.float32)
             if yn is not None:
                 pred = yn.decode(pred)
@@ -96,7 +99,8 @@ class ServingEngine:
 
             def step(state, _):
                 s = state.astype(dtype) if dtype is not None else state
-                pred = model.apply(variables, s, deterministic=True)
+                pred = unwrap_output(
+                    model.apply(variables, s, deterministic=True))
                 pred = pred.astype(jnp.float32)
                 decoded = yn.decode(pred) if yn is not None else pred
                 nxt = xn.encode(decoded) if xn is not None else decoded
@@ -122,15 +126,14 @@ class ServingEngine:
         """AOT-compile the predict (and optional forecast) programs for one
         (spatial shape, batch) bucket."""
         spatial = _as_shape_tuple(spatial)
-        self._in_channels = in_channels
         x_struct = self._x_struct(batch_size, in_channels, spatial)
-        key = ("predict", spatial, batch_size)
+        key = ("predict", spatial, in_channels, batch_size)
         if key not in self._programs:
             self._programs[key] = (
                 jax.jit(self._predict_fn())
                 .lower(self.variables, x_struct).compile())
         for steps in rollout_steps:
-            k = ("forecast", spatial, batch_size, int(steps))
+            k = ("forecast", spatial, in_channels, batch_size, int(steps))
             if k not in self._programs:
                 self._programs[k] = (
                     jax.jit(self._forecast_fn(int(steps)))
@@ -147,13 +150,14 @@ class ServingEngine:
 
     # -- serving -------------------------------------------------------
 
-    def _bucket_for(self, kind: str, spatial: tuple, b: int, extra=()):
-        """Smallest compiled batch bucket >= b for this spatial shape;
-        compiles a new exact-size bucket when none fits (logged by jit)."""
+    def _bucket_for(self, kind: str, spatial: tuple, channels: int, b: int,
+                    extra=()):
+        """Smallest compiled batch bucket >= b for this (spatial shape,
+        channel count); None when no compatible program exists."""
         candidates = sorted(
-            k[2] for k in self._programs
-            if k[0] == kind and k[1] == spatial and tuple(k[3:]) == tuple(extra)
-            and k[2] >= b)
+            k[3] for k in self._programs
+            if k[0] == kind and k[1] == spatial and k[2] == channels
+            and tuple(k[4:]) == tuple(extra) and k[3] >= b)
         return candidates[0] if candidates else None
 
     def _pad(self, x: np.ndarray, bucket: int):
@@ -175,12 +179,12 @@ class ServingEngine:
         """x: raw (B, C, *spatial) float32. Returns decoded predictions
         (B, C_out, *spatial) as float32 numpy."""
         x = np.asarray(x, np.float32)
-        b, spatial = x.shape[0], tuple(x.shape[2:])
-        bucket = self._bucket_for("predict", spatial, b)
+        b, c, spatial = x.shape[0], x.shape[1], tuple(x.shape[2:])
+        bucket = self._bucket_for("predict", spatial, c, b)
         if bucket is None:
-            self.compile_bucket(spatial, b, in_channels=x.shape[1])
+            self.compile_bucket(spatial, b, in_channels=c)
             bucket = b
-        out = self._programs[("predict", spatial, bucket)](
+        out = self._programs[("predict", spatial, c, bucket)](
             self.variables, self._put(self._pad(x, bucket)))
         return np.asarray(out)[:b]
 
@@ -189,20 +193,21 @@ class ServingEngine:
         (B, steps, C, *spatial) float32 numpy, with the normalizer
         round-trip between steps (autoregressive_step.py:302-307)."""
         x0 = np.asarray(x0, np.float32)
-        b, spatial = x0.shape[0], tuple(x0.shape[2:])
-        bucket = self._bucket_for("forecast", spatial, b, (int(steps),))
+        b, c, spatial = x0.shape[0], x0.shape[1], tuple(x0.shape[2:])
+        bucket = self._bucket_for("forecast", spatial, c, b, (int(steps),))
         if bucket is None:
-            self.compile_bucket(spatial, b, in_channels=x0.shape[1],
+            self.compile_bucket(spatial, b, in_channels=c,
                                 rollout_steps=(int(steps),))
             bucket = b
-        out = self._programs[("forecast", spatial, bucket, int(steps))](
+        out = self._programs[("forecast", spatial, c, bucket, int(steps))](
             self.variables, self._put(self._pad(x0, bucket)))
         return np.asarray(out)[:b]
 
     # -- introspection -------------------------------------------------
 
     def buckets(self) -> list:
-        """Compiled program inventory: [(kind, spatial, batch, *extra)]."""
+        """Compiled program inventory:
+        [(kind, spatial, in_channels, batch, *extra)]."""
         return sorted(self._programs.keys(), key=str)
 
     def cost_summary(self) -> dict:

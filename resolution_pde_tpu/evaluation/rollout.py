@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from resolution_pde_tpu.models.registry import unwrap_output
 from resolution_pde_tpu.ops.losses import relative_l2
 
 
@@ -34,7 +35,7 @@ def perform_rollout(model, params, initial_condition, rollout_steps: int,
     """
 
     def step(state, _):
-        pred = model.apply(params, state, deterministic=True)
+        pred = unwrap_output(model.apply(params, state, deterministic=True))
         if y_normalizer is not None and x_normalizer is not None:
             nxt = x_normalizer.encode(y_normalizer.decode(pred))
         else:

@@ -32,6 +32,7 @@ from resolution_pde_tpu.evaluation.frequency import (
     spectrum_sums_1d,
     spectrum_sums_2d,
 )
+from resolution_pde_tpu.models.registry import unwrap_output
 from resolution_pde_tpu.ops.losses import relative_l2
 
 _spectrum_sums_1d = jax.jit(spectrum_sums_1d)
@@ -87,7 +88,7 @@ def evaluate_all_resolutions(
     def forward(p, bx):
         if x_normalizer is not None:
             bx = x_normalizer.encode(bx)
-        pred = model.apply(p, bx, deterministic=True)
+        pred = unwrap_output(model.apply(p, bx, deterministic=True))
         if y_normalizer is not None:
             pred = y_normalizer.decode(pred)
         return pred

@@ -8,11 +8,13 @@ Registry mirrors the reference's hydra `_target_` dotted paths so configs
 port directly.
 """
 
-from resolution_pde_tpu.models.registry import MODEL_REGISTRY, get_model
+from resolution_pde_tpu.models.registry import (MODEL_REGISTRY, get_model,
+                                                 unwrap_output)
 from resolution_pde_tpu.models.fno import FNO1d, FNO2d
 from resolution_pde_tpu.models.ffno import FFNO1D, FFNO2D
 
 __all__ = [
+    "unwrap_output",
     "MODEL_REGISTRY",
     "get_model",
     "FNO1d",

@@ -22,6 +22,14 @@ def register(name: str, cls=None):
     return wrap
 
 
+def unwrap_output(pred):
+    """Normalize a model's prediction to an array: ScOT2d (the 'pos'
+    model) returns {'output': array} — the reference's calling convention
+    (train/training.py:32-35 `model(batch_x, time_val)['output']`); every
+    other model returns the array directly."""
+    return pred["output"] if isinstance(pred, dict) else pred
+
+
 def get_model(name: str):
     """Look up by short name or reference `_target_` dotted path."""
     if name in _REGISTRY:

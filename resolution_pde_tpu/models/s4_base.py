@@ -305,7 +305,8 @@ class ChainModel(nn.Module):
 
 
 def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
-                        L_train: int):
+                        L_train: int,
+                        interlayer_act: Optional[str] = None):
     """Build the recurrent (init_state, step) pair for an
     S4BaseSeqModel/S4SeqModel param tree — the TPU-functional equivalent of
     the reference's setup_step/default_state/step
@@ -315,6 +316,8 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
     (B_, G) (B_ = batch*space after flattening) and returns
     (y_t (B_, d_output), new_state). Outputs match the causal
     convolutional forward exactly (tests/test_s4_base_mgpt.py).
+    `interlayer_act` must match the model's field — it is applied after
+    each residual, as in S4BaseSeqModel.__call__.
     """
     from resolution_pde_tpu.models.s4 import (
         dplr_recurrent_step_fn, s4d_recurrent_step_fn)
@@ -350,6 +353,8 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
             y = (y2[..., :d_model]
                  * jax.nn.sigmoid(y2[..., d_model:]))
             h = y + h                      # residual
+            if interlayer_act:
+                h = ACTIVATIONS[interlayer_act](h)
             new_states.append(s2)
         return h @ dec_k + dec_b, new_states
 
@@ -444,7 +449,8 @@ def chain_predict(params, inner_model, x0, grid, n_timesteps: int,
         p = p["model"]
     init_state, step = s4seq_recurrent_fns(
         {"params": p}, inner_model.d_model, inner_model.n_layers,
-        inner_model.mode, L_train=train_timesteps * chain_length)
+        inner_model.mode, L_train=train_timesteps * chain_length,
+        interlayer_act=getattr(inner_model, "interlayer_act", None))
     b, s_pts, v = x0.shape
 
     def window(x_seed):

@@ -90,7 +90,7 @@ void batch_gather_encode_f32(const float* src, const int64_t* idx,
   });
 }
 
-int native_pipeline_version() { return 1; }
+int native_pipeline_version() { return 2; }
 
 }  // extern "C"
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from resolution_pde_tpu.models.registry import unwrap_output
 from resolution_pde_tpu.ops.losses import relative_l2
 from resolution_pde_tpu.parallel.mesh import make_mesh, shard_batch
 from resolution_pde_tpu.train.schedules import ReduceLROnPlateau
@@ -189,6 +190,7 @@ class Trainer:
                         rngs={"dropout": key},
                     )
                     new_model_state = state.model_state
+                pred = unwrap_output(pred)
                 pred, target = self._decode_for_loss(pred, y, y_normalizer)
                 return (relative_l2(pred, target, weights=weights),
                         new_model_state)
@@ -216,21 +218,22 @@ class Trainer:
         @jax.jit
         def eval_step(params, model_state, x, y, y_normalizer, weights=None):
             variables = {"params": params, **model_state}
-            pred = model.apply(variables, x, deterministic=True)
+            pred = unwrap_output(model.apply(variables, x,
+                                             deterministic=True))
             pred, target = self._decode_for_loss(pred, y, y_normalizer)
             return relative_l2(pred, target, weights=weights)
 
         return eval_step
 
     # -- loops ---------------------------------------------------------
-    def _prefetch(self, loader: Iterable):
+    def _prefetch(self, loader: Iterable, straggler: str = "pad"):
         """Device-put one batch ahead of the compute step: jax dispatch is
         async, so the (i+1)-th host->device transfer overlaps the i-th
         train step instead of serializing after it."""
         pending = None
         for batch in loader:
             nxt = shard_batch(tuple(jnp.asarray(a) for a in batch),
-                              self.mesh)
+                              self.mesh, straggler=straggler)
             if pending is not None:
                 yield pending
             pending = nxt
@@ -240,7 +243,11 @@ class Trainer:
     def train_epoch(self, state: TrainState, loader: Iterable) -> tuple:
         total, n = 0.0, 0
         losses = []
-        for (x, y), w in self._prefetch(loader):
+        # BatchNorm models: training batch statistics couple samples, so
+        # padded straggler rows would perturb real rows — replicate those
+        # batches instead (exact, just redundant compute on the last batch)
+        straggler = "replicate" if state.model_state else "pad"
+        for (x, y), w in self._prefetch(loader, straggler=straggler):
             state, loss = self._train_step(state, x, y, self.y_normalizer, w)
             losses.append(loss)
             n += 1

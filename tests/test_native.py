@@ -83,3 +83,20 @@ def test_loader_uses_pipeline_and_matches_fallback():
     for (ax, ay), (bx, by) in zip(batches_a, batches_b):
         np.testing.assert_array_equal(ax, bx)
         np.testing.assert_array_equal(ay, by)
+
+
+def test_native_abi_version_matches_binding():
+    """A stale gitignored .so (older source / different ABI) must be
+    rebuilt by _load(), never silently fall back to numpy: after a
+    successful load the exported version equals the binding's expectation."""
+    import ctypes
+
+    from resolution_pde_tpu.data import native
+
+    lib = native._load()
+    if not lib:
+        import pytest
+        pytest.skip("no native toolchain")
+    lib.native_pipeline_version.restype = ctypes.c_int
+    assert int(lib.native_pipeline_version()) == native._EXPECTED_ABI
+    assert not native._stale()

@@ -239,3 +239,26 @@ def test_scot_checkpoint_import_gated(tmp_path):
     sd = load_torch_state_dict(ckpt)
     params = import_scot_encoder(sd, depths=(8, 8, 8, 8))
     assert "patch_embed" in params
+
+
+def test_pos_trains_through_trainer(rng):
+    """The registered 'pos' target must run through the standard Trainer:
+    ScOT2d returns {'output': ...} (the reference's convention,
+    train/training.py:32-35) and the trainer unwraps it."""
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import get_model
+    from resolution_pde_tpu.train import Trainer
+
+    cls = get_model("pos")
+    model = cls(num_channels=1, num_out_channels=1, patch_size=2,
+                embed_dim=8, depths=(1, 1), num_heads=(1, 1),
+                skip_connections=(1, 0), window_size=4)
+    trainer = Trainer(model, learning_rate=1e-3)
+    x = jnp.asarray(rng.standard_normal((2, 1, 16, 16)), jnp.float32)
+    y = jnp.roll(x, 1, axis=-1)
+    state = trainer.init(x[:1])
+    state, loss = trainer._train_step(state, x, y, None)
+    assert np.isfinite(float(loss))
+    # eval path unwraps too
+    val = trainer._eval_step(state.params, state.model_state, x, y, None)
+    assert np.isfinite(float(val))

@@ -140,22 +140,25 @@ def test_s4baseseq_forward_shapes(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
-@pytest.mark.parametrize("mode", ["diag", "dplr"])
-def test_s4seq_conv_equals_recurrent_step(rng, mode):
+@pytest.mark.parametrize("mode,act", [("diag", None), ("dplr", None),
+                                      ("diag", "gelu")])
+def test_s4seq_conv_equals_recurrent_step(rng, mode, act):
     """Model-level: causal convolutional forward == lax.scan over the
     recurrent step built from the SAME params (the reference's
-    setup_step/step contract, s4seq_model.py:58-113)."""
+    setup_step/step contract, s4seq_model.py:58-113) — including with
+    interlayer_act configured."""
     from resolution_pde_tpu.models.s4_base import (
         S4BaseSeqModel, s4seq_recurrent_fns)
 
     b, t, s, v, d = 2, 8, 4, 1, 12
     x, grid = _seq_inputs(rng, b, t, s, v)
     m = S4BaseSeqModel(d_input=v, d_output=1, d_model=d, n_layers=2,
-                       mode=mode)
+                       mode=mode, interlayer_act=act)
     p = m.init(jax.random.key(0), x, grid)
     y_conv = np.asarray(m.apply(p, x, grid))  # (B, T, S, 1)
 
-    init_state, step = s4seq_recurrent_fns(p, d, 2, mode, L_train=t)
+    init_state, step = s4seq_recurrent_fns(p, d, 2, mode, L_train=t,
+                                           interlayer_act=act)
     # flatten space into batch exactly like the model does
     xt = np.moveaxis(np.asarray(x), 1, 2).reshape(b * s, t, v)
     gt = np.asarray(grid).reshape(b * s, 1)

@@ -27,7 +27,7 @@ def test_predict_matches_direct_apply(served, rng):
     yn = SimpleNormalizer(np.float32(-0.2), np.float32(2.1))
     eng = ServingEngine(model, variables, x_normalizer=xn, y_normalizer=yn)
     eng.warmup(spatial_shapes=[32], batch_sizes=[4])
-    assert ("predict", (32,), 4) in eng.buckets()
+    assert ("predict", (32,), 1, 4) in eng.buckets()
 
     x = rng.standard_normal((4, 1, 32)).astype(np.float32)
     got = eng.predict(x)
@@ -54,7 +54,7 @@ def test_bucket_padding_is_exact(served, rng):
     np.testing.assert_allclose(got, expected.astype(np.float32),
                                rtol=1e-6, atol=1e-7)
     # only the pre-compiled bucket exists — no on-demand compile happened
-    assert eng.buckets() == [("predict", (32,), 8)]
+    assert eng.buckets() == [("predict", (32,), 1, 8)]
 
 
 def test_multi_resolution_buckets(served, rng):
@@ -98,7 +98,7 @@ def test_on_demand_compile_for_unseen_shape(served, rng):
     x = rng.standard_normal((2, 1, 48)).astype(np.float32)
     out = eng.predict(x)  # no warmup: compiles an exact-size bucket
     assert out.shape == (2, 1, 48)
-    assert ("predict", (48,), 2) in eng.buckets()
+    assert ("predict", (48,), 1, 2) in eng.buckets()
 
 
 def test_mesh_sharded_serving(served, rng):
@@ -144,4 +144,20 @@ def test_cost_summary_reports_buckets(served):
     eng = ServingEngine(model, variables)
     eng.warmup(spatial_shapes=[32], batch_sizes=[2])
     summary = eng.cost_summary()
-    assert str(("predict", (32,), 2)) in summary
+    assert str(("predict", (32,), 1, 2)) in summary
+
+
+def test_channel_mismatch_gets_own_bucket(rng):
+    """A request whose channel count differs from the warmed bucket must
+    NOT be routed to the incompatible program — it compiles its own."""
+    model = FFNO1D(in_channels=2, out_channels=2, width=8, n_layers=1,
+                   n_modes=6)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 2, 32), jnp.float32))
+    eng = ServingEngine(model, variables)
+    # warm a 1-channel bucket on purpose (wrong for this model's inputs)
+    eng._programs[("predict", (32,), 1, 8)] = None
+    x = rng.standard_normal((4, 2, 32)).astype(np.float32)
+    out = eng.predict(x)  # must compile a (C=2, B=4) program, not hit C=1
+    assert out.shape == (4, 2, 32)
+    assert ("predict", (32,), 2, 4) in eng.buckets()

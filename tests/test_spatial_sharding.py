@@ -128,3 +128,39 @@ def test_three_axis_multislice_train_step():
     assert spec[0] == ("dcn", "data")
     state, loss = tr._train_step(state, xs, ys, None)
     assert np.isfinite(float(loss))
+
+
+def test_bn_model_straggler_replicates_for_exact_stats():
+    """BatchNorm models couple samples through the batch statistics, so a
+    padded straggler would skew the stats of real rows; the trainer must
+    fall back to replicating those batches (exact) — one epoch over an
+    indivisible batch must match the single-device run bit-close,
+    INCLUDING the running batch_stats."""
+    from resolution_pde_tpu.models.unet import UNet1d
+    from resolution_pde_tpu.parallel.mesh import make_mesh
+    from resolution_pde_tpu.train import Trainer
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, 1, 32)).astype(np.float32)  # 5 % 8 != 0
+    y = np.roll(x, 3, axis=-1)
+    model = UNet1d(in_channels=1, out_channels=1, width=4)
+
+    mesh8 = make_mesh({"data": 8})
+    tr8 = Trainer(model, learning_rate=1e-3, mesh=mesh8)
+    s8 = tr8.init(jnp.asarray(x[:1]))
+    assert s8.model_state, "UNet1d should carry batch_stats"
+    s8, _ = tr8.train_epoch(s8, [(x, y)])
+
+    mesh1 = make_mesh({"data": 1}, devices=jax.devices()[:1])
+    tr1 = Trainer(model, learning_rate=1e-3, mesh=mesh1)
+    s1 = tr1.init(jnp.asarray(x[:1]))
+    s1, _ = tr1.train_epoch(s1, [(x, y)])
+
+    for a, b in zip(jax.tree_util.tree_leaves(s8.model_state),
+                    jax.tree_util.tree_leaves(s1.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s8.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
