@@ -98,9 +98,11 @@ def evaluate_rollout_all_resolutions(
     y_normalizer=None,
     batch_size: int = 16,
     strict: bool = False,
+    window_size: int = 1,
 ) -> Dict[int, float]:
     """Rollout loss at every resolution. `rollout_builder(res)` returns raw
-    trajectories (N, T, *spatial) at that resolution."""
+    trajectories (N, T, *spatial) at that resolution. window_size > 1
+    selects the sliding-window rollout (S4-style models)."""
     from resolution_pde_tpu.evaluation.superres import get_lower_resolutions
 
     if test_resolutions is None:
@@ -112,12 +114,81 @@ def evaluate_rollout_all_resolutions(
         try:
             traj = rollout_builder(res)
             u = traj.u if hasattr(traj, "u") else np.asarray(traj)
-            results[res] = rollout_loss(
-                model, params, u, rollout_steps, x_normalizer, y_normalizer,
-                batch_size)
+            if window_size > 1:
+                results[res] = window_rollout_loss(
+                    model, params, u, rollout_steps, window_size,
+                    x_normalizer, y_normalizer, batch_size)
+            else:
+                results[res] = rollout_loss(
+                    model, params, u, rollout_steps, x_normalizer,
+                    y_normalizer, batch_size)
         except Exception as e:
             if strict:
                 raise
             print(f"rollout at resolution {res} failed: {e}")
             results[res] = float("nan")
     return results
+
+
+def perform_window_rollout(model, params, initial_window, rollout_steps: int,
+                           x_normalizer=None, y_normalizer=None):
+    """Rollout for sliding-window (S4-style) models: the state is the last
+    W frames (B, W, X); each step predicts the next frame (B, 1, X) and the
+    window shifts by one. The normalizer round-trip between steps follows
+    perform_rollout (autoregressive_step.py:302-307). The reference's
+    rollout is Markov-only (perform_rollout_1d feeds back a single frame,
+    autoregressive_step.py:284-310) and cannot roll out its window-trained
+    S4 models — this extends the same semantics to them.
+
+    initial_window: NORMALIZED (B, W, X).
+    Returns NORMALIZED predictions (B, rollout_steps, 1, X)."""
+
+    def step(window, _):
+        pred = unwrap_output(model.apply(params, window,
+                                         deterministic=True))
+        nxt = pred[:, -1:]  # models may emit (B, 1, X) or (B, W, X)
+        if y_normalizer is not None and x_normalizer is not None:
+            nxt = x_normalizer.encode(y_normalizer.decode(nxt))
+        window = jnp.concatenate([window[:, 1:], nxt], axis=1)
+        return window, pred[:, -1:]
+
+    _, preds = jax.lax.scan(step, initial_window, None,
+                            length=rollout_steps)
+    return jnp.moveaxis(preds, 0, 1)  # (B, steps, 1, X)
+
+
+def window_rollout_loss(model, params, trajectories, rollout_steps: int,
+                        window_size: int, x_normalizer=None,
+                        y_normalizer=None, batch_size: int = 16) -> float:
+    """Mean-over-steps of per-step batch-mean rel-L2 for window models:
+    seed with the first `window_size` frames, score the decoded rollout
+    against frames [W, W + steps)."""
+    n, t = trajectories.shape[0], trajectories.shape[1]
+    steps = min(rollout_steps, t - window_size)
+    if steps <= 0:
+        raise ValueError(
+            f"trajectories of {t} frames cannot seed a window of "
+            f"{window_size} and roll out")
+
+    @jax.jit
+    def batch_rollout(p, win):
+        return perform_window_rollout(model, p, win, steps, x_normalizer,
+                                      y_normalizer)
+
+    total, batches = 0.0, 0
+    for i in range(0, n, batch_size):
+        traj = jnp.asarray(trajectories[i:i + batch_size])
+        win = traj[:, :window_size]  # (b, W, X)
+        if x_normalizer is not None:
+            win = x_normalizer.encode(win)
+        preds_norm = batch_rollout(params, win)
+        preds = (y_normalizer.decode(preds_norm)
+                 if y_normalizer is not None else preds_norm)
+        gt = traj[:, window_size:window_size + steps]
+        step_losses = [
+            float(relative_l2(preds[:, s, 0], gt[:, s]))
+            for s in range(steps)
+        ]
+        total += sum(step_losses) / len(step_losses)
+        batches += 1
+    return total / max(batches, 1)

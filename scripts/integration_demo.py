@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--out", default="runs/integration_demo")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (tests/debug)")
+    ap.add_argument("--model", choices=("ffno", "s4d", "s4"),
+                    default="ffno",
+                    help="ffno: FFNO1D on Markov pairs; s4d/s4: S4 window "
+                         "models (BASELINE config 5) incl. the "
+                         "sliding-window rollout")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,21 +69,43 @@ def main():
     # --- train + evaluate through the standard CLI driver ---
     from resolution_pde_tpu.cli.main_1d import main as main_1d
 
-    out = main_1d([
-        "model=ffno_1d",
-        "dataset=ks_naive",
-        f"dataset.dataset_params.saved_folder={data_dir}",
-        f"dataset.original_res={args.res}",
-        f"dataset.max_test_resolution={args.res}",
-        "dataset.rollout_steps=8",
-        "model.width=64",
-        "model.n_modes=32",
-        "model.n_layers=4",
-        "model.dropout=0.0",
-        f"training.epochs={args.epochs}",
-        "training.batch_size=64",
-        "training.learning_rate=1e-3",
-    ])
+    if args.model == "ffno":
+        overrides = [
+            "model=ffno_1d",
+            "dataset=ks_naive",
+            f"dataset.dataset_params.saved_folder={data_dir}",
+            f"dataset.original_res={args.res}",
+            f"dataset.max_test_resolution={args.res}",
+            "dataset.rollout_steps=8",
+            "model.width=64",
+            "model.n_modes=32",
+            "model.n_layers=4",
+            "model.dropout=0.0",
+            f"training.epochs={args.epochs}",
+            "training.batch_size=64",
+            "training.learning_rate=1e-3",
+        ]
+    else:
+        # BASELINE config 5: S4/S4D window model on KS + rollout sweep
+        window = 10
+        overrides = [
+            f"model={args.model}_1d",
+            "dataset=ks_s4",
+            f"dataset.dataset_params.saved_folder={data_dir}",
+            f"dataset.dataset_params.window_size={window}",
+            f"dataset.window_size={window}",
+            f"dataset.original_res={args.res}",
+            f"dataset.max_test_resolution={args.res}",
+            "dataset.rollout_steps=8",
+            f"model.d_input={window}",
+            "model.d_model=64",
+            "model.n_layers=4",
+            "model.dropout=0.0",
+            f"training.epochs={args.epochs}",
+            "training.batch_size=64",
+            "training.learning_rate=1e-3",
+        ]
+    out = main_1d(overrides)
 
     # --- plots ---
     from resolution_pde_tpu.utils.plotting import (

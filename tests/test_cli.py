@@ -224,12 +224,17 @@ def test_main_1d_s4_window_pipeline(tmp_path, monkeypatch):
         "model=s4d_1d", "dataset=ks_s4",
         f"dataset.dataset_params.saved_folder={tmp_path}",
         "dataset.dataset_params.window_size=4",
+        "dataset.window_size=4",
         "dataset.original_res=32", "dataset.max_test_resolution=0",
-        "dataset.rollout_steps=0",
+        "dataset.rollout_steps=2",
         "model.d_model=16", "model.n_layers=1",
         "training.epochs=1", "training.batch_size=8",
     ])
     assert np.isfinite(out["test_loss"])
+    # the sliding-window rollout path ran (reference can't roll out its
+    # window-trained S4 models; see evaluation/rollout.py)
+    assert out["rollout"] and all(
+        np.isfinite(v) for v in out["rollout"].values())
 
 
 def test_main_2d_darcy_pipeline(tmp_path, monkeypatch):

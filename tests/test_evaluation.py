@@ -242,3 +242,49 @@ def test_resize_to_train_matches_direct_at_train_res(rng):
                                  test_resolutions=[32],
                                  resize_to_train=True, strict=True)
     assert a["results"][32] == pytest.approx(b["results"][32], rel=1e-6)
+
+
+def test_window_rollout_matches_manual_loop(rng):
+    """Sliding-window rollout (S4-style) must equal the manual loop:
+    predict next frame, decode/encode round-trip, shift the window."""
+    from resolution_pde_tpu.evaluation.rollout import perform_window_rollout
+    from resolution_pde_tpu.models.s4 import S4Model
+
+    w, x_res = 4, 16
+    model = S4Model(d_input=w, d_output=1, d_model=8, n_layers=1,
+                    dropout=0.0, mode="diag")
+    win_raw = rng.standard_normal((2, w, x_res)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(win_raw))
+    xn = SimpleNormalizer(0.3, 1.4)
+    yn = SimpleNormalizer(-0.1, 0.8)
+
+    win = xn.encode(jnp.asarray(win_raw))
+    preds = perform_window_rollout(model, params, win, 3, xn, yn)
+    assert preds.shape == (2, 3, 1, x_res)
+
+    state = win
+    for s in range(3):
+        pred = model.apply(params, state)[:, -1:]
+        np.testing.assert_allclose(np.asarray(preds[:, s]),
+                                   np.asarray(pred), rtol=2e-4, atol=2e-5)
+        state = jnp.concatenate([state[:, 1:], xn.encode(yn.decode(pred))],
+                                axis=1)
+
+
+def test_window_rollout_loss_perfect_shift_model(rng):
+    """A model that emits the true next frame gives ~0 window-rollout loss
+    on shift trajectories."""
+    from resolution_pde_tpu.evaluation.rollout import window_rollout_loss
+
+    t, w, x_res = 9, 3, 16
+    base = rng.standard_normal((4, x_res)).astype(np.float32)
+    # trajectory = successive rolls; next frame = roll(last frame)
+    traj = np.stack([np.roll(base, s, axis=-1) for s in range(t)], axis=1)
+
+    class ShiftModel:
+        def apply(self, params, x, deterministic=True):
+            return jnp.roll(x[:, -1:], 1, axis=-1)
+
+    loss = window_rollout_loss(ShiftModel(), None, traj, rollout_steps=4,
+                               window_size=w)
+    assert loss < 1e-6
