@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
+import warnings
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -64,6 +65,20 @@ def _split_pairs(x, y, split=(0.8, 0.1, 0.1), seed: int = 42):
             ArrayDataset(x[te], y[te]))
 
 
+def _memo_loader(fn):
+    """Cache a per-resolution loader: the true-multires factories read the
+    base-resolution file for the base buckets, the add_res block, AND the
+    rollout block — memoizing turns three disk reads into one."""
+    cache = {}
+
+    def wrapped(res):
+        if res not in cache:
+            cache[res] = fn(res)
+        return cache[res]
+
+    return wrapped
+
+
 def _package(train, val, test, rollout, data_normalizer: bool,
              normalization_type: str):
     """Fit normalizers on train, encode datasets, assemble the tuple."""
@@ -71,6 +86,11 @@ def _package(train, val, test, rollout, data_normalizer: bool,
         return train, val, test, rollout, None, None
     if normalization_type in ("simple", "unit_gaussian"):
         if isinstance(train, MultiResDataset):
+            if normalization_type == "unit_gaussian":
+                warnings.warn(
+                    "unit_gaussian per-location statistics cannot span "
+                    "mixed-resolution buckets; falling back to global "
+                    "scalar (simple) normalization", stacklevel=3)
             xs = np.concatenate(
                 [d.x.reshape(-1) for d in train.buckets.values()])
             ys = np.concatenate(
@@ -177,92 +197,13 @@ def ks_true_multires_markov_dataset(
         u = data_io.read_ks_h5(path, split="train")["u"]
         return u[::reduced_batch, ::reduced_resolution_t]
 
-    split_names = ["train", "val", "test"]
-    buckets = {name: {} for name in split_names}
-
-    for resolution, target in sorted(data_mres_size.items()):
-        if target == 0:
-            continue
-        u = load_res(resolution)
-        if u is None:
-            continue
-        tr_end, va_end = split_ratio_indices(u.shape[0], split_ratio)
-        parts = {"train": u[:tr_end], "val": u[tr_end:va_end],
-                 "test": u[va_end:]}
-        for si, name in enumerate(split_names):
-            part = parts[name]
-            if target > 0 and target < u.shape[0]:
-                k = int(target * split_ratio[si])
-                if k <= 0:
-                    continue
-                # deterministic per-(res, split) subsample
-                # (ks_naive_true_multires.py:341-343)
-                rs = np.random.RandomState(random_seed + resolution + si)
-                idx = rs.choice(part.shape[0], min(k, part.shape[0]),
-                                       replace=False)
-                part = part[idx]
-            x, y = markov_pairs_1d(part)
-            buckets[name][resolution] = ArrayDataset(x, y)
-
-    # extra resolutions downsampled from a base resolution
-    # (ks_naive_true_multires.py:395-520)
-    base_res = downsample_from_res or (max(data_mres_size) if data_mres_size
-                                       else None)
-    if add_res and add_res_samples and base_res:
-        u_base = load_res(base_res)
-        if u_base is not None:
-            tr_end, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            parts = {"train": u_base[:tr_end], "val": u_base[tr_end:va_end],
-                     "test": u_base[va_end:]}
-            src_res = u_base.shape[-1]
-            for target_res in add_res:
-                if target_res >= src_res:
-                    continue
-                n_target = add_res_samples.get(target_res, 100)
-                for si, name in enumerate(split_names):
-                    k = int(n_target * split_ratio[si])
-                    if k <= 0:
-                        continue
-                    rs = np.random.RandomState(
-                        random_seed + target_res + si + 10000)
-                    idx = rs.choice(parts[name].shape[0], k,
-                                           replace=True)
-                    sampled = parts[name][idx]
-                    if use_low_pass_filter:
-                        cutoff = (target_res / src_res) * lowpass_cutoff_ratio
-                        from resolution_pde_tpu.ops.resize import (
-                            lowpass_filter_1d)
-
-                        down = np.asarray(
-                            lowpass_filter_1d(sampled, cutoff_ratio=cutoff))
-                    else:
-                        down = sampled[:, :, :: src_res // target_res]
-                    x, y = markov_pairs_1d(down.astype(np.float32))
-                    key = down.shape[-1]
-                    if key in buckets[name]:
-                        old = buckets[name][key]
-                        buckets[name][key] = ArrayDataset(
-                            np.concatenate([old.x, x]),
-                            np.concatenate([old.y, y]))
-                    else:
-                        buckets[name][key] = ArrayDataset(x, y)
-
-    train = MultiResDataset(buckets["train"])
-    val = MultiResDataset(buckets["val"])
-    test = MultiResDataset(buckets["test"])
-
-    # rollout: test-split trajectories at the base (highest) resolution
-    # (ks_naive_true_multires.py:32 extract_ks_test_trajectories_for_rollout)
-    rollout = None
-    if base_res is not None:
-        u_base = load_res(base_res)
-        if u_base is not None:
-            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            rollout = TrajectoryDataset(
-                np.ascontiguousarray(u_base[va_end:], dtype=np.float32))
-
-    return _package(train, val, test, rollout, data_normalizer,
-                    normalization_type)
+    # one shared pipeline for every 1D true-multires factory (the KS/burger
+    # copies drifted apart in round 2 — low-pass semantics; keep ONE)
+    return _generic_true_multires_1d(
+        load_res, data_mres_size, add_res, add_res_samples,
+        downsample_from_res, use_low_pass_filter, lowpass_cutoff_ratio,
+        split_ratio, random_seed, data_normalizer, normalization_type,
+        pairing="ks", add_res_method="naive")
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +277,7 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                               split_ratio, random_seed, data_normalizer,
                               normalization_type, pairing="ks",
                               add_res_method="naive"):
+    load_res = _memo_loader(load_res)
     pair_fn = (markov_pairs_1d if pairing == "ks"
                else lambda u: markov_pairs_1d(u[:, 1:]))  # burgers skips t0
     split_names = ["train", "val", "test"]
@@ -399,12 +341,15 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                         from resolution_pde_tpu.ops.resize import (
                             lowpass_filter_1d)
 
+                        # low-pass ONLY, no spatial downsampling — the
+                        # band-limited samples stay at src_res, exactly as
+                        # the reference (burger_naive_true_multires.py:
+                        # 376-387) and the KS/NS factories above
                         down = np.asarray(lowpass_filter_1d(
                             sampled, cutoff_ratio=cutoff))
-                        down = down[:, :, :: src_res // target_res]
                     else:
                         down = sampled[:, :, :: src_res // target_res]
-                    down = down[:, :, :target_res]
+                        down = down[:, :, :target_res]
                     x, y = pair_fn(down.astype(np.float32))
                     _merge_bucket(buckets[name], down.shape[-1], x, y)
 
@@ -482,6 +427,7 @@ def ns_true_multires_markov_dataset(
         u = data_io.read_ns(path)[..., None]
         return u[::reduced_batch, ::reduced_resolution_t]
 
+    load_res = _memo_loader(load_res)
     for resolution, target in sorted(data_mres_size.items()):
         if target == 0:
             continue
@@ -736,7 +682,11 @@ def ks_pino_markov_dataset(filename, saved_folder=None, data_normalizer=True,
     parts = [u[:tr_end], u[tr_end:va_end], u[va_end:]]
     train, val, test = (ArrayDataset(*markov_pairs_1d(p)) for p in parts)
     out = _package(train, val, test, None, data_normalizer, "minmax")
-    # reference returns a 7-tuple without a rollout slot
+    # reference returns a 7-tuple without a rollout slot; _package yields a
+    # 6-tuple (no minmax stats) when normalization is off
+    if not data_normalizer:
+        train, val, test = out[:3]
+        return train, val, test, None, None, None, None
     train, val, test, _, mn_d, mx_d, mn_m, mx_m = out
     return train, val, test, mn_d, mx_d, mn_m, mx_m
 

@@ -111,9 +111,7 @@ class _CNO(nn.Module):
 
         enc_feats = [lift_dim] + [2 ** i * self.channel_multiplier
                                   for i in range(nl)]
-        dec_in = list(reversed(enc_feats[1:]))
         dec_out = list(reversed(enc_feats[:-1]))
-        dec_in = [dec_in[0]] + [2 * f for f in dec_in[1:]]  # skip concat
 
         enc_sizes = [self.size // 2 ** i for i in range(nl + 1)]
         dec_sizes = [self.size // 2 ** (nl - i) for i in range(nl + 1)]

@@ -233,8 +233,12 @@ class FFTConvLayer(nn.Module):
         y = jnp.swapaxes(y, -1, -2)  # (B, L, C*H)
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        if self.activation == "gelu":
-            y = gelu(y)
+        if self.activation is not None:
+            if self.activation not in ACTIVATIONS_S4:
+                raise ValueError(
+                    f"unknown activation {self.activation!r}; expected one "
+                    f"of {sorted(ACTIVATIONS_S4)}")
+            y = ACTIVATIONS_S4[self.activation](y)
         return y
 
 

@@ -94,9 +94,11 @@ def spectral_conv_2d(x, weights1, weights2, modes1: int, modes2: int):
     """
     h, w_sz = x.shape[-2], x.shape[-1]
     n_freq = w_sz // 2 + 1
-    if modes1 > h // 2 + 1 or modes2 > n_freq:
+    # the two first-axis corner blocks ([:modes1] and [-modes1:]) must not
+    # overlap, so 2*modes1 <= h (not the rfft length h//2+1)
+    if 2 * modes1 > h or modes2 > n_freq:
         raise ValueError(
-            f"modes ({modes1},{modes2}) exceed spectrum ({h // 2 + 1},{n_freq})"
+            f"modes ({modes1},{modes2}) exceed spectrum ({h // 2},{n_freq})"
         )
     x_ft = jnp.fft.rfft2(x, axes=(-2, -1))
     lo = _mode_matmul(x_ft[:, :, :modes1, :modes2], weights1, "bixy,ioxy->boxy")

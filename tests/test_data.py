@@ -432,3 +432,62 @@ def test_multi_file_active_matter_alias(tmp_path):
     train, val, test, rollout = out[:4]
     assert len(out) == 8  # minmax 7-tuple surface + rollout slot
     assert len(train) > 0
+
+
+def test_true_multires_lowpass_add_res_keeps_full_resolution(tmp_path):
+    """Reference parity (burger_naive_true_multires.py:376-387 /
+    ks_naive_true_multires.py): with use_low_pass_filter=True the add_res
+    samples are band-limited ONLY — no spatial downsampling — so they land
+    in the src_res bucket for both the KS and Burgers factories (the two
+    paths briefly diverged; this pins them together)."""
+    import os
+
+    from resolution_pde_tpu.data.factories import (
+        burger_true_multires_markov_dataset)
+
+    # KS layout
+    d = tmp_path / "res_64" / "visc_0.05_L64.0_lmax8_et5.0_nte51_nt51"
+    os.makedirs(d)
+    u = np.random.default_rng(1).standard_normal((10, 4, 64)).astype(
+        np.float32)
+    with h5py.File(str(d / "KS_train_2048.h5"), "w") as f:
+        f.create_group("train").create_dataset("pde_51-64", data=u)
+    out = ks_true_multires_markov_dataset(
+        str(tmp_path), viscosity=0.05, train_s=2048,
+        data_mres_size={64: -1}, add_res=[32], add_res_samples={32: 8},
+        downsample_from_res=64, use_low_pass_filter=True)
+    train = out[0]
+    # low-passed add_res samples stay at 64 (merged into the base bucket)
+    assert train.resolutions == [64]
+
+    # Burgers layout (per-res directories burgers_{res}_{viscosity})
+    for res in (64,):
+        bd = tmp_path / "burger" / f"burgers_{res}_0.001"
+        os.makedirs(bd)
+        ub = np.random.default_rng(2).standard_normal((10, 6, res)).astype(
+            np.float32)
+        with h5py.File(str(bd / f"1D_Burgers_Sols_Nu0.001.hdf5"), "w") as f:
+            f.create_dataset("tensor", data=ub)
+    out_b = burger_true_multires_markov_dataset(
+        str(tmp_path / "burger"),
+        data_mres_size={64: -1}, add_res=[32], add_res_samples={32: 8},
+        downsample_from_res=64, use_low_pass_filter=True)
+    train_b = out_b[0]
+    assert train_b.resolutions == [64]
+
+
+def test_ks_pino_without_normalizer(tmp_path):
+    """data_normalizer=False returns the 7-tuple with None stats instead of
+    crashing on the 8-way unpack."""
+    from resolution_pde_tpu.data.factories import ks_pino_markov_dataset
+
+    u = np.random.default_rng(3).standard_normal((10, 5, 32)).astype(
+        np.float32)
+    with h5py.File(str(tmp_path / "ks.h5"), "w") as f:
+        f.create_group("train").create_dataset("pde_51-32", data=u)
+    out = ks_pino_markov_dataset("ks.h5", str(tmp_path),
+                                 data_normalizer=False)
+    assert len(out) == 7
+    train, val, test, mn_d, mx_d, mn_m, mx_m = out
+    assert mn_d is None and mx_m is None
+    assert len(train) > 0

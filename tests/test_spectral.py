@@ -205,3 +205,22 @@ def test_dft_v3_matches_fft_path():
     out = factorized_spectral_conv_2d_dft_v3(x, wy, wx, 5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_spectral_conv_2d_mode_guard_rejects_overlapping_corners():
+    """The two first-axis corner blocks must not overlap: modes1 in
+    (h//2, h//2+1] used to pass the guard and then crash with a negative
+    zeros() dimension."""
+    import pytest
+
+    from resolution_pde_tpu.ops.spectral import spectral_conv_2d
+
+    h = 16
+    x = jnp.zeros((1, 2, h, h), jnp.float32)
+    w = jnp.zeros((2, 2, h // 2 + 1, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="exceed spectrum"):
+        spectral_conv_2d(x, w, w, modes1=h // 2 + 1, modes2=4)
+    # the boundary case 2*modes1 == h is legal (mid block is empty)
+    w_ok = jnp.zeros((2, 2, h // 2, 4, 2), jnp.float32)
+    out = spectral_conv_2d(x, w_ok, w_ok, modes1=h // 2, modes2=4)
+    assert out.shape == (1, 2, h, h)
