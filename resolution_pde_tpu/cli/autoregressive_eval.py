@@ -52,7 +52,7 @@ def main(argv=None):
         x_normalizer=bundle["x_normalizer"],
         y_normalizer=bundle["y_normalizer"],
         batch_size=batch_size,
-        window_size=cfg.dataset.get("window_size", 1),
+        window_size=common.rollout_window_size(cfg),
     )
     logger.log_table("teacher_forcing", ["resolution", "rel_l2"],
                      sorted(sweep["results"].items()))

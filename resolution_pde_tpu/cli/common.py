@@ -9,9 +9,6 @@ summary tables.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
-import numpy as np
 
 from resolution_pde_tpu.configs import (
     Config,
@@ -25,7 +22,6 @@ from resolution_pde_tpu.data.loader import (
 from resolution_pde_tpu.data.dataset import MultiResDataset
 from resolution_pde_tpu.train import Trainer
 from resolution_pde_tpu.train.schedules import get_schedule
-from resolution_pde_tpu.utils.metrics import MetricsLogger
 
 
 def unpack_data(data, normalization_type: str):
@@ -112,26 +108,54 @@ def build_schedule(cfg: Config):
 def eval_dataset_params(cfg: Config) -> dict:
     """Parameters for re-instantiating the test dataset at eval resolutions
     (naive_utils.py:69-93: swap _target_ to eval_dataset_target, use
-    eval_filename/eval_saved_folder when given, data_normalizer=False)."""
+    eval_filename/eval_saved_folder when given, data_normalizer=False).
+
+    The eval_* keys may live at the dataset top level OR nested inside
+    dataset_params — the reference nests them (e.g.
+    conf/dataset/burger/burger_naive_mres.yaml:14, read by
+    naive_utils.py:71-78) and most shipped mres configs follow it."""
     params = dict(cfg.dataset.dataset_params)
     ds = cfg.dataset
-    if "eval_dataset_target" in ds:
-        params["_target_"] = ds["eval_dataset_target"]
+
+    def eval_key(name):
+        if name in ds:
+            return ds[name]
+        return params.pop(name, None)
+
+    target = eval_key("eval_dataset_target")
+    if target is not None:
+        params["_target_"] = target
         # multires factory kwargs don't apply to the plain factory
         for k in ("data_mres_size", "add_res", "add_res_samples",
                   "downsample_from_res", "viscosity", "L", "lmax", "et",
                   "nte", "nt", "train_s", "file_map"):
             params.pop(k, None)
-    if "eval_filename" in ds:
-        params["filename"] = ds["eval_filename"]
-    if "eval_saved_folder" in ds:
-        params["saved_folder"] = ds["eval_saved_folder"]
+    fname = eval_key("eval_filename")
+    if fname is not None:
+        params["filename"] = fname
+    folder = eval_key("eval_saved_folder")
+    if folder is not None:
+        params["saved_folder"] = folder
     params["data_normalizer"] = False
     return params
 
 
-def make_superres_builder(cfg: Config):
-    """dataset_builder(res) -> raw test ArrayDataset at that resolution."""
+def rollout_window_size(cfg: Config) -> int:
+    """Window size for the sliding-window rollout — ONLY for window
+    (S4-family) datasets. Markov configs carry a vestigial top-level
+    `window_size` (the reference's S4-dataloader knob) that must not
+    reroute their rollout."""
+    ds = cfg.dataset
+    target = str(ds.dataset_params.get("_target_", ""))
+    if "window" not in target:
+        return 1
+    w = ds.dataset_params.get("window_size", ds.get("window_size", 1))
+    return int(w or 1)
+
+
+def _make_eval_builder(cfg: Config, index: int):
+    """builder(res) -> element `index` of the eval factory tuple at that
+    resolution (2 = raw test split, 3 = rollout trajectories)."""
     base = eval_dataset_params(cfg)
     original_res = cfg.dataset.get("original_res")
     use_resize = cfg.dataset.get("evaluation_type") == "use_resize"
@@ -144,27 +168,18 @@ def make_superres_builder(cfg: Config):
         else:
             params["reduced_resolution"] = max(original_res // res, 1)
         out = instantiate_dataset(params)
-        return out[2]  # raw test split
+        return out[index]
 
     return builder
+
+
+def make_superres_builder(cfg: Config):
+    """dataset_builder(res) -> raw test ArrayDataset at that resolution."""
+    return _make_eval_builder(cfg, 2)
 
 
 def make_rollout_builder(cfg: Config):
-    base = eval_dataset_params(cfg)
-    original_res = cfg.dataset.get("original_res")
-    use_resize = cfg.dataset.get("evaluation_type") == "use_resize"
-
-    def builder(res: int):
-        params = dict(base)
-        if use_resize:
-            params["s"] = res
-            params["reduced_resolution"] = 1
-        else:
-            params["reduced_resolution"] = max(original_res // res, 1)
-        out = instantiate_dataset(params)
-        return out[3]  # rollout trajectory dataset
-
-    return builder
+    return _make_eval_builder(cfg, 3)
 
 
 def save_run_checkpoint(cfg: Config, state, history) -> str:

@@ -53,23 +53,26 @@ def main(argv=None, spatial_ndim: int | None = None):
                            use_wandb=cfg.get("log_to_wandb", False))
     batch_size = cfg.training.get("batch_size", 16)
     results = {}
+
+    # jitted ONCE, outside the checkpoint loop — variables is an argument,
+    # so the alpha sweep reuses a single compiled program per shape
+    @jax.jit
+    def forward(v, bx):
+        pred = unwrap_output(model.apply(v, bx, deterministic=True))
+        return yn.decode(pred) if yn is not None else pred
+
+    # spectra accumulate DEVICE-side (additive sums, no host concat
+    # of the test set — same scheme as evaluation/superres.py)
+    from resolution_pde_tpu.evaluation.frequency import (
+        finalize_frequency_1d, finalize_frequency_2d,
+        spectrum_sums_1d, spectrum_sums_2d)
+
+    sums_fn = jax.jit(spectrum_sums_1d if spatial_ndim == 1
+                      else spectrum_sums_2d)
+
     for key, path in checkpoints.items():
         state, _ = restore_checkpoint(path, template)
         variables = {"params": state.params, **state.model_state}
-
-        @jax.jit
-        def forward(v, bx):
-            pred = unwrap_output(model.apply(v, bx, deterministic=True))
-            return yn.decode(pred) if yn is not None else pred
-
-        # spectra accumulate DEVICE-side (additive sums, no host concat
-        # of the test set — same scheme as evaluation/superres.py)
-        from resolution_pde_tpu.evaluation.frequency import (
-            finalize_frequency_1d, finalize_frequency_2d,
-            spectrum_sums_1d, spectrum_sums_2d)
-
-        sums_fn = jax.jit(spectrum_sums_1d if spatial_ndim == 1
-                          else spectrum_sums_2d)
         err_acc = mag_acc = None
         spatial_shape = None
         for i in range(0, len(test), batch_size):

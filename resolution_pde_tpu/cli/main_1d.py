@@ -146,8 +146,9 @@ def main(argv=None, spatial_ndim: int = 1):
             x_normalizer=bundle["x_normalizer"],
             y_normalizer=bundle["y_normalizer"],
             batch_size=batch_size,
-            # sliding-window (S4) models roll out by window shifting
-            window_size=cfg.dataset.get("window_size", 1),
+            # sliding-window (S4) datasets roll out by window shifting;
+            # Markov configs' vestigial window_size key must not trigger it
+            window_size=common.rollout_window_size(cfg),
         )
         logger.log_table(
             "rollout", ["resolution", "rollout_rel_l2"],

@@ -59,6 +59,10 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
     """
     n, t = trajectories.shape[0], trajectories.shape[1]
     steps = min(rollout_steps, t - 1)
+    if steps <= 0:
+        raise ValueError(
+            f"cannot roll out: trajectories have {t} frame(s) and "
+            f"rollout_steps={rollout_steps}")
 
     @jax.jit
     def batch_rollout(p, ic):

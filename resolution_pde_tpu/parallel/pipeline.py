@@ -14,13 +14,13 @@ same mesh: shard the batch over "data", the FF hidden dim over "model"
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def stack_stage_params(per_stage_params):
@@ -62,6 +62,17 @@ def pipeline_apply(
     if b % m:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
     x_mb = x.reshape((m, b // m) + x.shape[1:])
+    out = _pipeline_program(stage_fn, mesh, axis, n_stages, m)(
+        stacked_params, x_mb)
+    return out.reshape((b,) + x.shape[1:])
+
+
+@lru_cache(maxsize=64)
+def _pipeline_program(stage_fn, mesh: Mesh, axis: str, n_stages: int,
+                      m: int):
+    """One jitted GPipe program per (stage_fn, mesh, axis, stages,
+    microbatches) — a fresh closure per call would defeat the jit cache
+    and recompile every step."""
 
     def run(params, xs):
         # params: leading dim 1 (this device's stage); xs: (M, mb, ...)
@@ -91,8 +102,7 @@ def pipeline_apply(
             axis)
         return outs
 
-    shard = partial(NamedSharding, mesh)
-    out = jax.jit(
+    return jax.jit(
         jax.shard_map(
             run,
             mesh=mesh,
@@ -100,5 +110,4 @@ def pipeline_apply(
             out_specs=P(),
             check_vma=False,
         )
-    )(stacked_params, x_mb)
-    return out.reshape((b,) + x.shape[1:])
+    )

@@ -27,8 +27,14 @@ def _plt():
 
 
 def _ensure_dir(path: str):
+    """Create the parent of a FILE path; for directories use _mkdir."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     return path
+
+
+def _mkdir(dir_path: str):
+    os.makedirs(os.path.abspath(dir_path), exist_ok=True)
+    return dir_path
 
 
 def plot_1d_predictions(predictions, targets, inputs=None, save_path=None,
@@ -233,7 +239,7 @@ def plot_examples_multiple(plot_data: Dict[int, dict], pde: str = "PDE",
     fig.suptitle(f"{pde}: predictions across resolutions")
     fig.tight_layout()
     if save_dir:
-        _ensure_dir(save_dir)
+        _mkdir(save_dir)
         path = os.path.join(save_dir, f"{pde}_examples_multi_res.png")
         fig.savefig(path, dpi=120)
         plt.close(fig)
@@ -275,7 +281,7 @@ def plot_ns_channels(plot_data: Dict[int, dict], save_dir=None,
         fig.suptitle(f"NS channels @ res {res}")
         fig.tight_layout()
         if save_dir:
-            _ensure_dir(save_dir)
+            _mkdir(save_dir)
             path = os.path.join(save_dir, f"ns_channels_res{res}.png")
             fig.savefig(path, dpi=120)
             plt.close(fig)
@@ -333,7 +339,7 @@ def analyze_resize_frequencies(input_data, input_res: int, output_res: int,
     fig.suptitle(f"FFT resize frequency analysis ({op})")
     fig.tight_layout()
     if save_dir:
-        _ensure_dir(save_dir)
+        _mkdir(save_dir)
         path = os.path.join(
             save_dir, f"resize_freq_{input_res}_to_{output_res}.png")
         fig.savefig(path, dpi=120)

@@ -92,6 +92,9 @@ def test_main_1d_end_to_end(tmp_path, monkeypatch):
     assert set(out["super_resolution"]) == {32, 64}
     assert all(np.isfinite(v) for v in out["super_resolution"].values())
     assert set(out["rollout"]) == {32, 64}
+    # finiteness catches mis-routing Markov models through the window
+    # rollout (ks_naive.yaml carries a vestigial window_size key)
+    assert all(np.isfinite(v) for v in out["rollout"].values())
     assert os.path.isdir(out["checkpoint"])
     assert len(out["history"].train_loss) == 3
     # training made progress
