@@ -175,18 +175,26 @@ class ServingEngine:
                 jnp.asarray(x), batch_sharding(self.mesh, x.ndim))
         return jnp.asarray(x)
 
-    def predict(self, x) -> np.ndarray:
-        """x: raw (B, C, *spatial) float32. Returns decoded predictions
-        (B, C_out, *spatial) as float32 numpy."""
+    def predict_device(self, x):
+        """Like predict() but returns the (bucket-padded) DEVICE array
+        without waiting: dispatch is async, so callers can pipeline many
+        requests and fetch later — in steady-state serving the host->device
+        round-trip of request i overlaps the compute of request i-1.
+        Slice to the request's batch size after fetching."""
         x = np.asarray(x, np.float32)
         b, c, spatial = x.shape[0], x.shape[1], tuple(x.shape[2:])
         bucket = self._bucket_for("predict", spatial, c, b)
         if bucket is None:
             self.compile_bucket(spatial, b, in_channels=c)
             bucket = b
-        out = self._programs[("predict", spatial, c, bucket)](
+        return self._programs[("predict", spatial, c, bucket)](
             self.variables, self._put(self._pad(x, bucket)))
-        return np.asarray(out)[:b]
+
+    def predict(self, x) -> np.ndarray:
+        """x: raw (B, C, *spatial) float32. Returns decoded predictions
+        (B, C_out, *spatial) as float32 numpy (synchronous)."""
+        b = np.asarray(x).shape[0]
+        return np.asarray(self.predict_device(x))[:b]
 
     def forecast(self, x0, steps: int) -> np.ndarray:
         """Autoregressive rollout: x0 raw (B, C, *spatial). Returns decoded

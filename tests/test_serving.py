@@ -161,3 +161,17 @@ def test_channel_mismatch_gets_own_bucket(rng):
     out = eng.predict(x)  # must compile a (C=2, B=4) program, not hit C=1
     assert out.shape == (4, 2, 32)
     assert ("predict", (32,), 2, 4) in eng.buckets()
+
+
+def test_predict_device_pipelined_matches_sync(served, rng):
+    """predict_device returns the padded device array asynchronously;
+    fetched + sliced it equals the synchronous predict()."""
+    model, variables = served
+    eng = ServingEngine(model, variables)
+    eng.warmup(spatial_shapes=[32], batch_sizes=[8])
+    x = rng.standard_normal((5, 1, 32)).astype(np.float32)
+    pending = [eng.predict_device(x) for _ in range(3)]
+    fetched = [np.asarray(p)[:5] for p in pending]
+    ref = eng.predict(x)
+    for f in fetched:
+        np.testing.assert_array_equal(f, ref)
