@@ -35,9 +35,43 @@ def _tree_manifest(tree) -> list:
     return out
 
 
+# the async saver is shared so wait_for_checkpoints() can drain ALL
+# in-flight saves (Orbax serializes saves per checkpointer instance);
+# manifests are deferred because async Orbax renames the directory into
+# place only at finalize time
+_ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
+_PENDING_MANIFESTS: list = []
+
+
+def _async_checkpointer() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save issued so far is durable on disk
+    (including the structure manifests). Call before reading a checkpoint
+    back or exiting the process."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    while _PENDING_MANIFESTS:
+        path, manifest = _PENDING_MANIFESTS.pop()
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+
 def save_checkpoint(path: str, state, history: Optional[dict] = None,
-                    extra: Optional[dict] = None) -> None:
-    """Save a TrainState (+ scalar history) to `path` (a directory)."""
+                    extra: Optional[dict] = None, block: bool = True) -> None:
+    """Save a TrainState (+ scalar history) to `path` (a directory).
+
+    block=False returns as soon as the arrays are snapshotted: Orbax
+    copies device arrays then writes in a background thread, so the
+    training loop overlaps checkpoint I/O instead of stalling on it
+    (production epochs-scale training). Use wait_for_checkpoints()
+    before relying on the files.
+    """
     path = os.path.abspath(path)
     payload = {
         "params": state.params,
@@ -54,17 +88,22 @@ def save_checkpoint(path: str, state, history: Optional[dict] = None,
         }
     if extra is not None:
         payload["extra"] = extra
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = ocp.StandardCheckpointer() if block else _async_checkpointer()
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    # named structure manifest, written alongside the orbax payload
+    # named structure manifest, written alongside the orbax payload; async
+    # saves rename the directory into place at finalize, so the manifest
+    # write is deferred to wait_for_checkpoints()
     manifest = {
         "format_version": CHECKPOINT_FORMAT_VERSION,
         "params": _tree_manifest(state.params),
         "opt_state": _tree_manifest(state.opt_state),
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    if block:
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+    else:
+        _PENDING_MANIFESTS.append((path, manifest))
 
 
 def restore_checkpoint(path: str, state):

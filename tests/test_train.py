@@ -221,3 +221,33 @@ def test_checkpoint_manifest_guards_structure(tmp_path, rng):
     t2 = Trainer(m2, learning_rate=1e-3)
     with pytest.raises(ValueError, match="structure does not match"):
         restore_checkpoint(path, t2.init(x))
+
+
+def test_async_checkpoint_roundtrip(tmp_path, rng):
+    """block=False returns before the files are durable; after
+    wait_for_checkpoints() the restore matches exactly (production
+    training overlaps checkpoint I/O with compute)."""
+    from resolution_pde_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    x, y = _toy_data(rng, n=8)
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8,
+                  n_blocks=1)
+    trainer = Trainer(model)
+    state = trainer.init(x[:2])
+    state, _ = trainer.train_epoch(state, _batches(x, y, 8))
+    for i in range(2):  # two in-flight saves drain together
+        save_checkpoint(str(tmp_path / f"ckpt{i}"), state, block=False)
+    wait_for_checkpoints()
+
+    for i in range(2):
+        fresh = trainer.init(x[:2])
+        restored, _ = restore_checkpoint(str(tmp_path / f"ckpt{i}"), fresh)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
