@@ -123,6 +123,13 @@ def main(argv=None, spatial_ndim: int = 1):
                 err, mag, freqs,
                 save_path=os.path.join(fig_dir,
                                        f"{pde}_frequency_res{res}.png"))
+        if sweep["frequency_data"]:
+            # reference's combined multi-resolution overlay
+            # (utils/frequency_analysis_plot.py:9-129)
+            P.plot_frequency_analysis(
+                sweep["frequency_data"], pde=pde,
+                current_res=cfg.dataset.get("original_res"),
+                save_dir=fig_dir)
         if (spatial_ndim == 2
                 and cfg.dataset.get("evaluation_type") == "use_resize"
                 and sweep["plot_data"]):

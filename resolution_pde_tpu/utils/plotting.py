@@ -346,3 +346,65 @@ def analyze_resize_frequencies(input_data, input_res: int, output_res: int,
         plt.close(fig)
         return path
     return fig
+
+
+def plot_frequency_analysis(frequency_data, pde: str = "pde",
+                            current_res=None, save_dir=None):
+    """Combined multi-resolution frequency analysis figure
+    (utils/frequency_analysis_plot.py:9-129): error-per-mode overlay
+    across resolutions, the solution spectral decay, and the normalized
+    error/|solution| overlay, in one 2x2 panel.
+
+    frequency_data: {res: (error_per_mode, magnitude_per_mode, freqs)} —
+    the finalized decompositions from evaluate_all_resolutions.
+    Returns the saved path (or None if matplotlib is unavailable)."""
+    plt = _plt()
+    if plt is None or not frequency_data:
+        return None
+    import numpy as _np
+
+    resolutions = sorted(frequency_data)
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+    colors = plt.cm.viridis(_np.linspace(0, 1, len(resolutions)))
+
+    for idx, res in enumerate(resolutions):
+        err, mag, freqs = frequency_data[res]
+        axes[0, 0].semilogy(freqs, err, label=f"Res {res}",
+                            color=colors[idx], linewidth=2, marker="o",
+                            markersize=3)
+        axes[1, 0].semilogy(freqs, _np.asarray(err)
+                            / (_np.asarray(mag) + 1e-10),
+                            label=f"Res {res}", color=colors[idx],
+                            linewidth=2, marker="o", markersize=3)
+    axes[0, 0].set_xlabel("Frequency (cycles per sample)")
+    axes[0, 0].set_ylabel("L2 Error per Mode (log scale)")
+    axes[0, 0].set_title("Error Decomposition by Fourier Mode")
+    axes[0, 0].legend(fontsize=9)
+    axes[0, 0].grid(True, alpha=0.3)
+
+    err0, mag0, freqs0 = frequency_data[resolutions[0]]
+    axes[0, 1].semilogy(freqs0, mag0, "b-", linewidth=2)
+    axes[0, 1].set_xlabel("Frequency (cycles per sample)")
+    axes[0, 1].set_ylabel("Solution Magnitude (log scale)")
+    axes[0, 1].set_title(f"{pde.upper()} Solution Spectral Decay")
+    axes[0, 1].grid(True, alpha=0.3)
+
+    axes[1, 0].set_xlabel("Frequency (cycles per sample)")
+    axes[1, 0].set_ylabel("Normalized Error (log scale)")
+    axes[1, 0].set_title("Normalized Error: Error/Solution Magnitude")
+    axes[1, 0].legend(fontsize=9)
+    axes[1, 0].grid(True, alpha=0.3)
+    axes[1, 1].axis("off")
+
+    title = f"{pde.upper()}: Frequency Analysis"
+    if current_res is not None:
+        title += f" (Trained on {current_res})"
+    fig.suptitle(title, fontsize=14, y=0.995)
+    fig.tight_layout()
+    path = None
+    if save_dir is not None:
+        _mkdir(save_dir)
+        path = os.path.join(save_dir, f"{pde}_frequency_analysis.png")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -87,3 +87,19 @@ def test_gnot_transformers(rng):
                                rtol=1e-5, atol=1e-5)
     mt = MultipleTensors([x, x[:2]])
     assert len(mt) == 2 and mt[1].shape[0] == 2
+
+
+def test_frequency_analysis_overlay(tmp_path, rng):
+    """Combined multi-resolution frequency figure writes one file from the
+    finalized decomposition dict (frequency_analysis_plot.py:9-129)."""
+    from resolution_pde_tpu.utils.plotting import plot_frequency_analysis
+
+    fd = {}
+    for res in (32, 64):
+        n = res // 2 + 1
+        fd[res] = (np.abs(rng.standard_normal(n)) + 1e-3,
+                   np.abs(rng.standard_normal(n)) + 1e-3,
+                   np.arange(n, dtype=np.float64) / res)
+    path = plot_frequency_analysis(fd, pde="ks", current_res=64,
+                                   save_dir=str(tmp_path / "figs"))
+    assert path is not None and os.path.exists(path)
