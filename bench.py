@@ -42,12 +42,9 @@ def main():
 
     # persistent compile cache: the dominant bench cost is XLA compilation
     # (remote-compile backends can take minutes); cache across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/rpde_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     from resolution_pde_tpu.models import FFNO2D
     from resolution_pde_tpu.train import Trainer

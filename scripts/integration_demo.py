@@ -50,7 +50,6 @@ def main():
 
     # --- generate chaotic KS trajectories (burn-in then record) ---
     print(f"generating {args.n_traj} KS trajectories at {args.res}...")
-    key = jax.random.key(0)
     for name, n, seed in (("KS_train_2048.h5", args.n_traj, 1),
                           ("KS_valid.h5", max(args.n_traj // 8, 8), 2),
                           ("KS_test.h5", max(args.n_traj // 8, 8), 3)):

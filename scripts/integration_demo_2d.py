@@ -40,11 +40,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/rpde_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    if args.record_steps >= min(args.res, 100):
+        raise SystemExit(
+            f"--record-steps {args.record_steps} must be < min(res, 100) "
+            f"= {min(args.res, 100)}: the NS file format distinguishes the "
+            "time axis from spatial axes by size (datagen/writers.py, "
+            "data/io.py read_ns)")
+
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from resolution_pde_tpu.datagen.navier_stokes import generate_ns_dataset
     from resolution_pde_tpu.datagen.writers import write_ns_file

@@ -69,7 +69,7 @@ def test_cno_original_shapes_and_training(rng):
     assert np.isfinite(loss)
 
 
-def test_cno_original_radial_not_implemented(rng):
+def test_cno_original_radial_changes_computation(rng):
     """radial=True is now SUPPORTED (radially-symmetric jinc filters); the
     flag must change the computation vs separable filters."""
     from resolution_pde_tpu.models.cno_original import CNO2dOriginal

@@ -28,6 +28,11 @@ from resolution_pde_tpu.data.transforms import (
 )
 
 
+def _name_seed(name: str) -> int:
+    """Stable per-filename seed (hash() is randomized per process)."""
+    return sum(ord(c) for c in name) % 100
+
+
 def _write_ks_file(path, n=10, t=6, s=64, seed=0):
     rng = np.random.default_rng(seed)
     u = rng.standard_normal((n, t, s)).astype(np.float32)
@@ -90,7 +95,7 @@ def test_reduce_trajectories_strides_and_lowpass():
 
 def test_ks_markov_dataset_factory(tmp_path):
     for name in ("KS_train_64.h5", "KS_valid.h5", "KS_test.h5"):
-        _write_ks_file(str(tmp_path / name), seed=hash(name) % 100)
+        _write_ks_file(str(tmp_path / name), seed=_name_seed(name))
     out = ks_markov_dataset("KS_train_64.h5", str(tmp_path),
                             val_filename="KS_valid.h5",
                             test_filename="KS_test.h5")
@@ -347,7 +352,7 @@ def test_ks_multires_factory_naive_and_resize(tmp_path):
 
     for name in ("KS_train.h5", "KS_valid.h5", "KS_test.h5"):
         _write_ks_file(str(tmp_path / name), n=10, t=5, s=64,
-                       seed=hash(name) % 100)
+                       seed=_name_seed(name))
     for factory in (ks_multires_markov_dataset,
                     ks_resize_multires_markov_dataset):
         train, val, test, rollout, xn, yn = factory(
