@@ -523,3 +523,101 @@ def test_ffno1d_parity_across_resolutions_32_to_1024(ref_modules, rng):
         rel_l2 = (np.linalg.norm(got - expected)
                   / (np.linalg.norm(expected) + 1e-8))
         assert rel_l2 < 1e-4, f"res {res}: rel-L2 {rel_l2:.2e}"
+
+
+def test_s4d_module_golden(rng):
+    """Full reference S4D module (models/s4d.py:84-129: diagonal kernel ->
+    FFT conv -> D skip -> GELU -> Conv1d+GLU) == our S4D with transplanted
+    weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.s4d import S4D as RefS4D
+    finally:
+        sys.path.remove(REF)
+    from resolution_pde_tpu.models.s4 import S4D
+
+    h, n, L = 8, 8, 24
+    ref = RefS4D(d_model=h, d_state=n, dropout=0.0, transposed=True)
+    ref.eval()
+    x = rng.standard_normal((2, h, L)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(x))
+    expected = expected.numpy()  # (B, H, L)
+
+    mine = S4D(d_model=h, d_state=n, dropout=0.0)
+    xl = jnp.asarray(np.moveaxis(x, 1, 2))  # channels-last (B, L, H)
+    p = mine.init(jax.random.key(0), xl)["params"]
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    kern = p["FFTConvLayer_0"]["S4DKernelLayer_0"]
+    kern["log_dt"] = t2j(ref.kernel.log_dt)
+    kern["log_A_real"] = t2j(ref.kernel.log_A_real)
+    kern["A_imag"] = t2j(ref.kernel.A_imag)
+    kern["C"] = t2j(ref.kernel.C)[None]  # add channels dim
+    p["FFTConvLayer_0"]["D"] = t2j(ref.D)[None]
+    conv1d = ref.output_linear[0]
+    p["Dense_0"]["kernel"] = t2j(conv1d.weight)[:, :, 0].T
+    p["Dense_0"]["bias"] = t2j(conv1d.bias)
+
+    got = np.asarray(mine.apply({"params": p}, xl))  # (B, L, H)
+    np.testing.assert_allclose(np.moveaxis(got, 1, 2), expected,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_linear_attention_golden(rng):
+    """Reference LinearAttention ('l1' linear attention, mgpt.py:31-90)
+    == ours with transplanted weights, both self- and cross-attention."""
+    import types
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    # the reference module imports dgl at top level (graph paths only,
+    # unused by LinearAttention); stub it — dgl is not installed here
+    dgl_stub = types.ModuleType("dgl")
+    dgl_stub.function = types.ModuleType("dgl.function")
+    added = [m for m in ("dgl", "dgl.function") if m not in sys.modules]
+    sys.modules.setdefault("dgl", dgl_stub)
+    sys.modules.setdefault("dgl.function", dgl_stub.function)
+    sys.path.insert(0, REF)
+    try:
+        from models.mgpt import LinearAttention as RefAttn
+    finally:
+        sys.path.remove(REF)
+        for m in added:
+            sys.modules.pop(m, None)
+    from resolution_pde_tpu.models.mgpt import LinearAttention
+
+    cfg = types.SimpleNamespace(n_embd=16, n_head=4, attn_pdrop=0.0)
+    ref = RefAttn(cfg)
+    ref.eval()
+
+    x = rng.standard_normal((2, 7, 16)).astype(np.float32)
+    y = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    with torch.no_grad():
+        e_self = ref(torch.from_numpy(x)).numpy()
+        e_cross = ref(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    mine = LinearAttention(n_embd=16, n_head=4)
+    p = mine.init(jax.random.key(0), jnp.asarray(x))["params"]
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    for name, lin in (("query", ref.query), ("key", ref.key),
+                      ("value", ref.value), ("proj", ref.proj)):
+        p[name]["kernel"] = t2j(lin.weight).T
+        p[name]["bias"] = t2j(lin.bias)
+
+    g_self = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    g_cross = np.asarray(mine.apply({"params": p}, jnp.asarray(x),
+                                    jnp.asarray(y)))
+    np.testing.assert_allclose(g_self, e_self, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_cross, e_cross, rtol=1e-4, atol=1e-5)
