@@ -38,7 +38,7 @@ def main(argv=None):
 
     sweep = evaluate_all_resolutions(
         model, variables, common.make_superres_builder(cfg),
-        current_res=cfg.dataset.get("original_res"),
+        current_res=common.eval_train_res(cfg),
         max_test_resolution=cfg.dataset.get("max_test_resolution"),
         x_normalizer=bundle["x_normalizer"],
         y_normalizer=bundle["y_normalizer"],
@@ -46,7 +46,7 @@ def main(argv=None):
     )
     rollout = evaluate_rollout_all_resolutions(
         model, variables, common.make_rollout_builder(cfg),
-        current_res=cfg.dataset.get("original_res"),
+        current_res=common.eval_train_res(cfg),
         max_test_resolution=cfg.dataset.get("max_test_resolution"),
         rollout_steps=cfg.dataset.get("rollout_steps", 16),
         x_normalizer=bundle["x_normalizer"],

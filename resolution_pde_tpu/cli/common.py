@@ -207,3 +207,14 @@ def maybe_warm_start(cfg: Config, trainer, state):
     state, _ = restore_checkpoint(ckpt, state)
     print(f"Loaded model checkpoint: {ckpt}")
     return state
+
+
+def eval_train_res(cfg: Config) -> int:
+    """The resolution the model actually trained at: cno_train_size when
+    resize training targets a fixed-size model (resize_utils.py:216-233 —
+    use_resize evaluation round-trips through the TRAIN size), else the
+    dataset's original resolution."""
+    ds = cfg.dataset
+    if ds.get("resize_to_train") and ds.get("cno_train_size"):
+        return ds["cno_train_size"]
+    return ds.get("original_res")

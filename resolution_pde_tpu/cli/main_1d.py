@@ -40,9 +40,25 @@ def main(argv=None, spatial_ndim: int = 1):
         bundle, batch_size, cfg.dataset.get("train_mres", False),
         seed=cfg.training.get("seed", 0))
 
+    sample = common.sample_input(bundle)
+    if cfg.training.get("cno_resize_training"):
+        # BASELINE config 4: every batch is antialias-resized to the
+        # model's fixed training resolution (train/cno_resize.py — the
+        # working version of the reference's dead interpolate_training.py)
+        from resolution_pde_tpu.train.cno_resize import (ResizingLoader,
+                                                         resize_batch_to)
+
+        size = (cfg.dataset.get("cno_train_size")
+                or cfg.dataset.get("original_res"))
+        train_loader = ResizingLoader(train_loader, size, spatial_ndim)
+        val_loader = ResizingLoader(val_loader, size, spatial_ndim)
+        test_loader = ResizingLoader(test_loader, size, spatial_ndim)
+        sample = resize_batch_to(jax.numpy.asarray(sample), size,
+                                 spatial_ndim)
+
     model = common.build_model(cfg)
     trainer = common.build_trainer(cfg, model, bundle["y_normalizer"])
-    state = trainer.init(common.sample_input(bundle))
+    state = trainer.init(sample)
     state = common.maybe_warm_start(cfg, trainer, state)
 
     n_params = sum(np.prod(p.shape) for p in
@@ -87,7 +103,7 @@ def main(argv=None, spatial_ndim: int = 1):
     if cfg.dataset.get("max_test_resolution"):
         sweep = evaluate_all_resolutions(
             model, variables, common.make_superres_builder(cfg),
-            current_res=cfg.dataset.get("original_res"),
+            current_res=common.eval_train_res(cfg),
             max_test_resolution=cfg.dataset.get("max_test_resolution"),
             x_normalizer=bundle["x_normalizer"],
             y_normalizer=bundle["y_normalizer"],
@@ -128,7 +144,7 @@ def main(argv=None, spatial_ndim: int = 1):
             # (utils/frequency_analysis_plot.py:9-129)
             P.plot_frequency_analysis(
                 sweep["frequency_data"], pde=pde,
-                current_res=cfg.dataset.get("original_res"),
+                current_res=common.eval_train_res(cfg),
                 save_dir=fig_dir)
         if (spatial_ndim == 2
                 and cfg.dataset.get("evaluation_type") == "use_resize"
@@ -147,7 +163,7 @@ def main(argv=None, spatial_ndim: int = 1):
             and cfg.dataset.get("rollout_steps", 0) > 0):
         rollout_results = evaluate_rollout_all_resolutions(
             model, variables, common.make_rollout_builder(cfg),
-            current_res=cfg.dataset.get("original_res"),
+            current_res=common.eval_train_res(cfg),
             max_test_resolution=cfg.dataset.get("max_test_resolution"),
             rollout_steps=cfg.dataset.get("rollout_steps", 16),
             x_normalizer=bundle["x_normalizer"],

@@ -338,14 +338,14 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                             method="downsample")
                     elif use_low_pass_filter:
                         cutoff = (target_res / src_res) * lowpass_cutoff_ratio
-                        from resolution_pde_tpu.ops.resize import (
-                            lowpass_filter_1d)
+                        from resolution_pde_tpu.data.transforms import (
+                            jit_lowpass_1d)
 
                         # low-pass ONLY, no spatial downsampling — the
                         # band-limited samples stay at src_res, exactly as
                         # the reference (burger_naive_true_multires.py:
                         # 376-387) and the KS/NS factories above
-                        down = np.asarray(lowpass_filter_1d(
+                        down = np.asarray(jit_lowpass_1d(
                             sampled, cutoff_ratio=cutoff))
                     else:
                         down = sampled[:, :, :: src_res // target_res]
@@ -473,14 +473,14 @@ def ns_true_multires_markov_dataset(
                                            replace=True)
                     sampled = parts[name][idx]
                     if use_low_pass_filter:
-                        from resolution_pde_tpu.ops.resize import (
-                            lowpass_filter_2d)
+                        from resolution_pde_tpu.data.transforms import (
+                            jit_lowpass_2d)
 
                         cutoff = ((target_res / src_res)
                                   * lowpass_cutoff_ratio)
                         s_cf = np.moveaxis(sampled, -1, 2)
                         s_cf = np.asarray(
-                            lowpass_filter_2d(s_cf, cutoff_ratio=cutoff))
+                            jit_lowpass_2d(s_cf, cutoff_ratio=cutoff))
                         down = np.moveaxis(s_cf, 2, -1)
                     else:
                         f = src_res // target_res

@@ -20,6 +20,7 @@ CPU arrays at load time.
 from __future__ import annotations
 
 import numpy as np
+import jax
 
 from resolution_pde_tpu.ops.resize import (
     fft_downsample_1d,
@@ -29,6 +30,18 @@ from resolution_pde_tpu.ops.resize import (
     lowpass_filter_1d,
     lowpass_filter_2d,
 )
+
+# Host-side data prep calls these OUTSIDE any jit. On TPU backends where
+# eager (unjitted) dispatch is UNIMPLEMENTED (CLAUDE.md) every call must go
+# through a compiled program, so the spectral transforms are jitted with
+# their size/cutoff arguments static. One compile per distinct shape/size —
+# data-prep shapes are few.
+jit_resize_1d = jax.jit(fft_resize_1d, static_argnums=1)
+jit_resize_2d = jax.jit(fft_resize_2d, static_argnums=1)
+jit_downsample_1d = jax.jit(fft_downsample_1d, static_argnums=1)
+jit_downsample_2d = jax.jit(fft_downsample_2d, static_argnums=1)
+jit_lowpass_1d = jax.jit(lowpass_filter_1d, static_argnames="cutoff_ratio")
+jit_lowpass_2d = jax.jit(lowpass_filter_2d, static_argnames="cutoff_ratio")
 
 
 def reduce_trajectories(
@@ -52,16 +65,16 @@ def reduce_trajectories(
         if use_low_pass_filter:
             cutoff = (1.0 / reduced_resolution) * lowpass_cutoff_ratio
             if spatial_ndim == 1:
-                u = np.asarray(lowpass_filter_1d(u, cutoff_ratio=cutoff))
+                u = np.asarray(jit_lowpass_1d(u, cutoff_ratio=cutoff))
             else:
                 # u: (b, t, h, w[, c]) — filter over the two spatial axes
                 if u.ndim == 5:  # channels-last: move c before spatial
                     u_cf = np.moveaxis(u, -1, 2)
                     u_cf = np.asarray(
-                        lowpass_filter_2d(u_cf, cutoff_ratio=cutoff))
+                        jit_lowpass_2d(u_cf, cutoff_ratio=cutoff))
                     u = np.moveaxis(u_cf, 2, -1)
                 else:
-                    u = np.asarray(lowpass_filter_2d(u, cutoff_ratio=cutoff))
+                    u = np.asarray(jit_lowpass_2d(u, cutoff_ratio=cutoff))
         else:
             if spatial_ndim == 1:
                 u = u[:, :, ::reduced_resolution]
@@ -79,14 +92,14 @@ def resize_trajectories(u: np.ndarray, s: int, spatial_ndim: int = 1,
     if spatial_ndim == 1:
         if u.shape[-1] == s:
             return np.asarray(u, dtype=np.float32)
-        fn = fft_resize_1d if method == "resize" else fft_downsample_1d
+        fn = jit_resize_1d if method == "resize" else jit_downsample_1d
         return np.asarray(fn(u, s), dtype=np.float32)
     # 2D: u (..., h, w) square
     if u.shape[-1] == s and u.shape[-2] == s:
         return np.asarray(u, dtype=np.float32)
     if method == "resize":
-        return np.asarray(fft_resize_2d(u, (s, s)), dtype=np.float32)
-    return np.asarray(fft_downsample_2d(u, s), dtype=np.float32)
+        return np.asarray(jit_resize_2d(u, (s, s)), dtype=np.float32)
+    return np.asarray(jit_downsample_2d(u, s), dtype=np.float32)
 
 
 def markov_pairs_1d(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--out", default="runs/integration_demo_2d")
     ap.add_argument("--fast", action="store_true",
                     help="bf16 + dft_v3 + fused-FF training fast path")
+    ap.add_argument("--model", choices=("ffno", "cno"), default="ffno",
+                    help="ffno: FFNO2D naive; cno: CNO2d resize training "
+                         "(BASELINE config 4 — batches antialias-resized "
+                         "to cno_train_size, use_resize evaluation)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -69,8 +73,7 @@ def main():
 
     from resolution_pde_tpu.cli.main_2d import main as main_2d
 
-    overrides = [
-        "model=ffno_2d",
+    common_overrides = [
         "dataset=ns_naive",
         f"dataset.dataset_params.filename={fname}",
         f"dataset.dataset_params.saved_folder={data_dir}",
@@ -79,14 +82,32 @@ def main():
         "dataset.rollout_steps=0",
         f"training.epochs={args.epochs}",
         "training.batch_size=8",
-        "model.width=32",
-        "model.n_layers=3",
-        "model.n_modes=16",
-        "model.factor=4",
-        "model.n_ff_layers=2",
-        "model.layer_norm=true",
     ]
-    if args.fast:
+    if args.model == "cno":
+        # BASELINE config 4: CNO2d resize training — antialias-resize every
+        # batch to the fixed train size, evaluate via resize_to_train
+        overrides = common_overrides + [
+            "model=cno_2d",
+            f"dataset.cno_train_size={args.res // 2}",
+            "dataset.evaluation_type=use_resize",
+            "dataset.resize_to_train=true",
+            "training.cno_resize_training=true",
+            "model.N_layers=3",
+            "model.N_res=2",
+            "model.N_res_neck=2",
+            "model.channel_multiplier=16",
+        ]
+    else:
+        overrides = common_overrides + [
+            "model=ffno_2d",
+            "model.width=32",
+            "model.n_layers=3",
+            "model.n_modes=16",
+            "model.factor=4",
+            "model.n_ff_layers=2",
+            "model.layer_norm=true",
+        ]
+    if args.fast and args.model == "ffno":
         overrides += [
             "model.compute_dtype=bfloat16",
             "model.spectral_impl=dft_v3",

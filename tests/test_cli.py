@@ -301,3 +301,32 @@ def test_eval_drivers_end_to_end(tmp_path, monkeypatch):
     assert "default" in res
     err = res["default"]["error_per_mode"]
     assert err.shape == (32 // 2 + 1,) and np.isfinite(err).all()
+
+
+def test_main_2d_cno_resize_training(tmp_path, monkeypatch):
+    """BASELINE config 4 through the driver: CNO2d with
+    training.cno_resize_training — batches antialias-resized from the data
+    resolution (32) to cno_train_size (16) inside the loop; eval via
+    resize_to_train."""
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((10, 5, 32, 32)).astype(np.float32)
+    with h5py.File(str(tmp_path / "ns_32.h5"), "w") as f:
+        f.create_dataset("u", data=u)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_2d import main
+
+    out = main([
+        "model=cno_2d", "dataset=ns_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.filename=ns_32.h5",
+        "dataset.original_res=32", "dataset.cno_train_size=16",
+        "dataset.max_test_resolution=32", "dataset.rollout_steps=0",
+        "dataset.evaluation_type=use_resize",
+        "dataset.resize_to_train=true",
+        "training.cno_resize_training=true",
+        "model.N_layers=2", "model.N_res=1", "model.N_res_neck=1",
+        "model.channel_multiplier=4",
+        "training.epochs=1", "training.batch_size=8",
+    ])
+    assert np.isfinite(out["test_loss"])
+    assert all(np.isfinite(v) for v in out["super_resolution"].values())
