@@ -209,12 +209,21 @@ def maybe_warm_start(cfg: Config, trainer, state):
     return state
 
 
+def resize_trained(cfg: Config) -> bool:
+    """True when the model trained at a fixed resize target — either the
+    dataset declares use_resize eval (resize_to_train) or the training
+    loop resized batches (training.cno_resize_training). Either flag must
+    make BOTH train and eval agree on the trained resolution."""
+    return bool(cfg.dataset.get("resize_to_train")
+                or cfg.training.get("cno_resize_training"))
+
+
 def eval_train_res(cfg: Config) -> int:
     """The resolution the model actually trained at: cno_train_size when
     resize training targets a fixed-size model (resize_utils.py:216-233 —
     use_resize evaluation round-trips through the TRAIN size), else the
     dataset's original resolution."""
     ds = cfg.dataset
-    if ds.get("resize_to_train") and ds.get("cno_train_size"):
+    if resize_trained(cfg) and ds.get("cno_train_size"):
         return ds["cno_train_size"]
     return ds.get("original_res")

@@ -109,7 +109,7 @@ def main(argv=None, spatial_ndim: int = 1):
             y_normalizer=bundle["y_normalizer"],
             batch_size=batch_size,
             spatial_ndim=spatial_ndim,
-            resize_to_train=cfg.dataset.get("resize_to_train", False),
+            resize_to_train=common.resize_trained(cfg),
             analyze_frequencies=save_figures,
             n_plot_examples=5 if save_figures else 0,
         )

@@ -10,6 +10,7 @@ lacks: step counters for exact resume and multi-host sharded arrays.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 from typing import Any, Optional
@@ -52,14 +53,21 @@ def _async_checkpointer() -> ocp.StandardCheckpointer:
 
 def wait_for_checkpoints() -> None:
     """Block until every async save issued so far is durable on disk
-    (including the structure manifests). Call before reading a checkpoint
-    back or exiting the process."""
+    (including the structure manifests). Called automatically at process
+    exit (atexit below); call it yourself before reading a checkpoint
+    back. A manifest whose write fails stays pending so a retry can
+    still produce it."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
-    while _PENDING_MANIFESTS:
-        path, manifest = _PENDING_MANIFESTS.pop()
+    for path, manifest in list(_PENDING_MANIFESTS):
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f)
+        _PENDING_MANIFESTS.remove((path, manifest))
+
+
+# a crash-free exit always drains async saves, so finished checkpoints
+# never sit on disk without the structure manifest that guards restores
+atexit.register(wait_for_checkpoints)
 
 
 def save_checkpoint(path: str, state, history: Optional[dict] = None,
@@ -88,6 +96,10 @@ def save_checkpoint(path: str, state, history: Optional[dict] = None,
         }
     if extra is not None:
         payload["extra"] = extra
+    if block and _ASYNC_CKPTR is not None:
+        # a sync save must not race an in-flight async save that could
+        # rename its tmp dir over the same path after we finish
+        wait_for_checkpoints()
     ckptr = ocp.StandardCheckpointer() if block else _async_checkpointer()
     ckptr.save(path, payload, force=True)
     # named structure manifest, written alongside the orbax payload; async

@@ -42,6 +42,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from resolution_pde_tpu.datagen import solve_ks, write_ks_file
     from resolution_pde_tpu.datagen.ks import random_ks_initial_conditions
 

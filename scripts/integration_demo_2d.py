@@ -44,12 +44,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    if args.record_steps >= min(args.res, 100):
+    if args.record_steps >= args.res:
         raise SystemExit(
-            f"--record-steps {args.record_steps} must be < min(res, 100) "
-            f"= {min(args.res, 100)}: the NS file format distinguishes the "
-            "time axis from spatial axes by size (datagen/writers.py, "
-            "data/io.py read_ns)")
+            f"--record-steps {args.record_steps} must be < --res "
+            f"{args.res}: the NS file format distinguishes the time axis "
+            "from spatial axes by size (datagen/writers.py, data/io.py "
+            "read_ns)")
+    if args.fast and args.model != "ffno":
+        raise SystemExit("--fast (bf16 + dft_v3 + fused FF) applies to "
+                         "--model ffno only")
 
     from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
 

@@ -322,7 +322,8 @@ def test_main_2d_cno_resize_training(tmp_path, monkeypatch):
         "dataset.original_res=32", "dataset.cno_train_size=16",
         "dataset.max_test_resolution=32", "dataset.rollout_steps=0",
         "dataset.evaluation_type=use_resize",
-        "dataset.resize_to_train=true",
+        # resize_to_train deliberately OMITTED: the eval side must infer
+        # the trained resolution from training.cno_resize_training alone
         "training.cno_resize_training=true",
         "model.N_layers=2", "model.N_res=1", "model.N_res_neck=1",
         "model.channel_multiplier=4",
