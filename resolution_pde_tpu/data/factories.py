@@ -52,6 +52,19 @@ def _randsplit_indices(n: int, seed: int = 42) -> np.ndarray:
         g = torch.Generator().manual_seed(seed)
         return torch.randperm(n, generator=g).numpy()
     except ImportError:  # pragma: no cover
+        # The numpy permutation is a DIFFERENT split than the reference's
+        # torch.randperm — parity comparisons against reference-trained
+        # checkpoints are invalid without torch. Warn loudly rather than
+        # degrade silently (VERDICT r2 weak #5).
+        import warnings
+
+        warnings.warn(
+            "torch unavailable: dataset splits use a numpy permutation that "
+            "does NOT match the reference's torch.randperm; reference-parity "
+            "evaluations will see different train/val/test membership.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return np.random.default_rng(seed).permutation(n)
 
 
@@ -348,8 +361,10 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                         down = np.asarray(jit_lowpass_1d(
                             sampled, cutoff_ratio=cutoff))
                     else:
+                        # keeps ceil(src/factor) points when src_res is not
+                        # a multiple of target_res, exactly as the reference
+                        # (ks_naive_true_multires.py:504 — no truncation)
                         down = sampled[:, :, :: src_res // target_res]
-                        down = down[:, :, :target_res]
                     x, y = pair_fn(down.astype(np.float32))
                     _merge_bucket(buckets[name], down.shape[-1], x, y)
 

@@ -53,12 +53,17 @@ class ServingEngine:
     """
 
     def __init__(self, model, variables, *, x_normalizer=None,
-                 y_normalizer=None, mesh=None, compute_dtype=None):
+                 y_normalizer=None, mesh=None, compute_dtype=None,
+                 strict_buckets: bool = False):
         self.model = model
         self.mesh = mesh
         self.x_normalizer = x_normalizer
         self.y_normalizer = y_normalizer
         self.compute_dtype = compute_dtype
+        # strict: raise on a bucket miss instead of compiling on demand —
+        # an unwarmed shape otherwise pays a full XLA compile (minutes cold
+        # on remote-compile backends) inside the serving path
+        self.strict_buckets = strict_buckets
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -160,6 +165,18 @@ class ServingEngine:
             and tuple(k[4:]) == tuple(extra) and k[3] >= b)
         return candidates[0] if candidates else None
 
+    def _on_bucket_miss(self, kind: str, spatial: tuple, channels: int,
+                        b: int) -> None:
+        msg = (f"ServingEngine bucket miss: no warmed {kind} program covers "
+               f"(spatial={spatial}, channels={channels}, batch={b}); "
+               f"warmed: {self.buckets()}")
+        if self.strict_buckets:
+            raise LookupError(msg + " (strict_buckets=True)")
+        import warnings
+
+        warnings.warn(msg + " — compiling on demand inside the serving "
+                      "path (latency cliff)", RuntimeWarning, stacklevel=3)
+
     def _pad(self, x: np.ndarray, bucket: int):
         b = x.shape[0]
         if b == bucket:
@@ -185,6 +202,7 @@ class ServingEngine:
         b, c, spatial = x.shape[0], x.shape[1], tuple(x.shape[2:])
         bucket = self._bucket_for("predict", spatial, c, b)
         if bucket is None:
+            self._on_bucket_miss("predict", spatial, c, b)
             self.compile_bucket(spatial, b, in_channels=c)
             bucket = b
         return self._programs[("predict", spatial, c, bucket)](
@@ -204,6 +222,7 @@ class ServingEngine:
         b, c, spatial = x0.shape[0], x0.shape[1], tuple(x0.shape[2:])
         bucket = self._bucket_for("forecast", spatial, c, b, (int(steps),))
         if bucket is None:
+            self._on_bucket_miss("forecast", spatial, c, b)
             self.compile_bucket(spatial, b, in_channels=c,
                                 rollout_steps=(int(steps),))
             bucket = b

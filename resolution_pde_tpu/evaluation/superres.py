@@ -37,6 +37,10 @@ from resolution_pde_tpu.ops.losses import relative_l2
 
 _spectrum_sums_1d = jax.jit(spectrum_sums_1d)
 _spectrum_sums_2d = jax.jit(spectrum_sums_2d)
+# jitted batch-mean rel-L2: batch losses accumulate device-side and the
+# sweep fetches once per resolution (VERDICT r2 weak #3); a bare
+# relative_l2 call would also dispatch eagerly (UNIMPLEMENTED on axon)
+_rel_l2 = jax.jit(lambda p, t: relative_l2(p, t))
 from resolution_pde_tpu.ops.resize import fft_resize_1d, fft_resize_2d
 
 
@@ -105,7 +109,7 @@ def evaluate_all_resolutions(
     for target_res in test_resolutions:
         try:
             ds = dataset_builder(target_res)
-            total, n = 0.0, 0
+            total, n = None, 0
             err_acc = mag_acc = None
             spatial_shape = None
             for i in range(0, len(ds), batch_size):
@@ -115,7 +119,8 @@ def evaluate_all_resolutions(
                       if resize_to_train and target_res != current_res
                       else forward)
                 pred = fn(params, bx)
-                total += float(relative_l2(pred, by))
+                loss = _rel_l2(pred, by)  # device-side, fetched once below
+                total = loss if total is None else total + loss
                 n += 1
                 if n_plot_examples > 0 and target_res not in plot_data:
                     k = min(n_plot_examples, bx.shape[0])
@@ -135,7 +140,8 @@ def evaluate_all_resolutions(
                     else:
                         err_acc = err_acc + sums[0]
                         mag_acc = mag_acc + sums[1]
-            results[target_res] = total / max(n, 1)
+            results[target_res] = (float(total) if total is not None
+                                   else 0.0) / max(n, 1)
             if analyze_frequencies and err_acc is not None:
                 if spatial_ndim == 1:
                     frequency_data[target_res] = finalize_frequency_1d(

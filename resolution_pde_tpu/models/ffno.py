@@ -33,6 +33,7 @@ from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_2d_dft,
     factorized_spectral_conv_2d_dft_v2,
     factorized_spectral_conv_2d_dft_v3,
+    factorized_spectral_conv_2d_dft_v4,
 )
 
 
@@ -143,6 +144,10 @@ class FSpectralConv2d(nn.Module):
                         gemm_dtype=self.compute_dtype).astype(dt)
                 elif self.spectral_impl == "dft_v3":
                     x = factorized_spectral_conv_2d_dft_v3(
+                        xin, wy, wx, self.n_modes,
+                        gemm_dtype=self.compute_dtype).astype(dt)
+                elif self.spectral_impl == "dft_v4":
+                    x = factorized_spectral_conv_2d_dft_v4(
                         xin, wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
                 elif self.spectral_impl == "pallas":

@@ -366,6 +366,98 @@ def factorized_spectral_conv_2d_dft_v3(x, weight_y, weight_x, n_modes: int,
     return jnp.moveaxis(xx + yy, 1, -1)
 
 
+@functools.lru_cache(maxsize=64)
+def _dft_fold_matrices(n: int, m: int, norm: str):
+    """Half-size DFT factors exploiting the real-input cos/sin symmetry.
+
+    Forward: for real x, z[k] = sum_w x_w e^(-i a w k) splits into an even
+    part (cos, w and n-w fold with +) and an odd part (sin, fold with -),
+    so the (n, 2m) forward GEMM becomes (n/2+1, m) + (n/2-1, m) — half the
+    MACs. Inverse: y_w and y_{n-w} share the same cos/sin rows up to sign,
+    so the (2m, n) inverse GEMM becomes two (m, n/2+1) halves recombined by
+    a cheap concat. Requires even n.
+    """
+    assert n % 2 == 0
+    h = n // 2
+    k = np.arange(m)[None, :]
+    scale = 1.0 / np.sqrt(n) if norm == "ortho" else 1.0
+    we = np.arange(h + 1)[:, None]          # even-part rows 0..n/2
+    wo = np.arange(1, h)[:, None]           # odd-part rows 1..n/2-1
+    fwd_cos_h = (np.cos(2 * np.pi * we * k / n) * scale).astype(np.float32)
+    fwd_sin_h = (-np.sin(2 * np.pi * wo * k / n) * scale).astype(np.float32)
+    # inverse halves: u = re @ inv_cos_h, v = im @ inv_sin_h;
+    # y[w] = u+v (w<=n/2), y[n-w] = (u-v)[w] (1<=w<n/2)
+    weights = np.full(m, 2.0)
+    weights[0] = 1.0
+    if m == h + 1:
+        weights[-1] = 1.0
+    iscale = 1.0 / np.sqrt(n) if norm == "ortho" else 1.0 / n
+    ang_h = 2 * np.pi * k.T * np.arange(h + 1)[None, :] / n   # (m, n/2+1)
+    inv_cos_h = (weights[:, None] * np.cos(ang_h) * iscale).astype(np.float32)
+    inv_sin_h = (-weights[:, None] * np.sin(ang_h) * iscale).astype(np.float32)
+    return fwd_cos_h, fwd_sin_h, inv_cos_h, inv_sin_h
+
+
+def _dft_pass_last_axis_v4(xc, weight, n_modes: int, fft_norm: str,
+                           gemm_dtype):
+    """Folded-symmetry variant of _dft_pass_last_axis_v3: half the forward
+    and inverse transform MACs via the real-input even/odd fold. The mode
+    mix is identical to v3 (packed re/im contraction, K = 2C)."""
+    b, c, r, w_sz = xc.shape
+    m = min(n_modes, w_sz // 2 + 1)
+    if w_sz % 2:
+        return _dft_pass_last_axis_v3(xc, weight, n_modes, fft_norm,
+                                      gemm_dtype)
+    h = w_sz // 2
+    fch, fsh, ich, ish = (jnp.asarray(a) for a in
+                          _dft_fold_matrices(w_sz, m, fft_norm))
+    prec = (None if gemm_dtype is not None else jax.lax.Precision.HIGHEST)
+
+    def cast(a):
+        return a.astype(gemm_dtype) if gemm_dtype is not None else a
+
+    # fold: e_w = x_w + x_{n-w} (w=1..h-1) with e_0, e_h passthrough;
+    #       o_w = x_w - x_{n-w}
+    head = xc[..., 1:h]
+    tail = xc[..., :h:-1]            # x_{n-1}..x_{h+1}  <-> w=1..h-1
+    e = jnp.concatenate([xc[..., :1], head + tail, xc[..., h:h + 1]], -1)
+    o = head - tail
+    zre = jnp.matmul(cast(e), cast(fch),
+                     preferred_element_type=jnp.float32, precision=prec)
+    zim = jnp.matmul(cast(o), cast(fsh),
+                     preferred_element_type=jnp.float32, precision=prec)
+    z = jnp.stack([zre, zim], axis=-2)        # (B, C, R, 2, m)
+
+    wr, wi = weight[:, :, :m, 0], weight[:, :, :m, 1]
+    w5 = jnp.stack([jnp.stack([wr, wi], axis=2),
+                    jnp.stack([-wi, wr], axis=2)], axis=2)
+    out = jnp.einsum("bihsm,iostm->bohtm", cast(z), cast(w5),
+                     preferred_element_type=jnp.float32, precision=prec)
+
+    u = jnp.matmul(cast(out[..., 0, :]), cast(ich),
+                   preferred_element_type=jnp.float32, precision=prec)
+    v = jnp.matmul(cast(out[..., 1, :]), cast(ish),
+                   preferred_element_type=jnp.float32, precision=prec)
+    lo = u + v                                 # y_w, w = 0..h
+    hi = (u - v)[..., h - 1:0:-1]              # y_{n-w} for w = h-1..1
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def factorized_spectral_conv_2d_dft_v4(x, weight_y, weight_x, n_modes: int,
+                                       fft_norm: str = "ortho",
+                                       gemm_dtype=None):
+    """Folded-symmetry packed-complex truncated-DFT factorized conv: the
+    forward transform runs at half the MACs of dft_v3 (even/odd fold) and
+    the inverse at half via output-symmetry recombination. Numerics match
+    the fft/dft/dft_v3 paths (tests/test_spectral.py)."""
+    xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+    yy = _dft_pass_last_axis_v4(xc, weight_y, n_modes, fft_norm, gemm_dtype)
+    xt = jnp.swapaxes(xc, -1, -2)
+    xx = _dft_pass_last_axis_v4(xt, weight_x, n_modes, fft_norm, gemm_dtype)
+    xx = jnp.swapaxes(xx, -1, -2)
+    return jnp.moveaxis(xx + yy, 1, -1)
+
+
 def factorized_spectral_conv_2d_pallas(x, weight_y, weight_x, n_modes: int,
                                        fft_norm: str = "ortho",
                                        interpret: bool = False):

@@ -42,6 +42,11 @@ def pipeline_apply(
 
     stage_fn: (stage_params, microbatch) -> microbatch (shape-preserving —
         an operator block, e.g. one FFNO layer with its residual).
+        MUST be a stable callable: the compiled GPipe program is cached on
+        the identity of `stage_fn` (plus mesh/axis/sizes), so passing a
+        freshly created lambda/closure every step silently recompiles the
+        shard_map program each call. Define the function once at module or
+        object scope and reuse it.
     stacked_params: pytree with leading dim S on every leaf (one slice per
         stage; see stack_stage_params). Placed sharded over `axis`.
     x: (B, ...) batch, replicated. B must divide into n_microbatches

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import jax
 import jax.numpy as jnp
 
 from resolution_pde_tpu.ops.interpolation import (
@@ -19,16 +20,22 @@ from resolution_pde_tpu.ops.interpolation import (
     bicubic_resize_2d,
 )
 
+# jitted with the target size static: eager (unjitted) dispatch raises
+# UNIMPLEMENTED on the axon TPU backend, and this runs per training batch
+# (same scheme as data/transforms.py jit_resize_*; ADVICE r2)
+_jit_resize_1d = jax.jit(bicubic_resize_1d, static_argnums=1)
+_jit_resize_2d = jax.jit(bicubic_resize_2d, static_argnums=1)
+
 
 def resize_batch_to(x, train_size: int, spatial_ndim: int):
     """Antialiased bicubic resize of (B, C, *spatial) to train_size."""
     if spatial_ndim == 1:
         if x.shape[-1] == train_size:
             return x
-        return bicubic_resize_1d(x, train_size)
+        return _jit_resize_1d(x, train_size)
     if x.shape[-1] == train_size and x.shape[-2] == train_size:
         return x
-    return bicubic_resize_2d(x, (train_size, train_size))
+    return _jit_resize_2d(x, (train_size, train_size))
 
 
 class ResizingLoader:

@@ -261,14 +261,18 @@ class Trainer:
         train/training.py:105-146)."""
         if y_normalizer == "trainer":
             y_normalizer = self.y_normalizer
-        total, n = 0.0, 0
+        # batch losses stay on device; one host sync per evaluate() call
+        # (a float() per batch pays the ~100 ms tunnel round-trip each time)
+        losses = []
         for x, y in loader:
             (x, y), w = shard_batch((jnp.asarray(x), jnp.asarray(y)),
                                     self.mesh)
-            total += float(self._eval_step(state.params, state.model_state,
-                                           x, y, y_normalizer, w))
-            n += 1
-        return total / max(n, 1)
+            losses.append(self._eval_step(state.params, state.model_state,
+                                          x, y, y_normalizer, w))
+        if not losses:
+            return 0.0
+        total = float(sum(jnp.asarray(ls) for ls in losses))
+        return total / len(losses)
 
     def profile_step(self, state: TrainState, x, y, trace_dir: str,
                      n_steps: int = 5):
