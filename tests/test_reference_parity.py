@@ -570,6 +570,240 @@ def test_s4d_module_golden(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# S4 (DPLR) golden transplants — the hardest numerics in the reference
+# (SSMKernelDPLR, models/s4.py:1234-1447), verified against the actual
+# torch module on the cauchy_naive CPU path (VERDICT r2 item #2).
+# ---------------------------------------------------------------------------
+
+def _import_ref_s4():
+    """Import the reference models/s4.py with a pytorch_lightning stub (it
+    only uses rank_zero_only, a logging decorator)."""
+    import types
+
+    added = []
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        plu = types.ModuleType("pytorch_lightning.utilities")
+        plu.rank_zero_only = lambda fn: fn
+        pl.utilities = plu
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = plu
+        added = ["pytorch_lightning", "pytorch_lightning.utilities"]
+    sys.path.insert(0, REF)
+    try:
+        from models import s4 as ref_s4
+    finally:
+        sys.path.remove(REF)
+        for m in added:
+            sys.modules.pop(m, None)
+    return ref_s4
+
+
+def _transplant_dplr_kernel(ref_kernel, sub):
+    """Map a reference SSMKernelDPLR's parameters (N/2 conjugate-pair
+    storage, models/s4.py:1290-1346) onto a DPLRKernelLayer param subtree
+    (full-N spectrum with explicit conjugate pairs).
+
+    Mapping (derived from cauchy_naive's internal _conj expansion,
+    s4.py:159-168): Lambda/P/B -> concat with conjugates; the stored C is
+    C-tilde, ours is conj(C-tilde) on the first half. dt_transform='exp' and
+    dt_tie=True give log_dt = inv_dt[:, 0]. The reference module must have
+    run forward() once so _setup_C has attuned C to the kernel length."""
+    import jax.numpy as jnp
+
+    def c(t):
+        t = t.detach().numpy()
+        return t[..., 0] + 1j * t[..., 1]
+
+    assert ref_kernel.dt_transform == "exp"
+    rep = ref_kernel.H // ref_kernel.A_real.shape[0]  # n_ssm tying
+    A = np.repeat(
+        -np.exp(ref_kernel.A_real.detach().numpy())
+        - 1j * ref_kernel.A_imag.detach().numpy(), rep, axis=0)  # (H, N)
+    B = np.repeat(c(ref_kernel.B)[0], rep, axis=0)
+    P = np.repeat(c(ref_kernel.P)[0], rep, axis=0)
+    Ct = c(ref_kernel.C)  # (channels, H, N) — C-tilde after _setup_C
+
+    def full(z):
+        return np.concatenate([z, np.conj(z)], axis=-1)
+
+    lam = full(A)
+    ct_full = np.concatenate([np.conj(Ct), Ct], axis=-1)
+    sub = dict(sub)
+    sub["log_dt"] = jnp.asarray(
+        ref_kernel.inv_dt.detach().numpy()[:, 0], jnp.float32)
+    sub["Lambda_log_neg_re"] = jnp.asarray(np.log(-lam.real), jnp.float32)
+    sub["Lambda_im"] = jnp.asarray(lam.imag, jnp.float32)
+    sub["P_vec"] = jnp.asarray(
+        np.stack([full(P).real, full(P).imag], -1), jnp.float32)
+    sub["B_vec"] = jnp.asarray(
+        np.stack([full(B).real, full(B).imag], -1), jnp.float32)
+    sub["C"] = jnp.asarray(
+        np.stack([ct_full.real, ct_full.imag], -1), jnp.float32)
+    return sub
+
+
+def test_dplr_kernel_golden(rng):
+    """Reference SSMKernelDPLR.forward (models/s4.py:1343-1447, cauchy_naive
+    path) == DPLRKernelLayer with transplanted parameters."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+
+    torch.manual_seed(0)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                               verbose=False)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)  # triggers _setup_C
+    k_ref = k_ref.detach().numpy()  # (1, H, L)
+
+    layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_dplr_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
+
+
+def _transplant_fftconv(ref_fc, sub):
+    """Map a reference FFTConv (models/s4.py:1649-1784) onto our
+    FFTConvLayer params: DPLR kernel + D skip."""
+    import jax.numpy as jnp
+
+    sub = dict(sub)
+    sub["DPLRKernelLayer_0"] = _transplant_dplr_kernel(
+        ref_fc.kernel, sub["DPLRKernelLayer_0"])
+    sub["D"] = jnp.asarray(ref_fc.D.detach().numpy())
+    return sub
+
+
+def test_fftconv_dplr_golden(rng):
+    """Reference FFTConv (dplr mode) forward == FFTConvLayer, both
+    unidirectional and bidirectional (incl. the deliberate off-by-one in
+    the reversed kernel, models/s4.py:1737-1744)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import FFTConvLayer
+
+    h, n_ref, L = 4, 4, 16
+    for bidir in (False, True):
+        torch.manual_seed(1)
+        ref = ref_s4.FFTConv(d_model=h, d_state=2 * n_ref, l_max=L,
+                             mode="dplr", bidirectional=bidir,
+                             transposed=False, verbose=False)
+        ref.eval()
+        x = rng.standard_normal((2, L, h)).astype(np.float32)
+        with torch.no_grad():
+            expected, _ = ref(torch.from_numpy(x))
+        expected = expected.numpy()  # (B, L, H)
+
+        mine = FFTConvLayer(d_model=h, d_state=2 * n_ref, mode="dplr",
+                            bidirectional=bidir)
+        xl = jnp.asarray(x)
+        p = mine.init(jax.random.key(0), xl)["params"]
+        p = _transplant_fftconv(ref, p)
+        got = np.asarray(mine.apply({"params": p}, xl))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"bidirectional={bidir}")
+
+
+def test_s4block_dplr_golden(rng):
+    """Reference S4Block (models/s4.py:1838-1999, default gate/bottleneck
+    off, final_act='glu') == our S4Block with transplanted weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import S4Block
+
+    torch.manual_seed(2)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.S4Block(d_model=h, d_state=2 * n_ref, l_max=L,
+                         transposed=False, bidirectional=True,
+                         verbose=False)
+    ref.eval()
+    x = rng.standard_normal((2, L, h)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(x))
+    expected = expected.numpy()
+
+    mine = S4Block(d_model=h, d_state=2 * n_ref, mode="dplr",
+                   bidirectional=True)
+    xl = jnp.asarray(x)
+    p = mine.init(jax.random.key(0), xl)["params"]
+    p = dict(p)
+    p["FFTConvLayer_0"] = _transplant_fftconv(ref.layer,
+                                              p["FFTConvLayer_0"])
+    out_lin = ref.output_linear[0] if hasattr(
+        ref.output_linear, "__getitem__") else ref.output_linear
+    p["Dense_0"] = {
+        "kernel": jnp.asarray(out_lin.weight.detach().numpy()).T,
+        "bias": jnp.asarray(out_lin.bias.detach().numpy()),
+    }
+    got = np.asarray(mine.apply({"params": p}, xl))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_s4model_dplr_golden(rng):
+    """Reference S4Model end-to-end (models/s4_1d.py:7-185: grid concat,
+    encoder, bidirectional S4Blocks with the discarded post-norm,
+    decoder) == our S4Model with transplanted weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    sys.path.insert(0, REF)
+    try:
+        from models.s4_1d import S4Model as RefS4Model
+    finally:
+        sys.path.remove(REF)
+    from resolution_pde_tpu.models.s4 import S4Model
+
+    torch.manual_seed(3)
+    h, L, n_layers = 8, 16, 2
+    ref = RefS4Model(d_input=1, d_output=1, d_model=h, n_layers=n_layers,
+                     dropout=0.0, prenorm=False)
+    ref.eval()
+    x = rng.standard_normal((2, 1, L)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()  # (B, 1, L)
+
+    mine = S4Model(d_input=1, d_output=1, d_model=h, n_layers=n_layers,
+                   dropout=0.0, prenorm=False, mode="dplr")
+    xj = jnp.asarray(x)
+    p = mine.init(jax.random.key(0), xj)["params"]
+    p = dict(p)
+
+    def lin(mod):
+        return {"kernel": jnp.asarray(mod.weight.detach().numpy()).T,
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    p["Dense_0"] = lin(ref.encoder)
+    p["Dense_1"] = lin(ref.decoder)
+    for i, blk in enumerate(ref.s4_layers):
+        sub = dict(p[f"S4Block_{i}"])
+        sub["FFTConvLayer_0"] = _transplant_fftconv(
+            blk.layer, sub["FFTConvLayer_0"])
+        out_lin = blk.output_linear[0] if hasattr(
+            blk.output_linear, "__getitem__") else blk.output_linear
+        sub["Dense_0"] = lin(out_lin)
+        p[f"S4Block_{i}"] = sub
+
+    got = np.asarray(jax.jit(
+        lambda pp, xx: mine.apply({"params": pp}, xx))(p, xj))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
 def test_linear_attention_golden(rng):
     """Reference LinearAttention ('l1' linear attention, mgpt.py:31-90)
     == ours with transplanted weights, both self- and cross-attention."""
