@@ -57,11 +57,17 @@ SSM_PARAM_NAMES = (
 
 
 class S4DKernelLayer(nn.Module):
-    """Diagonal SSM kernel (models/s4d.py:33-69). Produces (channels, H, L).
+    """Diagonal SSM kernel (models/s4d.py:33-69; option surface of
+    SSMKernelDiag, models/s4.py:987-1189). Produces (channels, H, L).
 
     kernel_impl: 'jnp' (XLA-fused Vandermonde) or 'pallas' (on-chip state
     reduction, ops/pallas/vandermonde.py — the TPU replacement for the
-    reference's CUDA/pykeops kernels; bit-exact vs 'jnp' on v5e)."""
+    reference's CUDA/pykeops kernels; bit-exact vs 'jnp' on v5e).
+    disc: 'zoh' | 'bilinear' | 'dss' discretization (s4.py:1149-1178);
+    the pallas path implements zoh only.
+    n_ssm: number of independent (A,) copies tied across H features
+    (s4.py:1060-1064 `repeat`); None = H (fully independent, the default).
+    """
 
     d_model: int
     d_state: int = 64
@@ -69,36 +75,52 @@ class S4DKernelLayer(nn.Module):
     dt_min: float = 1e-3
     dt_max: float = 1e-1
     kernel_impl: str = "jnp"
+    disc: str = "zoh"
+    n_ssm: Optional[int] = None
 
     @nn.compact
     def __call__(self, L: int):
         h, n_half = self.d_model, self.d_state // 2
+        s = self.n_ssm or h
+        if h % s:
+            raise ValueError(f"n_ssm={s} must divide d_model={h}")
         log_dt = self.param(
             "log_dt",
             lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
                                                    self.dt_max),
             (h,),
         )
-        la, ai = ssm_ops.s4d_lin_init(h, n_half)
-        log_a_real = self.param("log_A_real", lambda rng, s: jnp.asarray(la),
+        la, ai = ssm_ops.s4d_lin_init(s, n_half)
+        log_a_real = self.param("log_A_real", lambda rng, _s: jnp.asarray(la),
                                 la.shape)
-        a_imag = self.param("A_imag", lambda rng, s: jnp.asarray(ai), ai.shape)
+        a_imag = self.param("A_imag", lambda rng, _s: jnp.asarray(ai),
+                            ai.shape)
         c = self.param(
             "C",
             lambda rng, shape: jax.random.normal(rng, shape),
             (self.channels, h, n_half, 2),
         )
-        A = -jnp.exp(log_a_real) + 1j * a_imag  # (H, N/2)
+        A = -jnp.exp(log_a_real) + 1j * a_imag  # (S, N/2)
+        if s != h:
+            A = jnp.repeat(A, h // s, axis=0)   # tied copies -> (H, N/2)
         C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
         if self.kernel_impl == "pallas":
+            if self.disc != "zoh":
+                raise ValueError(
+                    f"kernel_impl='pallas' supports disc='zoh' only, got "
+                    f"{self.disc!r}")
             from resolution_pde_tpu.ops.pallas import s4d_kernel_pallas
 
             interp = jax.default_backend() not in ("tpu", "axon")
             # channels fold into the kernel grid: one launch total
             kern = s4d_kernel_pallas(C, A, log_dt, L, interpret=interp)
         else:
-            kern = jax.vmap(
-                lambda cc: ssm_ops.s4d_kernel_zoh(cc, A, log_dt, L))(C)
+            if self.disc not in ssm_ops.S4D_KERNELS:
+                raise ValueError(
+                    f"unknown disc {self.disc!r}; expected one of "
+                    f"{sorted(ssm_ops.S4D_KERNELS)}")
+            kfn = ssm_ops.S4D_KERNELS[self.disc]
+            kern = jax.vmap(lambda cc: kfn(cc, A, log_dt, L))(C)
         return kern  # (channels, H, L)
 
     def discretize(self):
@@ -120,11 +142,20 @@ class DPLRKernelLayer(nn.Module):
     dt_min: float = 1e-3
     dt_max: float = 1e-1
     kernel_impl: str = "jnp"  # 'jnp' | 'pallas' (on-chip Cauchy reduction)
+    rank: int = 1             # low-rank correction rank (s4.py:357-382)
+    n_ssm: Optional[int] = None  # tied (A, B, P) copies (s4.py:1060-1064)
 
     @nn.compact
     def __call__(self, L: int):
         h, n = self.d_model, self.d_state
+        s = self.n_ssm or h
+        if h % s:
+            raise ValueError(f"n_ssm={s} must divide d_model={h}")
         Lam, P, B, _ = ssm_ops.make_dplr_hippo(n)
+        # rank > 1: extra rows zero-padded, matching the reference's
+        # rank_correction for the legs measure (models/s4.py:379-382)
+        P_rows = np.concatenate(
+            [P[None], np.zeros((self.rank - 1, n), P.dtype)], axis=0)
         log_dt = self.param(
             "log_dt",
             lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
@@ -133,31 +164,34 @@ class DPLRKernelLayer(nn.Module):
         )
         lam_re = self.param(
             "Lambda_log_neg_re",
-            lambda rng, s: jnp.log(-jnp.asarray(
-                np.broadcast_to(Lam.real, (h, n)).copy(), jnp.float32)),
-            (h, n),
+            lambda rng, _s: jnp.log(-jnp.asarray(
+                np.broadcast_to(Lam.real, (s, n)).copy(), jnp.float32)),
+            (s, n),
         )
         lam_im = self.param(
             "Lambda_im",
-            lambda rng, s: jnp.asarray(
-                np.broadcast_to(Lam.imag, (h, n)).copy(), jnp.float32),
-            (h, n),
+            lambda rng, _s: jnp.asarray(
+                np.broadcast_to(Lam.imag, (s, n)).copy(), jnp.float32),
+            (s, n),
         )
+        # rank-1 keeps the historical (S, N, 2) storage; rank > 1 stores
+        # (R, S, N, 2) with a leading rank dim
+        p_shape = (s, n, 2) if self.rank == 1 else (self.rank, s, n, 2)
+        p_init = (np.stack([P.real, P.imag], -1) if self.rank == 1
+                  else np.stack([P_rows.real, P_rows.imag], -1)[:, None])
         p_vec = self.param(
             "P_vec",
-            lambda rng, s: jnp.asarray(
-                np.broadcast_to(
-                    np.stack([P.real, P.imag], -1), (h, n, 2)).copy(),
-                jnp.float32),
-            (h, n, 2),
+            lambda rng, _s: jnp.asarray(
+                np.broadcast_to(p_init, p_shape).copy(), jnp.float32),
+            p_shape,
         )
         b_vec = self.param(
             "B_vec",
-            lambda rng, s: jnp.asarray(
+            lambda rng, _s: jnp.asarray(
                 np.broadcast_to(
-                    np.stack([B.real, B.imag], -1), (h, n, 2)).copy(),
+                    np.stack([B.real, B.imag], -1), (s, n, 2)).copy(),
                 jnp.float32),
-            (h, n, 2),
+            (s, n, 2),
         )
         c = self.param(
             "C",
@@ -165,26 +199,47 @@ class DPLRKernelLayer(nn.Module):
             (0.5 ** 0.5),
             (self.channels, h, n, 2),
         )
-        Lambda = jax.lax.complex(-jnp.exp(lam_re), lam_im)  # (H, N)
-        Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])
+        Lambda = jax.lax.complex(-jnp.exp(lam_re), lam_im)  # (S, N)
+        Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])  # (S,N)|(R,S,N)
         Bc = jax.lax.complex(b_vec[..., 0], b_vec[..., 1])
+        if s != h:  # tied copies -> per-feature
+            rep = h // s
+            Lambda = jnp.repeat(Lambda, rep, axis=0)
+            Bc = jnp.repeat(Bc, rep, axis=0)
+            Pc = jnp.repeat(Pc, rep, axis=-2)
         Cc = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N)
 
         if self.kernel_impl == "pallas":
+            if self.rank != 1:
+                raise ValueError("kernel_impl='pallas' supports rank=1 only")
             from resolution_pde_tpu.ops.pallas.cauchy import (
                 dplr_kernel_pallas)
 
             interp = jax.default_backend() not in ("tpu", "axon")
-            return jnp.stack([
-                dplr_kernel_pallas(Lambda, Pc, Bc, Cc[ch], log_dt, L,
-                                   interpret=interp)
-                for ch in range(self.channels)])
+            # channels fold into the Cauchy grid's H axis: ONE launch for
+            # all channels (Lambda/P/B/dt tile; C rows differ per channel)
+            ch = self.channels
+            tile = lambda z: jnp.concatenate([z] * ch, axis=0)  # noqa: E731
+            k = dplr_kernel_pallas(
+                tile(Lambda), tile(Pc), tile(Bc),
+                Cc.reshape(ch * h, n), jnp.concatenate([log_dt] * ch), L,
+                interpret=interp)
+            return k.reshape(ch, h, L)
 
-        def per_h(lam_h, p_h, b_h, c_h, ldt_h):
-            return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
+        if self.rank == 1:
+            def per_h(lam_h, p_h, b_h, c_h, ldt_h):
+                return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
 
-        def per_channel(c_ch):
-            return jax.vmap(per_h)(Lambda, Pc, Bc, c_ch, log_dt)
+            def per_channel(c_ch):
+                return jax.vmap(per_h)(Lambda, Pc, Bc, c_ch, log_dt)
+        else:
+            def per_h(lam_h, p_h, b_h, c_h, ldt_h):
+                return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
+
+            def per_channel(c_ch):
+                return jax.vmap(
+                    per_h, in_axes=(0, 1, 0, 0, 0)
+                )(Lambda, Pc, Bc, c_ch, log_dt)
 
         return jax.vmap(per_channel)(Cc)  # (channels, H, L)
 
@@ -201,16 +256,27 @@ class FFTConvLayer(nn.Module):
     bidirectional: bool = False
     activation: str = "gelu"
     dropout: float = 0.0
+    # kernel option surface (SSMKernel, models/s4.py:987-1189)
+    disc: str = "zoh"            # diag mode: 'zoh' | 'bilinear' | 'dss'
+    n_ssm: Optional[int] = None  # tied (A, B, P) copies
+    rank: int = 1                # dplr mode: low-rank correction rank
+    kernel_impl: str = "jnp"     # 'jnp' | 'pallas'
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, L, h = x.shape
         channels = self.channels
         kernel_channels = channels * (2 if self.bidirectional else 1)
-        kernel_cls = (DPLRKernelLayer if self.mode in ("dplr", "nplr")
-                      else S4DKernelLayer)
-        k = kernel_cls(self.d_model, self.d_state,
-                       channels=kernel_channels)(L)  # (kc, H, L)
+        if self.mode in ("dplr", "nplr"):
+            k = DPLRKernelLayer(
+                self.d_model, self.d_state, channels=kernel_channels,
+                rank=self.rank, n_ssm=self.n_ssm,
+                kernel_impl=self.kernel_impl)(L)  # (kc, H, L)
+        else:
+            k = S4DKernelLayer(
+                self.d_model, self.d_state, channels=kernel_channels,
+                disc=self.disc, n_ssm=self.n_ssm,
+                kernel_impl=self.kernel_impl)(L)
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s),
                        (channels, h))
 
@@ -259,6 +325,11 @@ class S4Block(nn.Module):
     bottleneck: Optional[int] = None    # inner-dim divisor (s4.py:1888)
     mult_act: Optional[str] = None
     final_act: Optional[str] = "glu"
+    # kernel option surface, forwarded to FFTConvLayer (s4.py:987-1189)
+    disc: str = "zoh"
+    n_ssm: Optional[int] = None
+    rank: int = 1
+    kernel_impl: str = "jnp"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -273,6 +344,8 @@ class S4Block(nn.Module):
         y = FFTConvLayer(
             d_inner, self.d_state, self.mode, channels=1,
             bidirectional=self.bidirectional, dropout=self.dropout,
+            disc=self.disc, n_ssm=self.n_ssm, rank=self.rank,
+            kernel_impl=self.kernel_impl,
         )(x, deterministic)
         if self.gate:
             if y.shape[-1] != d_inner * self.gate:
@@ -428,10 +501,12 @@ class S4NDModel(nn.Module):
         return jnp.moveaxis(x, -1, 1)
 
 
-def s4d_recurrent_step_fn(kernel_params, L_unused=None):
+def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh"):
     """Build a recurrent step function from S4DKernelLayer params (the
     TPU replacement for _setup_step/step, models/s4.py:1787-1807).
 
+    disc: 'zoh' | 'bilinear' (like the reference's _setup_step,
+    s4.py:1196-1206 — 'dss' has no recurrent form there either).
     Returns (init_state (H, N/2) complex zeros, step(state, u) -> (state, y))
     for single-channel kernels; y matches the convolutional output exactly
     (tested in tests/test_s4.py).
@@ -440,7 +515,16 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None):
     A = -jnp.exp(kernel_params["log_A_real"]) + 1j * kernel_params["A_imag"]
     c = kernel_params["C"][0]  # channel 0
     C = jax.lax.complex(c[..., 0], c[..., 1])
-    Ab, dB = ssm_ops.discretize_diag_zoh(A, log_dt[:, None])
+    if A.shape[0] != C.shape[0]:  # n_ssm-tied copies
+        A = jnp.repeat(A, C.shape[0] // A.shape[0], axis=0)
+    if disc == "zoh":
+        Ab, dB = ssm_ops.discretize_diag_zoh(A, log_dt[:, None])
+    elif disc == "bilinear":
+        Ab, dB = ssm_ops.discretize_diag_bilinear(A, log_dt[:, None])
+    else:
+        raise ValueError(
+            f"no recurrent form for disc={disc!r} (reference supports "
+            "zoh/bilinear only, models/s4.py:1196-1206)")
     h, n_half = A.shape
 
     def init_state(batch: int):
@@ -466,17 +550,24 @@ def dplr_recurrent_step_fn(kernel_params, L: int):
     """
     log_dt = kernel_params["log_dt"]                       # (H,)
     Lam = jax.lax.complex(-jnp.exp(kernel_params["Lambda_log_neg_re"]),
-                          kernel_params["Lambda_im"])      # (H, N)
+                          kernel_params["Lambda_im"])      # (S, N)
     P = jax.lax.complex(kernel_params["P_vec"][..., 0],
-                        kernel_params["P_vec"][..., 1])
+                        kernel_params["P_vec"][..., 1])    # (S,N)|(R,S,N)
     B = jax.lax.complex(kernel_params["B_vec"][..., 0],
                         kernel_params["B_vec"][..., 1])
     c = kernel_params["C"][0]                              # channel 0
     C_t = jax.lax.complex(c[..., 0], c[..., 1])            # (H, N)
+    if Lam.shape[0] != C_t.shape[0]:  # n_ssm-tied copies
+        rep = C_t.shape[0] // Lam.shape[0]
+        Lam = jnp.repeat(Lam, rep, axis=0)
+        B = jnp.repeat(B, rep, axis=0)
+        P = jnp.repeat(P, rep, axis=-2)
 
+    p_axis = 0 if P.ndim == 2 else 1  # rank-general storage layout
     Ab, Bb, C = jax.vmap(
         lambda lam, p, b, ct, ld: ssm_ops.discretize_dplr(
-            lam, p, b, ct, ld, L)
+            lam, p, b, ct, ld, L),
+        in_axes=(0, p_axis, 0, 0, 0),
     )(Lam, P, B, C_t, log_dt)                              # (H,N,N),(H,N),(H,N)
     h, n = Lam.shape
 

@@ -102,32 +102,93 @@ def s4d_kernel_zoh(C, A, log_dt, L: int):
     return 2.0 * k
 
 
+def s4d_kernel_bilinear(C, A, log_dt, L: int):
+    """S4D kernel, bilinear discretization (models/s4.py:1117-1189,
+    disc='bilinear'): C' = C * dt / (1 - dtA/2), dA = (1+dtA/2)/(1-dtA/2),
+    K = 2 Re sum_n C'_n dA_n^l. Shapes as s4d_kernel_zoh."""
+    dt = jnp.exp(log_dt)[:, None]
+    dtA = A * dt
+    C_scaled = C * dt / (1.0 - dtA / 2.0)
+    log_dA = jnp.log((1.0 + dtA / 2.0) / (1.0 - dtA / 2.0))  # (H, N)
+    l_range = jnp.arange(L)
+    a = jnp.real(log_dA)[..., None] * l_range  # (H, N, L)
+    b = jnp.imag(log_dA)[..., None] * l_range
+    e = jnp.exp(a)
+    k = (jnp.einsum("hn,hnl->hl", jnp.real(C_scaled), e * jnp.cos(b))
+         - jnp.einsum("hn,hnl->hl", jnp.imag(C_scaled), e * jnp.sin(b)))
+    return 2.0 * k
+
+
+def s4d_kernel_dss(C, A, log_dt, L: int):
+    """S4D kernel, DSS discretization (models/s4.py:1160-1178, disc='dss'):
+    softmax-normalized exponentials that tolerate positive-real eigenvalues.
+    Note the reference takes Re (not 2 Re) in this branch. Shapes as
+    s4d_kernel_zoh."""
+    dt = jnp.exp(log_dt)[:, None]
+    dtA = A * dt  # (H, N)
+    l_range = jnp.arange(L)
+    pos = jnp.real(A) > 0  # (H, N)
+    p = dtA[..., None] * l_range  # (H, N, L)
+    p_max = dtA * jnp.where(pos, float(L - 1), 0.0)
+    p = p - jax.lax.stop_gradient(p_max)[..., None]
+    s = jnp.exp(p)  # (H, N, L) complex
+    dtA_neg = dtA * (1.0 - 2.0 * pos)
+    num = jnp.exp(dtA_neg) - 1.0
+    den = jnp.exp(dtA_neg * L) - 1.0
+    x = den * A
+    r = jnp.conj(x) / (x * jnp.conj(x) + 1e-7)
+    C_scaled = C * num * r  # (H, N)
+    k = (jnp.einsum("hn,hnl->hl", jnp.real(C_scaled), jnp.real(s))
+         - jnp.einsum("hn,hnl->hl", jnp.imag(C_scaled), jnp.imag(s)))
+    return k  # reference uses .float() == real part, no 2x
+
+
+S4D_KERNELS = {
+    "zoh": s4d_kernel_zoh,
+    "bilinear": s4d_kernel_bilinear,
+    "dss": s4d_kernel_dss,
+}
+
+
 def cauchy(v, omega, lambd):
-    """sum_n v_n / (omega_l - lambda_n) -> (L,). v, lambd: (N,) complex;
-    omega: (L,) complex. Replaces cauchy_naive (models/s4.py:159-168)."""
-    return jnp.sum(v[None, :] / (omega[:, None] - lambd[None, :]), axis=-1)
+    """sum_n v_n / (omega_l - lambda_n) -> (..., L). v, lambd: (..., N)
+    complex; omega: (L,) complex. Replaces cauchy_naive
+    (models/s4.py:159-168)."""
+    return jnp.sum(v[..., None, :] / (omega[:, None] - lambd[..., None, :]),
+                   axis=-1)
 
 
 def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int):
     """S4 DPLR convolution kernel via the bilinear generating function
-    evaluated at the roots of unity (models/s4.py:1343-1447 semantics).
+    evaluated at the roots of unity (models/s4.py:1343-1447 semantics),
+    with a rank-general Woodbury correction (s4.py:1408-1432).
 
-    Per-feature: Lambda, P, B, C_tilde: (N,) complex; log_dt: scalar.
-    Returns real (L,). C_tilde is the trained parameter (the
-    (I - Abar^L)-modified C of the S4 paper).
+    Per-feature: Lambda, B, C_tilde: (N,) complex; P: (N,) or (R, N)
+    complex (rank-R low-rank correction); log_dt: scalar. Returns real
+    (L,). C_tilde is the trained parameter (the (I - Abar^L)-modified C
+    of the S4 paper).
     """
+    if P.ndim == 1:
+        P = P[None]  # (1, N)
+    R = P.shape[0]
     step = jnp.exp(log_dt)
     omega_l = jnp.exp(-2j * jnp.pi * jnp.arange(L) / L)
-    aterm = (jnp.conj(C_tilde), jnp.conj(P))
-    bterm = (B, P)
     g = (2.0 / step) * ((1.0 - omega_l) / (1.0 + omega_l))
     c = 2.0 / (1.0 + omega_l)
-    k00 = cauchy(aterm[0] * bterm[0], g, Lambda)
-    k01 = cauchy(aterm[0] * bterm[1], g, Lambda)
-    k10 = cauchy(aterm[1] * bterm[0], g, Lambda)
-    k11 = cauchy(aterm[1] * bterm[1], g, Lambda)
-    at_roots = c * (k00 - k01 * (1.0 / (1.0 + k11)) * k10)
-    out = jnp.fft.ifft(at_roots, L)
+    # rows a_i in {conj(C~), conj(P_r)}, cols b_j in {B, P_r}
+    a = jnp.concatenate([jnp.conj(C_tilde)[None], jnp.conj(P)], axis=0)
+    b = jnp.concatenate([B[None], P], axis=0)       # (R+1, N)
+    v = a[:, None, :] * b[None, :, :]               # (R+1, R+1, N)
+    r = cauchy(v, g, Lambda)                        # (R+1, R+1, L)
+    if R == 1:
+        kf = (r[0, 0] - r[0, 1] * (1.0 / (1.0 + r[1, 1])) * r[1, 0])
+    else:
+        r11 = jnp.moveaxis(r[1:, 1:], -1, 0)        # (L, R, R)
+        rhs = jnp.moveaxis(r[1:, 0], -1, 0)[..., None]  # (L, R, 1)
+        eye = jnp.eye(R, dtype=r.dtype)
+        sol = jnp.linalg.solve(eye + r11, rhs)[..., 0]  # (L, R)
+        kf = r[0, 0] - jnp.einsum("rl,lr->l", r[0, 1:], sol)
+    out = jnp.fft.ifft(c * kf, L)
     return jnp.real(out)
 
 
@@ -135,20 +196,20 @@ def discretize_dplr(Lambda, P, B, C_tilde, log_dt, L: int):
     """Discrete (Abar, Bbar, C) for recurrent stepping
     (models/s4.py:1190-1218 _setup_step semantics, bilinear transform).
 
-    Per-feature inputs as in dplr_kernel. Returns (Ab (N,N), Bb (N,), C (N,))
-    complex, where y_k = 2 Re(C^* x_k) ... consistent with kernel above.
+    Per-feature inputs as in dplr_kernel; P may be (N,) rank-1 or (R, N).
+    Returns (Ab (N,N), Bb (N,), C (N,)) complex, where
+    y_k = 2 Re(C^* x_k) ... consistent with kernel above.
     """
     step = jnp.exp(log_dt)
     n = Lambda.shape[0]
-    A = jnp.diag(Lambda) - P[:, None] * jnp.conj(P)[None, :]
+    if P.ndim == 1:
+        P = P[None]
+    A = jnp.diag(Lambda) - jnp.einsum("rm,rn->mn", P, jnp.conj(P))
     I = jnp.eye(n, dtype=A.dtype)
     A0 = (2.0 / step) * I + A
-    d = 1.0 / ((2.0 / step) - Lambda)
-    qc = jnp.conj(P)[None, :]
-    p2 = P[:, None]
-    a1_corr = (d[:, None] * p2) @ (qc * d[None, :]) / (
-        1.0 + (qc * d[None, :]) @ p2)
-    A1 = jnp.diag(d) - a1_corr
+    # (2/dt I - A)^{-1} via a dense solve: exact for any rank (the rank-1
+    # Woodbury special case is subsumed; N is small so setup cost is moot)
+    A1 = jnp.linalg.inv((2.0 / step) * I - A)
     Ab = A1 @ A0
     Bb = 2.0 * (A1 @ B[:, None])[:, 0]
     # Recover the stepping C from the trained C_tilde:
@@ -169,6 +230,18 @@ def discretize_diag_zoh(A, log_dt):
     dtA = A * dt
     Ab = jnp.exp(dtA)
     dB = (jnp.exp(dtA) - 1.0) / A
+    return Ab, dB
+
+
+def discretize_diag_bilinear(A, log_dt):
+    """Bilinear discretization for the diagonal kernel (models/s4.py:
+    1203-1205, disc='bilinear'): Abar = (1+dtA/2)/(1-dtA/2),
+    dB = dt/(1-dtA/2) — matching s4d_kernel_bilinear so step mode equals
+    convolution mode."""
+    dt = jnp.exp(log_dt)
+    dtA = A * dt
+    Ab = (1.0 + dtA / 2.0) / (1.0 - dtA / 2.0)
+    dB = dt / (1.0 - dtA / 2.0)
     return Ab, dB
 
 

@@ -72,22 +72,23 @@ def main():
         if BATCH > 8:
             continue
 
-        from resolution_pde_tpu.ops.losses import relative_l2_loss
+        from resolution_pde_tpu.ops.losses import relative_l2
 
-        variables = {"params": state.params}
+        # the original `state` was donated by the first step; use the live one
+        params0 = holder["s"].params
 
         @jax.jit
         def fwd_loss(params, bx, by):
             pred = model.apply({"params": params}, bx, deterministic=True)
-            return relative_l2_loss(pred, by)
+            return relative_l2(pred, by)
 
-        print(f"  fwd+loss: {timeit(lambda: fwd_loss(state.params, x, y)):.2f} ms",
+        print(f"  fwd+loss: {timeit(lambda: fwd_loss(params0, x, y)):.2f} ms",
               flush=True)
 
         grad_fn = jax.jit(jax.grad(fwd_loss))
 
         def g():
-            return grad_fn(state.params, x, y)
+            return grad_fn(params0, x, y)
 
         print(f"  grad (no opt): {timeit(g):.2f} ms", flush=True)
 

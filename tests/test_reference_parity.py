@@ -608,8 +608,10 @@ def _transplant_dplr_kernel(ref_kernel, sub):
     Mapping (derived from cauchy_naive's internal _conj expansion,
     s4.py:159-168): Lambda/P/B -> concat with conjugates; the stored C is
     C-tilde, ours is conj(C-tilde) on the first half. dt_transform='exp' and
-    dt_tie=True give log_dt = inv_dt[:, 0]. The reference module must have
-    run forward() once so _setup_C has attuned C to the kernel length."""
+    dt_tie=True give log_dt = inv_dt[:, 0]. Handles n_ssm tying (stores at
+    S rows when the target subtree is tied, repeats to H otherwise) and
+    rank >= 1 low-rank corrections. The reference module must have run
+    forward() once so _setup_C has attuned C to the kernel length."""
     import jax.numpy as jnp
 
     def c(t):
@@ -617,18 +619,26 @@ def _transplant_dplr_kernel(ref_kernel, sub):
         return t[..., 0] + 1j * t[..., 1]
 
     assert ref_kernel.dt_transform == "exp"
-    rep = ref_kernel.H // ref_kernel.A_real.shape[0]  # n_ssm tying
-    A = np.repeat(
-        -np.exp(ref_kernel.A_real.detach().numpy())
-        - 1j * ref_kernel.A_imag.detach().numpy(), rep, axis=0)  # (H, N)
-    B = np.repeat(c(ref_kernel.B)[0], rep, axis=0)
-    P = np.repeat(c(ref_kernel.P)[0], rep, axis=0)
-    Ct = c(ref_kernel.C)  # (channels, H, N) — C-tilde after _setup_C
+    A = (-np.exp(ref_kernel.A_real.detach().numpy())
+         - 1j * ref_kernel.A_imag.detach().numpy())  # (S, N)
+    B = c(ref_kernel.B)[0]        # (S, N)
+    P = c(ref_kernel.P)           # (R, S, N)
+    Ct = c(ref_kernel.C)          # (channels, H, N) — C-tilde after setup
+    s_target = np.asarray(sub["Lambda_log_neg_re"]).shape[0]
+    if s_target != A.shape[0]:    # target is untied: repeat S -> H
+        rep = s_target // A.shape[0]
+        A = np.repeat(A, rep, axis=0)
+        B = np.repeat(B, rep, axis=0)
+        P = np.repeat(P, rep, axis=1)
 
     def full(z):
         return np.concatenate([z, np.conj(z)], axis=-1)
 
     lam = full(A)
+    p_full = full(P)              # (R, S, 2N)
+    if np.asarray(sub["P_vec"]).ndim == 3:  # rank-1 historical layout
+        assert p_full.shape[0] == 1
+        p_full = p_full[0]
     ct_full = np.concatenate([np.conj(Ct), Ct], axis=-1)
     sub = dict(sub)
     sub["log_dt"] = jnp.asarray(
@@ -636,7 +646,7 @@ def _transplant_dplr_kernel(ref_kernel, sub):
     sub["Lambda_log_neg_re"] = jnp.asarray(np.log(-lam.real), jnp.float32)
     sub["Lambda_im"] = jnp.asarray(lam.imag, jnp.float32)
     sub["P_vec"] = jnp.asarray(
-        np.stack([full(P).real, full(P).imag], -1), jnp.float32)
+        np.stack([p_full.real, p_full.imag], -1), jnp.float32)
     sub["B_vec"] = jnp.asarray(
         np.stack([full(B).real, full(B).imag], -1), jnp.float32)
     sub["C"] = jnp.asarray(
@@ -802,6 +812,141 @@ def test_s4model_dplr_golden(rng):
     got = np.asarray(jax.jit(
         lambda pp, xx: mine.apply({"params": pp}, xx))(p, xj))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def _transplant_diag_kernel(ref_kernel, sub):
+    """Map a reference SSMKernelDiag (models/s4.py:987-1189) onto an
+    S4DKernelLayer subtree. The reference's separate B parameter is folded
+    into C (the kernel only ever uses the product B*C, s4.py:1143); the
+    recurrent state then differs by a diagonal rescale that cancels in y
+    (PARITY.md). A_imag is stored negated with the 'none' transform."""
+    import jax.numpy as jnp
+
+    def c(t):
+        t = t.detach().numpy()
+        return t[..., 0] + 1j * t[..., 1]
+
+    assert ref_kernel.dt_transform == "exp"
+    s_target = np.asarray(sub["log_A_real"]).shape[0]
+    a_real = ref_kernel.A_real.detach().numpy()     # (S, N) = log(-Re A)
+    a_imag_stored = ref_kernel.A_imag.detach().numpy()  # = -Im A
+    B = c(ref_kernel.B)[0]                           # (S, N)
+    C = c(ref_kernel.C)                              # (channels, H, N)
+    rep_h = C.shape[1] // B.shape[0]
+    BC = np.repeat(B, rep_h, axis=0)[None] * C       # (channels, H, N)
+    if s_target != a_real.shape[0]:
+        rep = s_target // a_real.shape[0]
+        a_real = np.repeat(a_real, rep, axis=0)
+        a_imag_stored = np.repeat(a_imag_stored, rep, axis=0)
+    sub = dict(sub)
+    sub["log_dt"] = jnp.asarray(
+        ref_kernel.inv_dt.detach().numpy()[:, 0], jnp.float32)
+    sub["log_A_real"] = jnp.asarray(a_real, jnp.float32)
+    sub["A_imag"] = jnp.asarray(-a_imag_stored, jnp.float32)
+    sub["C"] = jnp.asarray(np.stack([BC.real, BC.imag], -1), jnp.float32)
+    return sub
+
+
+@pytest.mark.parametrize("disc", ["zoh", "bilinear", "dss"])
+def test_diag_kernel_disc_golden(disc, rng):
+    """Reference SSMKernelDiag with each discretization (zoh / bilinear /
+    dss, models/s4.py:1149-1178) == S4DKernelLayer(disc=...) with
+    transplanted parameters (B folded into C)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import S4DKernelLayer
+
+    torch.manual_seed(4)
+    h, n_ref, L = 4, 4, 12
+    ref = ref_s4.SSMKernelDiag(d_model=h, d_state=2 * n_ref, l_max=L,
+                               disc=disc, verbose=False)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()  # (1, H, L)
+
+    layer = S4DKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                           disc=disc)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_diag_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["diag", "dplr"])
+def test_kernel_n_ssm_tying_golden(mode, rng):
+    """n_ssm < H parameter tying (models/s4.py:1060-1064 repeat): reference
+    kernels with n_ssm=2, H=4 == ours with the same tied storage."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import (DPLRKernelLayer,
+                                              S4DKernelLayer)
+
+    torch.manual_seed(5)
+    h, n_ref, L, n_ssm = 4, 4, 12, 2
+    if mode == "diag":
+        ref = ref_s4.SSMKernelDiag(d_model=h, d_state=2 * n_ref, l_max=L,
+                                   n_ssm=n_ssm, verbose=False)
+    else:
+        ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                                   n_ssm=n_ssm, verbose=False)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()
+    assert ref.A_real.shape[0] == n_ssm  # tying actually active
+
+    if mode == "diag":
+        layer = S4DKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                               n_ssm=n_ssm)
+    else:
+        layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                                n_ssm=n_ssm)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    transplant = (_transplant_diag_kernel if mode == "diag"
+                  else _transplant_dplr_kernel)
+    sub = transplant(ref, params["params"])
+    assert np.asarray(sub["Lambda_log_neg_re" if mode == "dplr"
+                          else "log_A_real"]).shape[0] == n_ssm
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_dplr_kernel_rank2_golden(rng):
+    """Rank-2 low-rank correction (the general Woodbury branch,
+    models/s4.py:1412-1422): reference SSMKernelDPLR(rank=2) ==
+    DPLRKernelLayer(rank=2) with transplanted parameters."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+
+    torch.manual_seed(6)
+    h, n_ref, L = 4, 4, 12
+    ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                               rank=2, verbose=False)
+    # make the second rank row non-trivial (legs init zero-pads it)
+    with torch.no_grad():
+        ref.P[1] += 0.3 * torch.randn_like(ref.P[1])
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()
+
+    layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                            rank=2)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    assert np.asarray(params["params"]["P_vec"]).shape[0] == 2
+    sub = _transplant_dplr_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
 
 
 def test_linear_attention_golden(rng):

@@ -68,6 +68,58 @@ def test_s4d_conv_equals_recurrence(rng):
     np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)
 
 
+def test_s4d_bilinear_conv_equals_recurrence(rng):
+    """disc='bilinear' (models/s4.py:1153-1156): FFT-convolution output ==
+    recurrent stepping with the bilinear discretization."""
+    H, L = 3, 16
+    layer = S4DKernelLayer(d_model=H, d_state=8, channels=1,
+                           disc="bilinear")
+    params = layer.init(jax.random.key(0), L)
+    k = layer.apply(params, L)[0]  # (H, L)
+
+    u = rng.standard_normal((2, H, L)).astype(np.float32)
+    y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
+
+    init_state, step = s4d_recurrent_step_fn(params["params"],
+                                             disc="bilinear")
+    state = init_state(2)
+    ys = []
+    for t in range(L):
+        state, y = step(state, jnp.asarray(u[:, :, t]))
+        ys.append(np.asarray(y))
+    y_rec = np.stack(ys, axis=-1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)
+
+
+def test_dplr_rank2_conv_equals_recurrence(rng):
+    """rank=2 DPLR: the dense-solve discretization must agree with the
+    rank-general Woodbury kernel (conv == recurrence)."""
+    from resolution_pde_tpu.models.s4 import dplr_recurrent_step_fn
+
+    H, L = 2, 12
+    layer = DPLRKernelLayer(d_model=H, d_state=8, channels=1, rank=2)
+    key = jax.random.key(3)
+    params = layer.init(key, L)
+    # perturb the zero-padded second rank row so it participates
+    p = dict(params["params"])
+    p["P_vec"] = p["P_vec"] + 0.2 * jax.random.normal(
+        key, p["P_vec"].shape)
+    params = {"params": p}
+    k = layer.apply(params, L)[0]  # (H, L)
+
+    u = rng.standard_normal((2, H, L)).astype(np.float32)
+    y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
+
+    init_state, step = dplr_recurrent_step_fn(params["params"], L)
+    state = init_state(2)
+    ys = []
+    for t in range(L):
+        state, y = step(state, jnp.asarray(u[:, :, t]))
+        ys.append(np.asarray(y))
+    y_rec = np.stack(ys, axis=-1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)
+
+
 def test_dplr_kernel_finite_and_decaying():
     """HiPPO-initialized DPLR kernel is finite and (roughly) decaying."""
     layer = DPLRKernelLayer(d_model=4, d_state=16, channels=1)
