@@ -304,3 +304,245 @@ def import_unet1d(sd: Mapping[str, np.ndarray]) -> dict:
         "bias": sd["conv.bias"]}
     return {"params": {"_UNet_0": params},
             "batch_stats": {"_UNet_0": stats}}
+
+
+# ---------------------------------------------------------------------------
+# UNet2d (reference models/unet.py:204-293)
+# ---------------------------------------------------------------------------
+
+def import_unet2d(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference UNet2d state_dict -> our UNet2d variables
+    ({'params', 'batch_stats'}). 2D analogue of import_unet1d: conv weights
+    (out, in, kh, kw) -> flax (kh, kw, in, out); transposed convs flip BOTH
+    tap axes (forward parity in tests/test_torch_import.py)."""
+    names = ["encoder1", "encoder2", "encoder3", "encoder4", "bottleneck",
+             "decoder4", "decoder3", "decoder2", "decoder1"]
+    short = {"encoder1": "enc1", "encoder2": "enc2", "encoder3": "enc3",
+             "encoder4": "enc4", "bottleneck": "bottleneck",
+             "decoder4": "dec4", "decoder3": "dec3", "decoder2": "dec2",
+             "decoder1": "dec1"}
+    params: dict = {}
+    stats: dict = {}
+    for i, name in enumerate(names):
+        dc_p: dict = {}
+        dc_s: dict = {}
+        pre = f"{name}.{short[name]}"
+        for j in (1, 2):
+            conv_w = sd[f"{pre}conv{j}.weight"]
+            dc_p[f"Conv_{j - 1}"] = {
+                "kernel": np.ascontiguousarray(conv_w.transpose(2, 3, 1, 0))}
+            dc_p[f"BatchNorm_{j - 1}"] = {
+                "scale": sd[f"{pre}norm{j}.weight"],
+                "bias": sd[f"{pre}norm{j}.bias"]}
+            dc_s[f"BatchNorm_{j - 1}"] = {
+                "mean": sd[f"{pre}norm{j}.running_mean"],
+                "var": sd[f"{pre}norm{j}.running_var"]}
+        params[f"_DoubleConv_{i}"] = dc_p
+        stats[f"_DoubleConv_{i}"] = dc_s
+    for i, up in enumerate(["upconv4", "upconv3", "upconv2", "upconv1"]):
+        params[f"ConvTranspose_{i}"] = {
+            "kernel": np.ascontiguousarray(
+                sd[f"{up}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]),
+            "bias": sd[f"{up}.bias"]}
+    params["Conv_0"] = {
+        "kernel": np.ascontiguousarray(
+            sd["conv.weight"].transpose(2, 3, 1, 0)),
+        "bias": sd["conv.bias"]}
+    return {"params": {"_UNet_0": params},
+            "batch_stats": {"_UNet_0": stats}}
+
+
+# ---------------------------------------------------------------------------
+# CNO 1D/2D (reference models/CNO1d.py:201-338 / CNO2d.py:202-340)
+# ---------------------------------------------------------------------------
+
+def _cno_conv(sd: Mapping[str, np.ndarray], prefix: str, ndim: int) -> dict:
+    w = sd[f"{prefix}.weight"]
+    kernel = (w.transpose(2, 1, 0) if ndim == 1
+              else w.transpose(2, 3, 1, 0))
+    return {"kernel": np.ascontiguousarray(kernel),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _cno_block(sd, prefix: str, ndim: int, use_bn: bool):
+    """Reference CNOBlock (convolution + batch_norm) -> our CNOBlock
+    params/stats pair."""
+    p = {"Conv_0": _cno_conv(sd, f"{prefix}.convolution", ndim)}
+    s = {}
+    if use_bn:
+        p["BatchNorm_0"] = {"scale": sd[f"{prefix}.batch_norm.weight"],
+                            "bias": sd[f"{prefix}.batch_norm.bias"]}
+        s["BatchNorm_0"] = {"mean": sd[f"{prefix}.batch_norm.running_mean"],
+                            "var": sd[f"{prefix}.batch_norm.running_var"]}
+    return p, s
+
+
+def _cno_residual(sd, prefix: str, ndim: int, use_bn: bool):
+    p = {"Conv_0": _cno_conv(sd, f"{prefix}.convolution1", ndim),
+         "Conv_1": _cno_conv(sd, f"{prefix}.convolution2", ndim)}
+    s = {}
+    if use_bn:
+        for j in (1, 2):
+            p[f"BatchNorm_{j - 1}"] = {
+                "scale": sd[f"{prefix}.batch_norm{j}.weight"],
+                "bias": sd[f"{prefix}.batch_norm{j}.bias"]}
+            s[f"BatchNorm_{j - 1}"] = {
+                "mean": sd[f"{prefix}.batch_norm{j}.running_mean"],
+                "var": sd[f"{prefix}.batch_norm{j}.running_var"]}
+    return p, s
+
+
+def _cno_lift_project(sd, prefix: str, ndim: int):
+    """LiftProjectBlock: inner CNOBlock (no BN) + convolution."""
+    inner_p, _ = _cno_block(sd, f"{prefix}.inter_CNOBlock", ndim,
+                            use_bn=False)
+    return {"CNOBlock_0": inner_p,
+            "Conv_0": _cno_conv(sd, f"{prefix}.convolution", ndim)}
+
+
+def import_cno(sd: Mapping[str, np.ndarray], n_layers: int,
+               n_res: int = 4, n_res_neck: int = 4, use_bn: bool = True,
+               ndim: int = 1) -> dict:
+    """Reference CNO1d/CNO2d state_dict -> our CNO1d/CNO2d variables.
+
+    The flax module creates blocks in forward order, so the auto-named
+    CNOBlock_k indices interleave encoder / ED_expansion / decoder blocks:
+      k in [0, nl)            <- encoder.k
+      k = nl + 2j             <- ED_expansion.{nl - j}   (j in [0, nl))
+      k = nl + 2j + 1         <- decoder.j
+      k = 3 nl                <- ED_expansion.0
+    (forward pass order, models/CNO1d.py:304-337)."""
+    nl = n_layers
+    params: dict = {}
+    stats: dict = {}
+
+    params["LiftProjectBlock_0"] = _cno_lift_project(sd, "lift", ndim)
+    params["LiftProjectBlock_1"] = _cno_lift_project(sd, "project", ndim)
+
+    def put_block(our_key, ref_prefix):
+        p, s = _cno_block(sd, ref_prefix, ndim, use_bn)
+        params[our_key] = p
+        if s:
+            stats[our_key] = s
+
+    for i in range(nl):
+        put_block(f"CNOBlock_{i}", f"encoder.{i}")
+    for j in range(nl):
+        put_block(f"CNOBlock_{nl + 2 * j}", f"ED_expansion.{nl - j}")
+        put_block(f"CNOBlock_{nl + 2 * j + 1}", f"decoder.{j}")
+    put_block(f"CNOBlock_{3 * nl}", "ED_expansion.0")
+
+    for j in range(nl * n_res):
+        p, s = _cno_residual(
+            sd, f"res_nets.{j // n_res}.res_nets.{j % n_res}", ndim, use_bn)
+        params[f"ResidualBlock_{j}"] = p
+        if s:
+            stats[f"ResidualBlock_{j}"] = s
+    for r in range(n_res_neck):
+        p, s = _cno_residual(sd, f"res_net_neck.res_nets.{r}", ndim, use_bn)
+        params[f"ResidualBlock_{nl * n_res + r}"] = p
+        if s:
+            stats[f"ResidualBlock_{nl * n_res + r}"] = s
+
+    out = {"params": {"_CNO_0": params}}
+    if stats:
+        out["batch_stats"] = {"_CNO_0": stats}
+    return out
+
+
+def import_cno1d(sd, n_layers: int, n_res: int = 4, n_res_neck: int = 4,
+                 use_bn: bool = True) -> dict:
+    return import_cno(sd, n_layers, n_res, n_res_neck, use_bn, ndim=1)
+
+
+def import_cno2d(sd, n_layers: int, n_res: int = 4, n_res_neck: int = 4,
+                 use_bn: bool = True) -> dict:
+    return import_cno(sd, n_layers, n_res, n_res_neck, use_bn, ndim=2)
+
+
+# ---------------------------------------------------------------------------
+# S4 family (reference models/s4_1d.py S4Model over S4Block/FFTConv/DPLR)
+# ---------------------------------------------------------------------------
+
+def dplr_kernel_params_from_sd(sd: Mapping[str, np.ndarray],
+                               prefix: str) -> dict:
+    """Reference SSMKernelDPLR parameters (N/2 conjugate-pair storage,
+    models/s4.py:1290-1346) -> DPLRKernelLayer params (full-N spectrum).
+
+    Mapping as tests/test_reference_parity.py::_transplant_dplr_kernel but
+    from raw state_dict arrays: Lambda/P/B concat with conjugates, stored C
+    is C-tilde -> ours is [conj(C~) | C~], log_dt = inv_dt[:, 0]
+    (dt_transform='exp', dt_tie=True — the reference defaults; a checkpoint
+    trained with other transforms needs the matching inverse here)."""
+    def c(a):
+        return a[..., 0] + 1j * a[..., 1]
+
+    A = -np.exp(sd[f"{prefix}.A_real"]) - 1j * sd[f"{prefix}.A_imag"]
+    B = c(sd[f"{prefix}.B"])[0]          # (S, N)
+    P = c(sd[f"{prefix}.P"])             # (R, S, N)
+    Ct = c(sd[f"{prefix}.C"])            # (channels, H, N)
+    h = Ct.shape[1]
+    if A.shape[0] != h:                  # n_ssm tying: expand to H
+        rep = h // A.shape[0]
+        A = np.repeat(A, rep, axis=0)
+        B = np.repeat(B, rep, axis=0)
+        P = np.repeat(P, rep, axis=1)
+
+    def full(z):
+        return np.concatenate([z, np.conj(z)], axis=-1)
+
+    lam = full(A)
+    p_full = full(P)
+    if p_full.shape[0] == 1:
+        p_full = p_full[0]               # rank-1 historical layout
+    ct_full = np.concatenate([np.conj(Ct), Ct], axis=-1)
+
+    def pair(z):
+        return np.stack([z.real, z.imag], -1).astype(np.float32)
+
+    return {
+        "log_dt": sd[f"{prefix}.inv_dt"][:, 0].astype(np.float32),
+        "Lambda_log_neg_re": np.log(-lam.real).astype(np.float32),
+        "Lambda_im": lam.imag.astype(np.float32),
+        "P_vec": pair(p_full),
+        "B_vec": pair(full(B)),
+        "C": pair(ct_full),
+    }
+
+
+def _s4_output_linear(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """S4Block's final LinearActivation — a bare Linear or a Sequential
+    whose first child is the Linear (key '<prefix>.weight' or
+    '<prefix>.0.weight')."""
+    key = prefix if f"{prefix}.weight" in sd else f"{prefix}.0"
+    return _lin(sd, key)
+
+
+def import_s4_model(sd: Mapping[str, np.ndarray], n_layers: int = 4) -> dict:
+    """Reference S4Model (models/s4_1d.py:7-185) state_dict -> our S4Model
+    params: encoder/decoder Linears + per-layer S4Block (DPLR FFTConv + D
+    skip + GLU output linear). The layer norms present in the reference
+    state_dict are dead at prenorm=False (their output is discarded,
+    s4_1d.py:117) and are intentionally not imported."""
+    p: dict = {"Dense_0": _lin(sd, "encoder"),
+               "Dense_1": _lin(sd, "decoder")}
+    for i in range(n_layers):
+        base = f"s4_layers.{i}"
+        p[f"S4Block_{i}"] = {
+            "FFTConvLayer_0": {
+                "DPLRKernelLayer_0": dplr_kernel_params_from_sd(
+                    sd, f"{base}.layer.kernel"),
+                "D": sd[f"{base}.layer.D"],
+            },
+            "Dense_0": _s4_output_linear(sd, f"{base}.output_linear"),
+        }
+    return p
+
+
+IMPORTERS.update({
+    "unet1d": import_unet1d,
+    "unet2d": import_unet2d,
+    "cno1d": import_cno1d,
+    "cno2d": import_cno2d,
+    "s4": import_s4_model,
+})
