@@ -1,0 +1,126 @@
+"""Probe 11: one stage per invocation (argv[1]), results appended to
+/tmp/probe11_results.txt — cold compiles on this backend can exceed a
+single command timeout, so each stage gets its own process.
+
+Stages: step8 | step16 | spec | ff
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, n=20, reps=3):
+    import jax
+
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3
+
+
+def report(line):
+    print(line, flush=True)
+    with open("/tmp/probe11_results.txt", "a") as f:
+        f.write(line + "\n")
+
+
+def main(stage):
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS = 256, 64, 4, 64, 4, 3
+    rng = np.random.default_rng(0)
+
+    if stage in ("step8", "step16"):
+        from resolution_pde_tpu.models import FFNO2D
+        from resolution_pde_tpu.train import Trainer
+
+        BATCH = 8 if stage == "step8" else 16
+        x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)),
+                        jnp.float32)
+        y = jnp.roll(x, 7, axis=-1)
+        model = FFNO2D(
+            in_channels=1, out_channels=1, width=WIDTH, n_layers=LAYERS,
+            n_modes=MODES, factor=FACTOR, ff_weight_norm=True,
+            n_ff_layers=FF_LAYERS, layer_norm=True, dropout=0.0,
+            remat=False, compute_dtype=jnp.bfloat16, spectral_impl="dft_v3",
+            approx_gelu=True, ff_impl="fused")
+        trainer = Trainer(model, learning_rate=1e-3)
+        holder = {"s": trainer.init(x[:1])}
+
+        def step():
+            s, loss = trainer._train_step(holder["s"], x, y, None)
+            holder["s"] = s
+            return loss
+
+        ms = timeit(step)
+        report(f"{stage}: {ms:.2f} ms ({BATCH / ms * 1e3:.1f} samples/s)")
+        return
+
+    BATCH = 8
+    xcl = jnp.asarray(rng.standard_normal((BATCH, RES, RES, WIDTH)),
+                      jnp.bfloat16)
+
+    if stage == "spec":
+        from resolution_pde_tpu.ops.spectral import (
+            factorized_spectral_conv_2d_dft_v3)
+
+        ws = [jnp.asarray(
+            rng.standard_normal((WIDTH, WIDTH, MODES, 2)) * 0.1,
+            jnp.float32) for _ in range(2 * LAYERS)]
+
+        def spec_loss(ws):
+            h = xcl
+            for i in range(LAYERS):
+                h = factorized_spectral_conv_2d_dft_v3(
+                    h, ws[2 * i], ws[2 * i + 1], MODES,
+                    gemm_dtype=jnp.bfloat16).astype(jnp.bfloat16)
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(spec_loss))
+        report(f"spec stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
+        return
+
+    if stage == "ff":
+        from resolution_pde_tpu.ops.pallas.fused_ff import fused_feedforward
+
+        F = WIDTH * FACTOR
+        ffw = []
+        for _ in range(LAYERS):
+            ffw.append((
+                tuple(jnp.asarray(rng.standard_normal(s) * 0.05,
+                                  jnp.float32)
+                      for s in ((WIDTH, F), (F, F), (F, WIDTH))),
+                tuple(jnp.asarray(np.zeros(s), jnp.float32)
+                      for s in (F, F, WIDTH)),
+                (jnp.ones((WIDTH,), jnp.float32),
+                 jnp.zeros((WIDTH,), jnp.float32)),
+            ))
+
+        def ff_loss(ffw):
+            h = xcl
+            for kern, bias, ln in ffw:
+                h = fused_feedforward(h, kern, bias, ln, residual=h,
+                                      approx_gelu=True,
+                                      compute_dtype=jnp.bfloat16)
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(ff_loss))
+        report(f"ff stack fwd+bwd: {timeit(lambda: g(ffw)):.2f} ms")
+        return
+
+    raise SystemExit(f"unknown stage {stage}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
