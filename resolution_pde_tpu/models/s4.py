@@ -419,23 +419,35 @@ class S4Model(nn.Module):
 
 
 class S4ND2dLayer(nn.Module):
-    """2D S4ND layer: one diagonal SSM kernel per spatial axis, combined as
-    an outer product, then a 2D FFT convolution (models/s4nd.py:1815-1918).
-    Channels-last: x (B, H, W, C) -> same."""
+    """2D S4ND layer: one SSM kernel per spatial axis, combined as an outer
+    product in frequency space, then a 2D FFT convolution
+    (models/s4nd.py:1815-2100). Channels-last: x (B, H, W, C) -> same.
+
+    mode: 'diag' (per-axis S4D kernels) or 'dplr' (per-axis full-S4 DPLR
+    kernels — the reference S4ND's default, s4nd.py:1844 mode='dplr';
+    golden transplant in tests/test_reference_parity.py).
+    linear: skip the GELU + GLU output transform, matching the reference's
+    default `linear=True` (s4nd.py:1838) where S4ND is conv + D-skip only
+    and nonlinearity lives in the surrounding model. Our historical default
+    keeps the nonlinear tail (PARITY.md #20)."""
 
     d_model: int
     d_state: int = 64
     bidirectional: bool = False
     dropout: float = 0.0
+    mode: str = "diag"
+    linear: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, hh, ww, c = x.shape
         kc = 2 if self.bidirectional else 1
-        kx = S4DKernelLayer(self.d_model, self.d_state, channels=kc,
-                            name="kernel_x")(hh)  # (kc, C, H)
-        ky = S4DKernelLayer(self.d_model, self.d_state, channels=kc,
-                            name="kernel_y")(ww)  # (kc, C, W)
+        kernel_cls = (DPLRKernelLayer if self.mode in ("dplr", "nplr")
+                      else S4DKernelLayer)
+        kx = kernel_cls(self.d_model, self.d_state, channels=kc,
+                        name="kernel_x")(hh)  # (kc, C, H)
+        ky = kernel_cls(self.d_model, self.d_state, channels=kc,
+                        name="kernel_y")(ww)  # (kc, C, W)
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s), (c,))
 
         def two_sided(k, L):
@@ -457,6 +469,9 @@ class S4ND2dLayer(nn.Module):
         y = jnp.fft.irfft2(yf, s=(nx, ny), axes=(-2, -1))[..., :hh, :ww]
         y = y + xt * D[None, :, None, None]
         y = jnp.moveaxis(y, 1, -1)
+        if self.linear:
+            # reference default (s4nd.py:1838 linear=True): conv + D only
+            return y
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         y = gelu(y)
@@ -479,6 +494,8 @@ class S4NDModel(nn.Module):
     dropout: float = 0.2
     bidirectional: bool = False
     prenorm: bool = False
+    mode: str = "diag"        # per-axis kernel: 'diag' | 'dplr'
+    s4nd_linear: bool = False  # True = reference's linear S4ND layers
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -490,7 +507,8 @@ class S4NDModel(nn.Module):
             if self.prenorm:
                 z = nn.LayerNorm()(z)
             z = S4ND2dLayer(self.d_model, bidirectional=self.bidirectional,
-                            dropout=self.dropout)(z, deterministic)
+                            dropout=self.dropout, mode=self.mode,
+                            linear=self.s4nd_linear)(z, deterministic)
             if self.dropout > 0.0:
                 z = nn.Dropout(self.dropout,
                                deterministic=deterministic)(z)

@@ -949,6 +949,59 @@ def test_dplr_kernel_rank2_golden(rng):
     np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_s4nd_dplr_golden(rng):
+    """Reference S4ND (models/s4nd.py:1815-2100, default mode='dplr',
+    linear=True, bidirectional): per-axis DPLR kernels, frequency-domain
+    outer product, 2D FFT conv, D skip == S4ND2dLayer(mode='dplr',
+    linear=True) with transplanted per-axis kernels. Non-square grid to
+    pin the axis ordering."""
+    import types
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    _import_ref_s4()  # installs the pytorch_lightning stub if needed
+    added = []
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        plu = types.ModuleType("pytorch_lightning.utilities")
+        plu.rank_zero_only = lambda fn: fn
+        pl.utilities = plu
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = plu
+        added = ["pytorch_lightning", "pytorch_lightning.utilities"]
+    sys.path.insert(0, REF)
+    try:
+        from models.s4nd import S4ND as RefS4ND
+    finally:
+        sys.path.remove(REF)
+        for m in added:
+            sys.modules.pop(m, None)
+    from resolution_pde_tpu.models.s4 import S4ND2dLayer
+
+    torch.manual_seed(7)
+    h, n_ref, H, W = 3, 4, 8, 12
+    ref = RefS4ND(d_model=h, d_state=2 * n_ref, dim=2, transposed=False,
+                  bidirectional=True, verbose=False)
+    ref.eval()
+    x = rng.standard_normal((2, H, W, h)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(x))  # attunes both kernels
+    expected = expected.numpy()  # (B, H, W, h)
+
+    mine = S4ND2dLayer(d_model=h, d_state=2 * n_ref, bidirectional=True,
+                       mode="dplr", linear=True)
+    xl = jnp.asarray(x)
+    p = dict(mine.init(jax.random.key(0), xl)["params"])
+    # axis 0 kernel convolves H (our kernel_x), axis 1 convolves W
+    p["kernel_x"] = _transplant_dplr_kernel(ref.kernel[0], p["kernel_x"])
+    p["kernel_y"] = _transplant_dplr_kernel(ref.kernel[1], p["kernel_y"])
+    p["D"] = jnp.asarray(ref.D.detach().numpy()[0])
+    got = np.asarray(mine.apply({"params": p}, xl))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
 def test_linear_attention_golden(rng):
     """Reference LinearAttention ('l1' linear attention, mgpt.py:31-90)
     == ours with transplanted weights, both self- and cross-attention."""
