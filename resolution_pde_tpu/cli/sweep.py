@@ -1,0 +1,157 @@
+"""Experiment sweep runner — the reference's experiment-sweep surface
+(run1.sh: one srun line per experiment, ~180 commented history lines of
+model x dataset ladders, run1.sh:92,146-192) as one command per FAMILY:
+
+    python -m resolution_pde_tpu.cli.sweep family=baseline
+    python -m resolution_pde_tpu.cli.sweep family=ks_ladder \\
+        training.epochs=50 save_figures=false
+
+Every run in the family executes the full driver pipeline (train,
+super-resolution sweep, rollout eval, checkpoint) in-process — compiled
+programs are shared across runs of the same shape. Per-run results
+aggregate into `runs/sweeps/<family>_<ts>/` as a CSV + markdown table
+(rows = runs, columns = test loss and per-resolution rel-L2), the
+RESULTS.md-style artifact the reference assembles by hand from wandb.
+Extra `key=value` args apply to EVERY run in the family.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+import traceback
+
+# (name, driver, overrides) per run; drivers: '1d' -> main_1d, '2d' -> main_2d
+FAMILIES = {
+    # The five BASELINE.json canonical config families (BASELINE.md).
+    "baseline": [
+        ("fno1d_burger_naive", "1d",
+         ["model=fno_1d", "dataset=burger_naive"]),
+        ("ffno1d_ks_true_mres", "1d",
+         ["model=ffno_1d", "dataset=ks_naive_true_mres1"]),
+        ("ffno2d_ns_true_mres", "2d",
+         ["model=ffno_2d", "dataset=ns_naive_true_mres1"]),
+        ("cno2d_ns_resize", "2d",
+         ["model=cno_2d", "dataset=ns_naive",
+          "training.cno_resize_training=true"]),
+        ("s4_ks_window", "1d", ["model=s4_1d", "dataset=ks_s4"]),
+    ],
+    # KS resolution-strategy ladder (run1.sh's ks_naive/mres/resize/pino
+    # experiment history).
+    "ks_ladder": [
+        (f"ffno1d_{ds}", "1d", ["model=ffno_1d", f"dataset={ds}"])
+        for ds in ("ks_naive", "ks_naive_mres", "ks_naive_true_mres1",
+                   "ks_resize", "ks_resize_mres", "ks_pino")
+    ],
+    # Burgers strategy ladder.
+    "burger_ladder": [
+        (f"ffno1d_{ds}", "1d", ["model=ffno_1d", f"dataset={ds}"])
+        for ds in ("burger_naive", "burger_naive_mres",
+                   "burger_naive_true_mres", "burger_resize",
+                   "burger_resize_mres", "burger_resize_true_mres")
+    ],
+    # Active-matter time-stride ladder (ns_active_t{2,4,8,16}).
+    "ns_active_ladder": [
+        (f"ffno2d_{ds}", "2d", ["model=ffno_2d", f"dataset={ds}"])
+        for ds in ("ns_active_t2", "ns_active_t4", "ns_active_t8",
+                   "ns_active_t16")
+    ],
+    # Model ladder on one dataset (the reference's model=<x> sweeps).
+    "ks_models": [
+        (f"{m}_ks_naive", "1d", [f"model={m}", "dataset=ks_naive"])
+        for m in ("fno_1d", "ffno_1d", "cno_1d")
+    ],
+}
+
+
+def _run_one(driver: str, overrides):
+    if driver == "1d":
+        from resolution_pde_tpu.cli.main_1d import main as drv
+    elif driver == "2d":
+        from resolution_pde_tpu.cli.main_2d import main as drv
+    else:
+        raise ValueError(f"unknown driver {driver!r}")
+    return drv(list(overrides))
+
+
+def _write_tables(out_dir: str, family: str, rows):
+    """rows: [(name, out_dict | None, error | None)]. Produces sweep.csv +
+    sweep.md with one row per run and one column per eval resolution."""
+    resolutions = sorted({r for _, out, _ in rows if out
+                          for r in out.get("super_resolution", {})})
+    roll_res = sorted({r for _, out, _ in rows if out
+                       for r in (out.get("rollout") or {})})
+    header = (["run", "test_rel_l2"]
+              + [f"superres@{r}" for r in resolutions]
+              + [f"rollout@{r}" for r in roll_res]
+              + ["checkpoint", "error"])
+
+    def cells(name, out, err):
+        if out is None:
+            return [name] + [""] * (len(header) - 3) + ["", err or ""]
+        sr = out.get("super_resolution", {})
+        ro = out.get("rollout") or {}
+        fmt = lambda v: f"{v:.6f}" if v == v else "nan"  # noqa: E731
+        return ([name, fmt(out["test_loss"])]
+                + [fmt(sr[r]) if r in sr else "" for r in resolutions]
+                + [fmt(ro[r]) if r in ro else "" for r in roll_res]
+                + [str(out.get("checkpoint") or ""), ""])
+
+    table = [cells(*row) for row in rows]
+    with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(table)
+    with open(os.path.join(out_dir, "sweep.md"), "w") as f:
+        f.write(f"# Sweep: {family}\n\n")
+        f.write("| " + " | ".join(header[:-2]) + " |\n")
+        f.write("|" + "---|" * (len(header) - 2) + "\n")
+        for row in table:
+            f.write("| " + " | ".join(row[:-2]) + " |\n")
+    return header, table
+
+
+def main(argv=None):
+    argv = list(argv if argv is not None else sys.argv[1:])
+    family = "baseline"
+    extras = []
+    for a in argv:
+        if a.startswith("family="):
+            family = a.split("=", 1)[1]
+        else:
+            extras.append(a)
+    if family not in FAMILIES:
+        raise SystemExit(
+            f"unknown family {family!r}; available: {sorted(FAMILIES)}")
+
+    out_dir = os.path.join("runs", "sweeps", f"{family}_{int(time.time())}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    rows = []
+    for name, driver, overrides in FAMILIES[family]:
+        print(f"=== sweep[{family}] run {name}: "
+              f"{' '.join(overrides + extras)}", flush=True)
+        try:
+            out = _run_one(driver, overrides + extras)
+            rows.append((name, out, None))
+        except Exception as e:  # defensive per-run guard: one failing run
+            traceback.print_exc()  # must not kill the family sweep
+            rows.append((name, None, f"{type(e).__name__}: {e}"))
+
+    header, table = _write_tables(out_dir, family, rows)
+    print(f"\nsweep results -> {out_dir}/sweep.csv")
+    widths = [max(len(h), max((len(r[i]) for r in table), default=0))
+              for i, h in enumerate(header[:-2])]
+    print("  ".join(h.ljust(w) for h, w in zip(header[:-2], widths)))
+    for row in table:
+        print("  ".join(c.ljust(w) for c, w in zip(row[:-2], widths)))
+    failed = [n for n, out, _ in rows if out is None]
+    if failed:
+        print(f"FAILED runs: {failed}")
+    return {name: out for name, out, _ in rows}
+
+
+if __name__ == "__main__":
+    main()

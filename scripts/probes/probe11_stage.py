@@ -67,6 +67,36 @@ def main(stage):
         report(f"{stage}: {ms:.2f} ms ({BATCH / ms * 1e3:.1f} samples/s)")
         return
 
+    if stage in ("fwd8", "grad8"):
+        from resolution_pde_tpu.models import FFNO2D
+        from resolution_pde_tpu.ops.losses import relative_l2
+
+        BATCH = 8
+        x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)),
+                        jnp.float32)
+        y = jnp.roll(x, 7, axis=-1)
+        model = FFNO2D(
+            in_channels=1, out_channels=1, width=WIDTH, n_layers=LAYERS,
+            n_modes=MODES, factor=FACTOR, ff_weight_norm=True,
+            n_ff_layers=FF_LAYERS, layer_norm=True, dropout=0.0,
+            remat=False, compute_dtype=jnp.bfloat16, spectral_impl="dft_v3",
+            approx_gelu=True, ff_impl="fused")
+        params = jax.jit(model.init)(jax.random.key(0), x[:1])["params"]
+
+        def fwd_loss(p, bx, by):
+            pred = model.apply({"params": p}, bx, deterministic=True)
+            return relative_l2(pred, by)
+
+        if stage == "fwd8":
+            f = jax.jit(fwd_loss)
+            ms = timeit(lambda: f(params, x, y))
+            report(f"fwd8 (fwd+loss): {ms:.2f} ms")
+        else:
+            g = jax.jit(jax.grad(fwd_loss))
+            ms = timeit(lambda: g(params, x, y))
+            report(f"grad8 (fwd+bwd, no opt): {ms:.2f} ms")
+        return
+
     BATCH = 8
     xcl = jnp.asarray(rng.standard_normal((BATCH, RES, RES, WIDTH)),
                       jnp.bfloat16)
