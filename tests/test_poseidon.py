@@ -262,3 +262,59 @@ def test_pos_trains_through_trainer(rng):
     # eval path unwraps too
     val = trainer._eval_step(state.params, state.model_state, x, y, None)
     assert np.isfinite(float(val))
+
+
+def test_scot_encoder_import_from_synthesized_hf_checkpoint(tmp_path, rng):
+    """The pretrained-Poseidon load path, exercised WITHOUT egress
+    (VERDICT r2 item #9): synthesize a checkpoint in the exact HF SwinV2
+    naming (a real `transformers.Swinv2Model` state_dict saved to .pt),
+    read it with load_torch_state_dict, run import_scot_encoder, and graft
+    the result into a ScOT2d — every imported leaf must match the model's
+    init tree shape and the grafted forward must run finite. Numerics of
+    the block mapping are pinned separately by the golden tests above."""
+    import torch
+    from transformers import Swinv2Config, Swinv2Model
+
+    from resolution_pde_tpu.models.poseidon import ScOT2d
+    from resolution_pde_tpu.utils.torch_import import (
+        import_scot_encoder, load_torch_state_dict)
+
+    depths, heads, dim, ws, img, patch = (1, 1), (1, 2), 8, 4, 16, 2
+    torch.manual_seed(0)
+    ref = Swinv2Model(Swinv2Config(
+        image_size=img, patch_size=patch, num_channels=1, embed_dim=dim,
+        depths=list(depths), num_heads=list(heads), window_size=ws))
+    ref.eval()
+    ckpt = str(tmp_path / "poseidon_fixture.pt")
+    torch.save({"model_state_dict": {
+        f"swinv2.{k}": v for k, v in ref.state_dict().items()}}, ckpt)
+
+    sd = load_torch_state_dict(ckpt)
+    imported = import_scot_encoder(sd, depths=depths, base="swinv2")
+    assert {"patch_embed", "patch_norm", "enc0_block0",
+            "enc1_block0", "merge0"} <= set(imported)
+
+    model = ScOT2d(num_channels=1, num_out_channels=1, patch_size=patch,
+                   embed_dim=dim, depths=depths, num_heads=heads,
+                   skip_connections=(0, 0), window_size=ws,
+                   use_conditioning=False)
+    x = jnp.asarray(rng.standard_normal((1, 1, img, img)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x)["params"]
+
+    def graft(dst, src, path):
+        assert isinstance(src, dict) == isinstance(dst, dict), path
+        if not isinstance(src, dict):
+            assert np.asarray(dst).shape == np.asarray(src).shape, (
+                f"{path}: init {np.asarray(dst).shape} vs imported "
+                f"{np.asarray(src).shape}")
+            return jnp.asarray(src)
+        out = dict(dst)
+        for k, v in src.items():
+            assert k in dst, f"imported key {path}/{k} not in model tree"
+            out[k] = graft(dst[k], v, f"{path}/{k}")
+        return out
+
+    params = graft(params, imported, "")
+    out = model.apply({"params": params}, x, 1.0)["output"]
+    assert out.shape == (1, 1, img, img)
+    assert np.isfinite(np.asarray(out)).all()
