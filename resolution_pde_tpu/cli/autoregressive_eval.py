@@ -45,7 +45,8 @@ def main(argv=None):
         batch_size=batch_size,
     )
     rollout = evaluate_rollout_all_resolutions(
-        model, variables, common.make_rollout_builder(cfg),
+        model, variables,
+        common.make_rollout_builder(cfg, bundle["rollout"]),
         current_res=common.eval_train_res(cfg),
         max_test_resolution=cfg.dataset.get("max_test_resolution"),
         rollout_steps=cfg.dataset.get("rollout_steps", 16),

@@ -200,8 +200,28 @@ def make_superres_builder(cfg: Config):
     return _make_eval_builder(cfg, 2)
 
 
-def make_rollout_builder(cfg: Config):
-    return _make_eval_builder(cfg, 3)
+def make_rollout_builder(cfg: Config, primary_rollout=None):
+    """builder(res) -> rollout trajectories (N, T, *spatial) at `res`.
+
+    When the TRAINING dataset's rollout set carries per-stored-resolution
+    buckets (true-multires factories extract them from the per-res files,
+    like the reference's extract_ks_test_trajectories_for_rollout),
+    a stored bucket at the requested resolution wins; otherwise the eval
+    dataset is rebuilt at that resolution by reduction (the plain
+    config-swap path, autoregressive_step.py:75-116)."""
+    fallback = _make_eval_builder(cfg, 3)
+    if primary_rollout is None or not hasattr(primary_rollout, "at"):
+        return fallback
+
+    def builder(res: int):
+        bucket = primary_rollout.at(res)
+        if bucket is not None:
+            print(f"rollout @ {res}: using trajectories stored at this "
+                  "resolution (true-multires per-res files)")
+            return bucket
+        return fallback(res)
+
+    return builder
 
 
 def save_run_checkpoint(cfg: Config, state, history) -> str:

@@ -162,7 +162,8 @@ def main(argv=None, spatial_ndim: int = 1):
     if (spatial_ndim == 1 and bundle["rollout"] is not None
             and cfg.dataset.get("rollout_steps", 0) > 0):
         rollout_results = evaluate_rollout_all_resolutions(
-            model, variables, common.make_rollout_builder(cfg),
+            model, variables,
+            common.make_rollout_builder(cfg, bundle["rollout"]),
             current_res=common.eval_train_res(cfg),
             max_test_resolution=cfg.dataset.get("max_test_resolution"),
             rollout_steps=cfg.dataset.get("rollout_steps", 16),

@@ -66,6 +66,40 @@ class TrajectoryDataset:
         return self.u.shape[-1]
 
 
+class MultiResTrajectoryDataset:
+    """Per-resolution rollout trajectories {resolution: TrajectoryDataset},
+    extracted from the per-resolution FILES of a true-multires dataset
+    (the reference's extract_ks_test_trajectories_for_rollout,
+    ks_naive_true_multires.py:32-172, keeps a mixed-resolution trajectory
+    pool; we keep it bucketed so each resolution's rollout evaluates on
+    trajectories STORED at that resolution rather than reductions).
+
+    `u` exposes the base (highest) resolution bucket for consumers that
+    expect a single TrajectoryDataset."""
+
+    def __init__(self, buckets: Dict[int, "TrajectoryDataset"],
+                 base_res: int | None = None):
+        if not buckets:
+            raise ValueError("empty trajectory buckets")
+        self.buckets = dict(buckets)
+        self.base_res = base_res if base_res in self.buckets else max(
+            self.buckets)
+
+    @property
+    def u(self) -> np.ndarray:
+        return self.buckets[self.base_res].u
+
+    def at(self, resolution: int):
+        """TrajectoryDataset stored at `resolution`, or None."""
+        return self.buckets.get(resolution)
+
+    def resolutions(self):
+        return sorted(self.buckets)
+
+    def __len__(self):
+        return sum(len(d) for d in self.buckets.values())
+
+
 class MultiResDataset:
     """Variable-resolution dataset as {resolution: ArrayDataset} buckets.
 

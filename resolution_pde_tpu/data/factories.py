@@ -25,6 +25,7 @@ from resolution_pde_tpu.data import io as data_io
 from resolution_pde_tpu.data.dataset import (
     ArrayDataset,
     MultiResDataset,
+    MultiResTrajectoryDataset,
     TrajectoryDataset,
     fit_normalizers,
 )
@@ -393,13 +394,38 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                     x, y = pair_fn(down.astype(np.float32))
                     _merge_bucket(buckets[name], down.shape[-1], x, y)
 
-    rollout = None
+    # rollout trajectories extracted per STORED resolution from the
+    # per-res files' test splits (the reference's
+    # extract_ks_test_trajectories_for_rollout,
+    # ks_naive_true_multires.py:32-172; same subsample seed+indices as the
+    # markov test split), plus the base resolution for reduction fallback
+    rollout_buckets = {}
+    for resolution, target in sorted((data_mres_size or {}).items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        _, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        test_u = u[va_end:]
+        if 0 < target < u.shape[0]:
+            k = int(target * split_ratio[2])
+            if k <= 0:
+                continue
+            rs = np.random.RandomState(random_seed + resolution + 2)
+            test_u = test_u[rs.choice(test_u.shape[0],
+                                      min(k, test_u.shape[0]),
+                                      replace=False)]
+        rollout_buckets[test_u.shape[-1]] = TrajectoryDataset(
+            np.ascontiguousarray(test_u, dtype=np.float32))
     if base_res is not None:
         u_base = load_res(base_res)
-        if u_base is not None:
+        if u_base is not None and u_base.shape[-1] not in rollout_buckets:
             _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            rollout = TrajectoryDataset(
+            rollout_buckets[u_base.shape[-1]] = TrajectoryDataset(
                 np.ascontiguousarray(u_base[va_end:], dtype=np.float32))
+    rollout = (MultiResTrajectoryDataset(rollout_buckets)
+               if rollout_buckets else None)
 
     train = MultiResDataset(buckets["train"])
     val = MultiResDataset(buckets["val"])
@@ -550,13 +576,35 @@ def ns_true_multires_markov_dataset(
                     else:
                         buckets[name][key] = ArrayDataset(x, y)
 
-    rollout = None
+    # per-stored-resolution rollout buckets (see _generic_true_multires_1d;
+    # 2D analogue of extract_ks_test_trajectories_for_rollout) + base res
+    rollout_buckets = {}
+    for resolution, target in sorted((data_mres_size or {}).items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        _, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        test_u = u[va_end:]
+        if 0 < target < u.shape[0]:
+            k = int(target * split_ratio[2])
+            if k <= 0:
+                continue
+            rs = np.random.RandomState(random_seed + resolution + 2)
+            test_u = test_u[rs.choice(test_u.shape[0],
+                                      min(k, test_u.shape[0]),
+                                      replace=False)]
+        rollout_buckets[test_u.shape[2]] = TrajectoryDataset(
+            np.ascontiguousarray(test_u[:, :, :, :, 0], dtype=np.float32))
     if base_res is not None:
         u_base = load_res(base_res)
-        if u_base is not None:
+        if u_base is not None and u_base.shape[2] not in rollout_buckets:
             _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            rollout = TrajectoryDataset(
+            rollout_buckets[u_base.shape[2]] = TrajectoryDataset(
                 np.ascontiguousarray(u_base[va_end:, :, :, :, 0]))
+    rollout = (MultiResTrajectoryDataset(rollout_buckets)
+               if rollout_buckets else None)
 
     train = MultiResDataset(buckets["train"])
     val = MultiResDataset(buckets["val"])

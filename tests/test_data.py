@@ -172,6 +172,12 @@ def test_ks_true_multires_factory(tmp_path):
     assert isinstance(train, MultiResDataset)
     assert train.resolutions == [32, 64]
     assert rollout is not None and rollout.u.shape[-1] == 64
+    # rollout trajectories are extracted PER STORED RESOLUTION from the
+    # per-res files (extract_ks_test_trajectories_for_rollout semantics,
+    # ks_naive_true_multires.py:32) — not only at the base resolution
+    assert rollout.resolutions() == [32, 64]
+    assert rollout.at(32).u.shape[-1] == 32
+    assert rollout.at(48) is None
     # encoded train data has ~unit scale
     allx = np.concatenate([d.x.reshape(-1) for d in train.buckets.values()])
     assert abs(allx.mean()) < 0.2
