@@ -150,6 +150,18 @@ class FSpectralConv2d(nn.Module):
                     x = factorized_spectral_conv_2d_dft_v4(
                         xin, wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
+                elif self.spectral_impl == "pallas2":
+                    from resolution_pde_tpu.ops.pallas.spectral_mix2 import (
+                        factorized_spectral_conv_2d_pallas2)
+                    import jax as _jax
+
+                    x = factorized_spectral_conv_2d_pallas2(
+                        x if self.compute_dtype is not None
+                        else x.astype(jnp.float32),
+                        wy, wx, self.n_modes,
+                        compute_dtype=self.compute_dtype,
+                        interpret=_jax.default_backend() not in
+                        ("tpu", "axon")).astype(dt)
                 elif self.spectral_impl == "pallas":
                     from resolution_pde_tpu.ops.spectral import (
                         factorized_spectral_conv_2d_pallas)

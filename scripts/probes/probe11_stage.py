@@ -41,11 +41,11 @@ def main(stage):
     RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS = 256, 64, 4, 64, 4, 3
     rng = np.random.default_rng(0)
 
-    if stage in ("step8", "step16"):
+    if stage in ("step8", "step16", "step8_pallas2"):
         from resolution_pde_tpu.models import FFNO2D
         from resolution_pde_tpu.train import Trainer
 
-        BATCH = 8 if stage == "step8" else 16
+        BATCH = 16 if stage == "step16" else 8
         x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)),
                         jnp.float32)
         y = jnp.roll(x, 7, axis=-1)
@@ -53,7 +53,9 @@ def main(stage):
             in_channels=1, out_channels=1, width=WIDTH, n_layers=LAYERS,
             n_modes=MODES, factor=FACTOR, ff_weight_norm=True,
             n_ff_layers=FF_LAYERS, layer_norm=True, dropout=0.0,
-            remat=False, compute_dtype=jnp.bfloat16, spectral_impl="dft_v3",
+            remat=False, compute_dtype=jnp.bfloat16,
+            spectral_impl=("pallas2" if stage == "step8_pallas2"
+                           else "dft_v3"),
             approx_gelu=True, ff_impl="fused")
         trainer = Trainer(model, learning_rate=1e-3)
         holder = {"s": trainer.init(x[:1])}
@@ -100,6 +102,26 @@ def main(stage):
     BATCH = 8
     xcl = jnp.asarray(rng.standard_normal((BATCH, RES, RES, WIDTH)),
                       jnp.bfloat16)
+
+    if stage == "spec2":
+        from resolution_pde_tpu.ops.pallas.spectral_mix2 import (
+            factorized_spectral_conv_2d_pallas2)
+
+        ws = [jnp.asarray(
+            rng.standard_normal((WIDTH, WIDTH, MODES, 2)) * 0.1,
+            jnp.float32) for _ in range(2 * LAYERS)]
+
+        def spec_loss(ws):
+            h = xcl
+            for i in range(LAYERS):
+                h = factorized_spectral_conv_2d_pallas2(
+                    h, ws[2 * i], ws[2 * i + 1], MODES,
+                    compute_dtype=jnp.bfloat16).astype(jnp.bfloat16)
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(spec_loss))
+        report(f"spec2 (pallas v2) stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
+        return
 
     if stage == "spec":
         from resolution_pde_tpu.ops.spectral import (
