@@ -949,6 +949,37 @@ def test_dplr_kernel_rank2_golden(rng):
     np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_fftconv_diag_golden(rng):
+    """Reference FFTConv(mode='diag') — the SSMKernelDiag path with its
+    separate B parameter — == FFTConvLayer(mode='diag') with B folded into
+    C (PARITY.md #18)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import FFTConvLayer
+
+    torch.manual_seed(8)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.FFTConv(d_model=h, d_state=2 * n_ref, l_max=L,
+                         mode="diag", transposed=False, verbose=False)
+    ref.eval()
+    x = rng.standard_normal((2, L, h)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(x))
+    expected = expected.numpy()
+
+    mine = FFTConvLayer(d_model=h, d_state=2 * n_ref, mode="diag")
+    xl = jnp.asarray(x)
+    p = dict(mine.init(jax.random.key(0), xl)["params"])
+    p["S4DKernelLayer_0"] = _transplant_diag_kernel(
+        ref.kernel, p["S4DKernelLayer_0"])
+    p["D"] = jnp.asarray(ref.D.detach().numpy())
+    got = np.asarray(mine.apply({"params": p}, xl))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
 def test_s4nd_dplr_golden(rng):
     """Reference S4ND (models/s4nd.py:1815-2100, default mode='dplr',
     linear=True, bidirectional): per-axis DPLR kernels, frequency-domain
