@@ -36,8 +36,13 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _make_kernel(cd):
+    # Mosaic restriction shaping this kernel: reshapes must not split or
+    # merge the minormost (lane) dimension, so the packed re/im lanes are
+    # handled by SLICING ([:, :m] / [:, m:]) and CONCAT along lanes, and
+    # all reshapes only split/merge sublane dims.
     def _kernel(x_ref, f2_ref, i2_ref, wpk_ref, out_ref):
-        """x (Tr, W, C); f2 (W, 2m); i2 (2m, W); wpk (m, 2C, 2O);
+        """x (Tr, W, C); f2 (W, 2m) cols (s, m); i2 (2m, W) rows (t, m);
+        wpk (m, 2C, 2O) with K rows (s, c) and N cols (t, o);
         out (Tr, W, O)."""
         x = x_ref[:]
         tr, w, c = x.shape
@@ -47,21 +52,23 @@ def _make_kernel(cd):
         # forward packed DFT: (Tr*C, W) @ (W, 2m)
         xt = jnp.transpose(x, (0, 2, 1)).reshape(tr * c, w).astype(cd)
         z = jnp.dot(xt, f2_ref[:].astype(cd),
-                    preferred_element_type=jnp.float32)
-        # (Tr, C, s, m) -> (m, Tr, (c, s)) rows matching wpk's K ordering
-        z = z.reshape(tr, c, 2, m)
-        z = jnp.transpose(z, (3, 0, 1, 2)).reshape(m, tr, 2 * c)
+                    preferred_element_type=jnp.float32)  # (Tr*C, 2m)
+        # re/im by lane slice; (m, Tr, C) each; concat lanes -> (s, c) K
+        zre = jnp.transpose(z[:, :m].reshape(tr, c, m), (2, 0, 1))
+        zim = jnp.transpose(z[:, m:].reshape(tr, c, m), (2, 0, 1))
+        zk = jnp.concatenate([zre, zim], axis=-1)        # (m, Tr, 2C)
 
         # channel mix, batched over modes: (m, Tr, 2C) @ (m, 2C, 2O)
         mixed = jax.lax.dot_general(
-            z.astype(cd), wpk_ref[:].astype(cd),
+            zk.astype(cd), wpk_ref[:].astype(cd),
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (m, Tr, 2O)
+            preferred_element_type=jnp.float32)          # (m, Tr, 2O)
 
-        # inverse packed DFT: (Tr*O, (t, m)) @ (2m, W)
-        mixed = mixed.reshape(m, tr, o, 2)
-        mixed = jnp.transpose(mixed, (1, 2, 3, 0)).reshape(tr * o, 2 * m)
-        y = jnp.dot(mixed.astype(cd), i2_ref[:].astype(cd),
+        # inverse packed DFT: rows (t, m) -> (Tr*O, 2m) @ (2m, W)
+        mre = jnp.transpose(mixed[:, :, :o], (1, 2, 0)).reshape(tr * o, m)
+        mim = jnp.transpose(mixed[:, :, o:], (1, 2, 0)).reshape(tr * o, m)
+        mk = jnp.concatenate([mre, mim], axis=-1)        # (Tr*O, 2m)
+        y = jnp.dot(mk.astype(cd), i2_ref[:].astype(cd),
                     preferred_element_type=jnp.float32)
         out_ref[:] = jnp.transpose(
             y.reshape(tr, o, w), (0, 2, 1)).astype(out_ref.dtype)
@@ -112,12 +119,13 @@ def _packed_factors(n: int, m: int, norm: str):
 def pack_mix_weight(weight, m: int):
     """(C, O, n_modes, 2) real weight -> (m, 2C, 2O) packed real mix
     matrix: the complex product expanded as [[wr, wi], [-wi, wr]] with
-    rows (c, s) and cols (o, t). Differentiable (jnp ops)."""
+    K rows ordered (s, c) and N cols ordered (t, o) — s/t-major so the
+    kernel can assemble them by lane-concat. Differentiable (jnp ops)."""
     wr, wi = weight[:, :, :m, 0], weight[:, :, :m, 1]
     w5 = jnp.stack([jnp.stack([wr, wi], axis=2),
                     jnp.stack([-wi, wr], axis=2)], axis=2)  # (C,O,s,t,m)
     c, o = weight.shape[0], weight.shape[1]
-    return jnp.transpose(w5, (4, 0, 2, 1, 3)).reshape(m, 2 * c, 2 * o)
+    return jnp.transpose(w5, (4, 2, 0, 3, 1)).reshape(m, 2 * c, 2 * o)
 
 
 @functools.lru_cache(maxsize=None)
@@ -152,12 +160,12 @@ def _make_op(n: int, m: int, norm: str, row_tile: int, interpret: bool,
             jnp.transpose(x, (0, 2, 1)).reshape(r * c, w), f2,
             preferred_element_type=jnp.float32)
         z = jnp.transpose(z.reshape(r, c, 2, m),
-                          (3, 0, 1, 2)).reshape(m, r, 2 * c)
+                          (3, 0, 2, 1)).reshape(m, r, 2 * c)  # (s, c) rows
         gs = jnp.matmul(
             jnp.transpose(g, (0, 2, 1)).reshape(r * o, w), i2t,
             preferred_element_type=jnp.float32)
         gs = jnp.transpose(gs.reshape(r, o, 2, m),
-                           (3, 0, 1, 2)).reshape(m, r, 2 * o)
+                           (3, 0, 2, 1)).reshape(m, r, 2 * o)  # (t, o)
         dwpk = jax.lax.dot_general(
             z.astype(cd), gs.astype(cd), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (m, 2C, 2O)
