@@ -161,6 +161,7 @@ def main(argv=None, spatial_ndim: int = 1):
     rollout_results = {}
     if (spatial_ndim == 1 and bundle["rollout"] is not None
             and cfg.dataset.get("rollout_steps", 0) > 0):
+        rollout_per_step = {}
         rollout_results = evaluate_rollout_all_resolutions(
             model, variables,
             common.make_rollout_builder(cfg, bundle["rollout"]),
@@ -173,10 +174,17 @@ def main(argv=None, spatial_ndim: int = 1):
             # sliding-window (S4) datasets roll out by window shifting;
             # Markov configs' vestigial window_size key must not trigger it
             window_size=common.rollout_window_size(cfg),
+            per_step_out=rollout_per_step,
         )
         logger.log_table(
             "rollout", ["resolution", "rollout_rel_l2"],
             [(r, v) for r, v in sorted(rollout_results.items())])
+        # per-step error curves, the reference's rollout CSV content
+        # (autoregressive_step.py:415)
+        for r, curve in sorted(rollout_per_step.items()):
+            logger.log_table(
+                f"rollout_steps_res{r}", ["step", "rel_l2"],
+                [(s + 1, v) for s, v in enumerate(curve)])
         for r, v in sorted(rollout_results.items()):
             print(f"Rollout @ {r:4d}: rel-L2 {v:.6f}")
 

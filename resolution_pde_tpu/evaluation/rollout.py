@@ -61,12 +61,15 @@ def perform_rollout(model, params, initial_condition, rollout_steps: int,
 
 def rollout_loss(model, params, trajectories, rollout_steps: int,
                  x_normalizer=None, y_normalizer=None,
-                 batch_size: int = 16) -> float:
+                 batch_size: int = 16,
+                 per_step_losses: Optional[list] = None) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2
     (autoregressive_step.py:190-197).
 
     trajectories: raw (N, T, *spatial) ground truth; channel dim added
-    internally.
+    internally. per_step_losses: optional list, filled IN PLACE with the
+    (steps,) per-step loss curve (the reference's rollout CSV content,
+    autoregressive_step.py:415).
     """
     n, t = trajectories.shape[0], trajectories.shape[1]
     steps = min(rollout_steps, t - 1)
@@ -75,13 +78,14 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
             f"cannot roll out: trajectories have {t} frame(s) and "
             f"rollout_steps={rollout_steps}")
 
-    # The whole batch — rollout, decode, per-step losses, mean — is ONE
-    # jitted program returning a scalar; batch losses accumulate device-side
-    # and the host fetches once per resolution. (The per-step float() of the
-    # round-2 version paid the ~100 ms tunnel round-trip per rollout step
-    # per batch on this TPU; VERDICT r2 weak #3.)
+    # The whole batch — rollout, decode, per-step losses — is ONE jitted
+    # program returning the (steps,) loss vector; batches accumulate
+    # device-side and the host fetches once per resolution. (The per-step
+    # float() of the round-2 version paid the ~100 ms tunnel round-trip
+    # per rollout step per batch on this TPU; VERDICT r2 weak #3.
+    # Measured 3.9x on a 3-resolution sweep, RESULTS.md.)
     @jax.jit
-    def batch_loss(p, traj):
+    def batch_step_losses(p, traj):
         ic = traj[:, 0][:, None]  # (b, 1, *spatial) channel dim
         if x_normalizer is not None:
             ic = x_normalizer.encode(ic)
@@ -90,15 +94,18 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
         preds = (y_normalizer.decode(preds_norm)
                  if y_normalizer is not None else preds_norm)
         gt = traj[:, 1:steps + 1]  # (b, steps, *spatial)
-        return jnp.mean(_per_step_rel_l2(preds[:, :, 0], gt))
+        return _per_step_rel_l2(preds[:, :, 0], gt)  # (steps,)
 
     total, batches = None, 0
     for i in range(0, n, batch_size):
         traj = jnp.asarray(trajectories[i:i + batch_size])
-        loss = batch_loss(params, traj)
-        total = loss if total is None else total + loss
+        losses = batch_step_losses(params, traj)
+        total = losses if total is None else total + losses
         batches += 1
-    return float(total) / max(batches, 1)
+    per_step = np.asarray(total) / max(batches, 1)  # single host fetch
+    if per_step_losses is not None:
+        per_step_losses[:] = per_step.tolist()
+    return float(per_step.mean())
 
 
 def evaluate_rollout_all_resolutions(
@@ -114,10 +121,13 @@ def evaluate_rollout_all_resolutions(
     batch_size: int = 16,
     strict: bool = False,
     window_size: int = 1,
+    per_step_out: Optional[Dict[int, list]] = None,
 ) -> Dict[int, float]:
     """Rollout loss at every resolution. `rollout_builder(res)` returns raw
     trajectories (N, T, *spatial) at that resolution. window_size > 1
-    selects the sliding-window rollout (S4-style models)."""
+    selects the sliding-window rollout (S4-style models). per_step_out:
+    optional dict, filled {res: [per-step losses]} for the CSV/plot writers
+    (the reference's per-step rollout curves)."""
     from resolution_pde_tpu.evaluation.superres import get_lower_resolutions
 
     if test_resolutions is None:
@@ -129,14 +139,18 @@ def evaluate_rollout_all_resolutions(
         try:
             traj = rollout_builder(res)
             u = traj.u if hasattr(traj, "u") else np.asarray(traj)
+            per_step: list = []
             if window_size > 1:
                 results[res] = window_rollout_loss(
                     model, params, u, rollout_steps, window_size,
-                    x_normalizer, y_normalizer, batch_size)
+                    x_normalizer, y_normalizer, batch_size,
+                    per_step_losses=per_step)
             else:
                 results[res] = rollout_loss(
                     model, params, u, rollout_steps, x_normalizer,
-                    y_normalizer, batch_size)
+                    y_normalizer, batch_size, per_step_losses=per_step)
+            if per_step_out is not None:
+                per_step_out[res] = per_step
         except Exception as e:
             if strict:
                 raise
@@ -174,7 +188,8 @@ def perform_window_rollout(model, params, initial_window, rollout_steps: int,
 
 def window_rollout_loss(model, params, trajectories, rollout_steps: int,
                         window_size: int, x_normalizer=None,
-                        y_normalizer=None, batch_size: int = 16) -> float:
+                        y_normalizer=None, batch_size: int = 16,
+                        per_step_losses: Optional[list] = None) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2 for window models:
     seed with the first `window_size` frames, score the decoded rollout
     against frames [W, W + steps)."""
@@ -188,7 +203,7 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
     # one jitted program per batch + device-side accumulation, single host
     # fetch per resolution (see rollout_loss)
     @jax.jit
-    def batch_loss(p, traj):
+    def batch_step_losses(p, traj):
         win = traj[:, :window_size]  # (b, W, X)
         if x_normalizer is not None:
             win = x_normalizer.encode(win)
@@ -197,12 +212,15 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
         preds = (y_normalizer.decode(preds_norm)
                  if y_normalizer is not None else preds_norm)
         gt = traj[:, window_size:window_size + steps]
-        return jnp.mean(_per_step_rel_l2(preds[:, :, 0], gt))
+        return _per_step_rel_l2(preds[:, :, 0], gt)
 
     total, batches = None, 0
     for i in range(0, n, batch_size):
         traj = jnp.asarray(trajectories[i:i + batch_size])
-        loss = batch_loss(params, traj)
-        total = loss if total is None else total + loss
+        losses = batch_step_losses(params, traj)
+        total = losses if total is None else total + losses
         batches += 1
-    return float(total) / max(batches, 1)
+    per_step = np.asarray(total) / max(batches, 1)  # single host fetch
+    if per_step_losses is not None:
+        per_step_losses[:] = per_step.tolist()
+    return float(per_step.mean())

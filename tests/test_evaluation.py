@@ -138,8 +138,14 @@ def test_rollout_loss_perfect_model_is_zero(rng):
     n, t, s = 4, 6, 32
     u0 = rng.standard_normal((n, s)).astype(np.float32)
     traj = np.stack([np.roll(u0, 2 * i, axis=-1) for i in range(t)], axis=1)
-    loss = rollout_loss(RollModel(), None, traj, rollout_steps=4)
+    per_step = []
+    loss = rollout_loss(RollModel(), None, traj, rollout_steps=4,
+                        per_step_losses=per_step)
     assert loss < 1e-5
+    # per-step curve captured in one host fetch (the reference's rollout
+    # CSV content); mean of the curve IS the scalar
+    assert len(per_step) == 4
+    assert abs(np.mean(per_step) - loss) < 1e-7
 
 
 def test_evaluate_all_resolutions_sweep(rng):
