@@ -44,6 +44,7 @@ def main(argv=None):
         y_normalizer=bundle["y_normalizer"],
         batch_size=batch_size,
     )
+    per_step = {}
     rollout = evaluate_rollout_all_resolutions(
         model, variables,
         common.make_rollout_builder(cfg, bundle["rollout"]),
@@ -54,16 +55,22 @@ def main(argv=None):
         y_normalizer=bundle["y_normalizer"],
         batch_size=batch_size,
         window_size=common.rollout_window_size(cfg),
+        per_step_out=per_step,
     )
     logger.log_table("teacher_forcing", ["resolution", "rel_l2"],
                      sorted(sweep["results"].items()))
     logger.log_table("rollout", ["resolution", "rollout_rel_l2"],
                      sorted(rollout.items()))
+    for r, curve in sorted(per_step.items()):
+        # the reference's per-step rollout CSV (autoregressive_step.py:415)
+        logger.log_table(f"rollout_steps_res{r}", ["step", "rel_l2"],
+                         [(s + 1, v) for s, v in enumerate(curve)])
     logger.finish()
     for r in sorted(rollout):
         print(f"res {r:4d}: teacher-forcing {sweep['results'][r]:.6f} "
               f"rollout {rollout[r]:.6f}")
-    return {"teacher_forcing": sweep["results"], "rollout": rollout}
+    return {"teacher_forcing": sweep["results"], "rollout": rollout,
+            "rollout_per_step": per_step}
 
 
 if __name__ == "__main__":
