@@ -1076,8 +1076,7 @@ def burger_resize_true_multires_markov_dataset(*args, **kwargs):
 def point_cloud_markov_dataset(filename, saved_folder, data_normalizer=True,
                                normalization_type="simple",
                                reduced_batch=1, reduced_resolution=1,
-                               reduced_resolution_t=1, num_samples_max=-1,
-                               ):
+                               reduced_resolution_t=1, num_samples_max=-1):
     """GNOT/point-cloud operator dataset (the dgl-free realization of
     dataloaders/dgl_data.py:33-147): 2D NS fields become node features on
     a normalized point cloud; x rows are [features | positions] so the

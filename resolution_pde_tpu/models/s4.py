@@ -102,7 +102,9 @@ class S4DKernelLayer(nn.Module):
         )
         A = -jnp.exp(log_a_real) + 1j * a_imag  # (S, N/2)
         if s != h:
-            A = jnp.repeat(A, h // s, axis=0)   # tied copies -> (H, N/2)
+            # reference tying TILES the copies: feature h uses copy h mod S
+            # (einops 't n -> (v t) n', models/s4.py:1062)
+            A = jnp.tile(A, (h // s, 1))        # tied copies -> (H, N/2)
         C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
         if self.kernel_impl == "pallas":
             if self.disc != "zoh":
@@ -202,11 +204,13 @@ class DPLRKernelLayer(nn.Module):
         Lambda = jax.lax.complex(-jnp.exp(lam_re), lam_im)  # (S, N)
         Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])  # (S,N)|(R,S,N)
         Bc = jax.lax.complex(b_vec[..., 0], b_vec[..., 1])
-        if s != h:  # tied copies -> per-feature
+        if s != h:  # tied copies -> per-feature (TILED: h uses h mod S,
+            # einops '(v t)' ordering, models/s4.py:1062,1345)
             rep = h // s
-            Lambda = jnp.repeat(Lambda, rep, axis=0)
-            Bc = jnp.repeat(Bc, rep, axis=0)
-            Pc = jnp.repeat(Pc, rep, axis=-2)
+            Lambda = jnp.tile(Lambda, (rep, 1))
+            Bc = jnp.tile(Bc, (rep, 1))
+            Pc = (jnp.tile(Pc, (rep, 1)) if Pc.ndim == 2
+                  else jnp.tile(Pc, (1, rep, 1)))
         Cc = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N)
 
         if self.kernel_impl == "pallas":
@@ -533,8 +537,8 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh"):
     A = -jnp.exp(kernel_params["log_A_real"]) + 1j * kernel_params["A_imag"]
     c = kernel_params["C"][0]  # channel 0
     C = jax.lax.complex(c[..., 0], c[..., 1])
-    if A.shape[0] != C.shape[0]:  # n_ssm-tied copies
-        A = jnp.repeat(A, C.shape[0] // A.shape[0], axis=0)
+    if A.shape[0] != C.shape[0]:  # n_ssm-tied copies (tiled, h mod S)
+        A = jnp.tile(A, (C.shape[0] // A.shape[0], 1))
     if disc == "zoh":
         Ab, dB = ssm_ops.discretize_diag_zoh(A, log_dt[:, None])
     elif disc == "bilinear":
@@ -575,11 +579,12 @@ def dplr_recurrent_step_fn(kernel_params, L: int):
                         kernel_params["B_vec"][..., 1])
     c = kernel_params["C"][0]                              # channel 0
     C_t = jax.lax.complex(c[..., 0], c[..., 1])            # (H, N)
-    if Lam.shape[0] != C_t.shape[0]:  # n_ssm-tied copies
+    if Lam.shape[0] != C_t.shape[0]:  # n_ssm-tied copies (tiled)
         rep = C_t.shape[0] // Lam.shape[0]
-        Lam = jnp.repeat(Lam, rep, axis=0)
-        B = jnp.repeat(B, rep, axis=0)
-        P = jnp.repeat(P, rep, axis=-2)
+        Lam = jnp.tile(Lam, (rep, 1))
+        B = jnp.tile(B, (rep, 1))
+        P = (jnp.tile(P, (rep, 1)) if P.ndim == 2
+             else jnp.tile(P, (1, rep, 1)))
 
     p_axis = 0 if P.ndim == 2 else 1  # rank-general storage layout
     Ab, Bb, C = jax.vmap(

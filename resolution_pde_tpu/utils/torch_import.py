@@ -483,10 +483,11 @@ def dplr_kernel_params_from_sd(sd: Mapping[str, np.ndarray],
     Ct = c(sd[f"{prefix}.C"])            # (channels, H, N)
     h = Ct.shape[1]
     if A.shape[0] != h:                  # n_ssm tying: expand to H
+        # TILED like the reference's einops '(v t)': feature h = copy h mod S
         rep = h // A.shape[0]
-        A = np.repeat(A, rep, axis=0)
-        B = np.repeat(B, rep, axis=0)
-        P = np.repeat(P, rep, axis=1)
+        A = np.tile(A, (rep, 1))
+        B = np.tile(B, (rep, 1))
+        P = np.tile(P, (1, rep, 1))
 
     def full(z):
         return np.concatenate([z, np.conj(z)], axis=-1)

@@ -625,11 +625,12 @@ def _transplant_dplr_kernel(ref_kernel, sub):
     P = c(ref_kernel.P)           # (R, S, N)
     Ct = c(ref_kernel.C)          # (channels, H, N) — C-tilde after setup
     s_target = np.asarray(sub["Lambda_log_neg_re"]).shape[0]
-    if s_target != A.shape[0]:    # target is untied: repeat S -> H
+    if s_target != A.shape[0]:    # target is untied: TILE S -> H
+        # (einops '(v t)' ordering: feature h uses copy h mod S)
         rep = s_target // A.shape[0]
-        A = np.repeat(A, rep, axis=0)
-        B = np.repeat(B, rep, axis=0)
-        P = np.repeat(P, rep, axis=1)
+        A = np.tile(A, (rep, 1))
+        B = np.tile(B, (rep, 1))
+        P = np.tile(P, (1, rep, 1))
 
     def full(z):
         return np.concatenate([z, np.conj(z)], axis=-1)
@@ -833,11 +834,11 @@ def _transplant_diag_kernel(ref_kernel, sub):
     B = c(ref_kernel.B)[0]                           # (S, N)
     C = c(ref_kernel.C)                              # (channels, H, N)
     rep_h = C.shape[1] // B.shape[0]
-    BC = np.repeat(B, rep_h, axis=0)[None] * C       # (channels, H, N)
+    BC = np.tile(B, (rep_h, 1))[None] * C            # (channels, H, N)
     if s_target != a_real.shape[0]:
         rep = s_target // a_real.shape[0]
-        a_real = np.repeat(a_real, rep, axis=0)
-        a_imag_stored = np.repeat(a_imag_stored, rep, axis=0)
+        a_real = np.tile(a_real, (rep, 1))
+        a_imag_stored = np.tile(a_imag_stored, (rep, 1))
     sub = dict(sub)
     sub["log_dt"] = jnp.asarray(
         ref_kernel.inv_dt.detach().numpy()[:, 0], jnp.float32)
@@ -897,6 +898,15 @@ def test_kernel_n_ssm_tying_golden(mode, rng):
         ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
                                    n_ssm=n_ssm, verbose=False)
     with torch.no_grad():
+        # the legs init makes all tied copies IDENTICAL, which would hide
+        # a wrong copy->feature mapping (the reference TILES: feature h
+        # uses copy h mod S, einops '(v t)'); perturb per-copy so the
+        # mapping is actually discriminated
+        ref.A_real += 0.1 * torch.randn_like(ref.A_real)
+        ref.A_imag += 0.1 * torch.randn_like(ref.A_imag)
+        ref.B += 0.1 * torch.randn_like(ref.B)
+        if mode == "dplr":
+            ref.P += 0.1 * torch.randn_like(ref.P)
         k_ref, _ = ref.forward(L=L)
     k_ref = k_ref.detach().numpy()
     assert ref.A_real.shape[0] == n_ssm  # tying actually active
