@@ -408,7 +408,10 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
             continue
         _, va_end = split_ratio_indices(u.shape[0], split_ratio)
         test_u = u[va_end:]
-        if 0 < target < u.shape[0]:
+        # the reference extractor gates on the TEST-split size (a target
+        # at or above it keeps every test trajectory,
+        # ks_naive_true_multires.py:128-142)
+        if 0 < target < test_u.shape[0]:
             k = int(target * split_ratio[2])
             if k <= 0:
                 continue
@@ -587,7 +590,10 @@ def ns_true_multires_markov_dataset(
             continue
         _, va_end = split_ratio_indices(u.shape[0], split_ratio)
         test_u = u[va_end:]
-        if 0 < target < u.shape[0]:
+        # the reference extractor gates on the TEST-split size (a target
+        # at or above it keeps every test trajectory,
+        # ks_naive_true_multires.py:128-142)
+        if 0 < target < test_u.shape[0]:
             k = int(target * split_ratio[2])
             if k <= 0:
                 continue
