@@ -24,9 +24,11 @@ from resolution_pde_tpu.parallel.pipeline import (
     stack_stage_params,
 )
 from resolution_pde_tpu.parallel.ep import moe_ep_specs
+from resolution_pde_tpu.parallel.fsdp import fsdp_specs, merge_specs
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "ffno_tp_specs", "shard_train_state", "specs_to_shardings",
     "pipeline_apply", "stack_stage_params", "moe_ep_specs",
+    "fsdp_specs", "merge_specs",
 ]
