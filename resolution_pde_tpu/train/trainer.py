@@ -83,6 +83,7 @@ class Trainer:
         ssm_lr: Optional[float] = None,
         seed: int = 0,
         param_specs=None,
+        accum_steps: int = 1,
     ):
         """ssm_lr: per-parameter optimizer override for SSM kernel params
         (S4 family): those params train at min(ssm_lr, learning_rate) with
@@ -97,6 +98,11 @@ class Trainer:
         # pins the updated params to the TP layout every step so GSPMD
         # propagation can't drift back to replicated.
         self.param_specs = param_specs
+        # gradient accumulation: split each batch into accum_steps
+        # microbatches inside the jitted step (lax.scan), average grads,
+        # ONE optimizer update — effective batches beyond HBM capacity
+        # (no reference counterpart; it trains at whatever fits one GPU)
+        self.accum_steps = int(accum_steps)
 
         def _is_ssm(path) -> bool:
             from resolution_pde_tpu.models.s4 import SSM_PARAM_NAMES
@@ -172,31 +178,65 @@ class Trainer:
 
             param_shardings = specs_to_shardings(self.param_specs, self.mesh)
 
+        accum = self.accum_steps
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, x, y, y_normalizer, weights=None):
-            key = jax.random.fold_in(state.dropout_key, state.step)
             mutable = list(state.model_state)
 
-            def loss_fn(params):
-                variables = {"params": params, **state.model_state}
-                if mutable:
-                    pred, new_model_state = model.apply(
-                        variables, x, deterministic=False,
-                        rngs={"dropout": key}, mutable=mutable,
-                    )
-                else:
-                    pred = model.apply(
-                        variables, x, deterministic=False,
-                        rngs={"dropout": key},
-                    )
-                    new_model_state = state.model_state
-                pred = unwrap_output(pred)
-                pred, target = self._decode_for_loss(pred, y, y_normalizer)
-                return (relative_l2(pred, target, weights=weights),
-                        new_model_state)
+            def grads_of(params, model_state, xb, yb, wb, key):
+                def loss_fn(p):
+                    variables = {"params": p, **model_state}
+                    if mutable:
+                        pred, new_ms = model.apply(
+                            variables, xb, deterministic=False,
+                            rngs={"dropout": key}, mutable=mutable,
+                        )
+                    else:
+                        pred = model.apply(
+                            variables, xb, deterministic=False,
+                            rngs={"dropout": key},
+                        )
+                        new_ms = model_state
+                    pred = unwrap_output(pred)
+                    pred, target = self._decode_for_loss(pred, yb,
+                                                         y_normalizer)
+                    return (relative_l2(pred, target, weights=wb), new_ms)
 
-            (loss, new_model_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                (loss, new_ms), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                return loss, new_ms, grads
+
+            if accum > 1:
+                # gradient accumulation: scan over microbatches, average
+                # grads/losses, thread BN stats sequentially
+                b = x.shape[0]
+                xm = x.reshape((accum, b // accum) + x.shape[1:])
+                ym = y.reshape((accum, b // accum) + y.shape[1:])
+                wm = (weights.reshape(accum, b // accum)
+                      if weights is not None
+                      else jnp.ones((accum, b // accum), jnp.float32))
+
+                def micro(carry, inp):
+                    model_state, gsum, lsum, i = carry
+                    xb, yb, wb = inp
+                    key = jax.random.fold_in(
+                        state.dropout_key, state.step * accum + i)
+                    loss, new_ms, grads = grads_of(
+                        state.params, model_state, xb, yb, wb, key)
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                    return (new_ms, gsum, lsum + loss, i + 1), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (new_model_state, gsum, lsum, _), _ = jax.lax.scan(
+                    micro, (state.model_state, zeros, 0.0, 0),
+                    (xm, ym, wm))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                loss = lsum / accum
+            else:
+                key = jax.random.fold_in(state.dropout_key, state.step)
+                loss, new_model_state, grads = grads_of(
+                    state.params, state.model_state, x, y, weights, key)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )

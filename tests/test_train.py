@@ -251,3 +251,28 @@ def test_async_checkpoint_roundtrip(tmp_path, rng):
                         jax.tree_util.tree_leaves(state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6)
+
+
+def test_gradient_accumulation_matches_full_batch(rng):
+    """accum_steps=2: scanned microbatch gradients averaged into ONE
+    optimizer update == the full-batch step exactly (rel-L2 is a
+    per-sample mean, so equal-size microbatch means compose exactly)."""
+    from resolution_pde_tpu.models import FFNO1D
+
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=4)
+    x = jnp.asarray(rng.standard_normal((8, 1, 32)), jnp.float32)
+    y = jnp.roll(x, 3, axis=-1)
+
+    ref = Trainer(model, learning_rate=1e-3)
+    acc = Trainer(model, learning_rate=1e-3, accum_steps=2)
+    s_ref = ref.init(x[:2])
+    s_acc = acc.init(x[:2])
+    for _ in range(3):
+        s_ref, l_ref = ref._train_step(s_ref, x, y, None)
+        s_acc, l_acc = acc._train_step(s_acc, x, y, None)
+    assert abs(float(l_ref) - float(l_acc)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
