@@ -89,6 +89,9 @@ def build_trainer(cfg: Config, model, y_normalizer, mesh=None) -> Trainer:
         ssm_lr=1e-3 if is_s4 else None,
         mesh=mesh,
         seed=tr.get("seed", 0),
+        # training.accum_steps=N splits each batch into N scanned
+        # microbatches with one optimizer update (Trainer docstring)
+        accum_steps=tr.get("accum_steps", 1),
     )
 
 

@@ -276,3 +276,20 @@ def test_gradient_accumulation_matches_full_batch(rng):
                     jax.tree_util.tree_leaves(s_acc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_gradient_accumulation_with_batchnorm(rng):
+    """BN stats thread sequentially through the accumulation scan (two
+    microbatch updates per step) and the step trains finitely."""
+    from resolution_pde_tpu.models.unet import UNet1d
+
+    model = UNet1d(in_channels=1, out_channels=1, width=4)
+    x = jnp.asarray(rng.standard_normal((8, 1, 32)), jnp.float32)
+    y = jnp.roll(x, 3, axis=-1)
+    acc = Trainer(model, learning_rate=1e-3, accum_steps=2)
+    s = acc.init(x[:2])
+    stats0 = jax.tree_util.tree_leaves(s.model_state)[0].copy()
+    s, loss = acc._train_step(s, x, y, None)
+    assert np.isfinite(float(loss))
+    stats1 = jax.tree_util.tree_leaves(s.model_state)[0]
+    assert not np.allclose(np.asarray(stats0), np.asarray(stats1))
