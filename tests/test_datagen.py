@@ -169,3 +169,53 @@ def test_generated_ks_feeds_data_pipeline(tmp_path):
     train = out[0]
     assert len(train) == 4 * 5
     assert np.isfinite(train.x).all()
+
+
+def test_generate_data_cli_ks_feeds_factories(tmp_path):
+    """cli.generate_data writes BOTH the naive KS files and the
+    true-multires tree in exactly the layouts the factories read
+    (the run1.sh:146-192 data-generation surface)."""
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+    from resolution_pde_tpu.data.factories import (
+        ks_markov_dataset, ks_true_multires_markov_dataset)
+
+    out = str(tmp_path / "ks")
+    gen_main([f"out={out}", "pde=ks", "n=10", "resolutions=[32,16]",
+              "n_snapshots=4", "viscosity=0.05"])
+
+    train, val, test, rollout, xn, yn = ks_markov_dataset(
+        "KS_train.h5", out)
+    assert len(train) > 0 and train.x.shape[-1] == 32
+    assert np.isfinite(train.x).all()
+
+    out2 = ks_true_multires_markov_dataset(
+        out, viscosity=0.05, data_mres_size={32: -1, 16: -1},
+        downsample_from_res=32)
+    mres_train = out2[0]
+    assert sorted(mres_train.resolutions) == [16, 32]
+    assert out2[3] is not None  # per-res rollout buckets
+    assert sorted(out2[3].resolutions()) == [16, 32]
+
+
+def test_generate_data_cli_ns_feeds_factory(tmp_path):
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+    from resolution_pde_tpu.data.factories import ns_markov_dataset
+
+    out = str(tmp_path / "ns")
+    gen_main([f"out={out}", "pde=ns", "n=6", "resolutions=[16]",
+              "n_snapshots=3", "viscosity=1e-3"])
+    train = ns_markov_dataset("ns_16_1e-3.h5", out)[0]
+    assert len(train) > 0 and train.x.shape[-1] == 16
+    assert np.isfinite(train.x).all()
+
+
+def test_generate_data_cli_burgers_feeds_factory(tmp_path):
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+    from resolution_pde_tpu.data.factories import burger_markov_dataset
+
+    out = str(tmp_path / "burgers")
+    gen_main([f"out={out}", "pde=burgers", "n=8", "resolutions=[32]",
+              "n_snapshots=4", "viscosity=0.001"])
+    res = burger_markov_dataset("1D_Burgers_Sols_Nu0.001.hdf5", out,
+                                normalization_type="simple")
+    assert len(res[0]) > 0 and res[0].x.shape[-1] == 32
