@@ -184,7 +184,7 @@ def test_generate_data_cli_ks_feeds_factories(tmp_path):
               "n_snapshots=4", "viscosity=0.05"])
 
     train, val, test, rollout, xn, yn = ks_markov_dataset(
-        "KS_train.h5", out)
+        "KS_train_2048.h5", out)
     assert len(train) > 0 and train.x.shape[-1] == 32
     assert np.isfinite(train.x).all()
 
