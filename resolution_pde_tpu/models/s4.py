@@ -67,6 +67,23 @@ class S4DKernelLayer(nn.Module):
     the pallas path implements zoh only.
     n_ssm: number of independent (A,) copies tied across H features
     (s4.py:1060-1064 `repeat`); None = H (fully independent, the default).
+    dt_tie: False stores one dt per (feature, state) instead of per
+    feature (s4.py:819, 839). dt_transform/dt_fast: parameterization of
+    the positive timestep (s4.py:820, 992; dt_fast stores asinh(inv_dt),
+    sinh at resolve — s4.py:1053, 1097).
+    real_transform/imag_transform: positive-parameter transforms for
+    -Re A / -Im A (s4.py:994, 1088-1093). With the default
+    imag_transform='none' the stored A_imag is the SIGNED imaginary part
+    (the minimal-s4d.py convention the golden tests transplant onto);
+    any other transform follows SSMKernelDiag exactly:
+    Im A = -param_transform(A_imag).
+    bandlimit: zero C on state modes whose discrete frequency
+    dt*|Im A|/(2pi) exceeds bandlimit/2 (s4.py:1101-1103).
+    is_real: real-valued SSM (EMA interpretation, s4.py:999); d_state then
+    counts real states directly (the reference doubles the d_state kwarg
+    so N stays d_state, s4.py:1014-1016) and only A_real/C are stored.
+    Recurrent step mode (s4d_recurrent_step_fn) supports the default dt
+    parameterization and complex mode only.
     """
 
     d_model: int
@@ -77,40 +94,128 @@ class S4DKernelLayer(nn.Module):
     kernel_impl: str = "jnp"
     disc: str = "zoh"
     n_ssm: Optional[int] = None
+    dt_tie: bool = True
+    dt_transform: str = "exp"
+    dt_fast: bool = False
+    real_transform: str = "exp"
+    imag_transform: str = "none"
+    bandlimit: Optional[float] = None
+    is_real: bool = False
+    # initialization family: 'lin' (S4D-Lin, the minimal-s4d default),
+    # 'inv' (S4D-Inv), 'legs' (S4D-LegS: diagonal of the legs NPLR with the
+    # HiPPO B folded into C), or 'diag' (the reference's combination init,
+    # first half of the n_ssm copies 'inv', second half 'lin' —
+    # models/s4.py:612-616, 463-560). Named `measure` (not the reference's
+    # `init`) because flax reserves Module.init.
+    measure: str = "lin"
 
     @nn.compact
     def __call__(self, L: int):
-        h, n_half = self.d_model, self.d_state // 2
+        h = self.d_model
+        n_half = self.d_state if self.is_real else self.d_state // 2
         s = self.n_ssm or h
         if h % s:
             raise ValueError(f"n_ssm={s} must divide d_model={h}")
+
+        def dt_init(rng, shape):
+            u = jax.random.uniform(rng, shape)
+            raw = (u * (math.log(self.dt_max) - math.log(self.dt_min))
+                   + math.log(self.dt_min))
+            if self.dt_transform != "exp":
+                raw = ssm_ops.inv_param_transform_jnp(
+                    jnp.exp(raw), self.dt_transform)
+            if self.dt_fast:
+                raw = jnp.arcsinh(raw)
+            return raw
+
         log_dt = self.param(
-            "log_dt",
-            lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
-                                                   self.dt_max),
-            (h,),
-        )
-        la, ai = ssm_ops.s4d_lin_init(s, n_half)
+            "log_dt", dt_init, (h,) if self.dt_tie else (h, n_half))
+        inits = (("inv", "lin") if self.measure == "diag"
+                 else (self.measure,))
+        if s % len(inits):
+            raise ValueError(
+                f"n_ssm={s} must divide the {len(inits)} inits of "
+                f"{self.measure!r} (models/s4.py:612-616 combination)")
+        rows = [ssm_ops.diag_ssm_init(i, n_half) for i in inits]
+        rep_i = s // len(inits)
+        neg_real = np.concatenate(
+            [np.broadcast_to(r[0], (rep_i, n_half)) for r in rows], 0)
+        imag_init = np.concatenate(
+            [np.broadcast_to(r[1], (rep_i, n_half)) for r in rows], 0)
+        b_init = np.concatenate(
+            [np.broadcast_to(r[2], (rep_i, n_half)) for r in rows], 0)
+        if self.measure == "lin" and self.real_transform == "exp":
+            # historical bit-exact path (f32 log) for the shipped default
+            la, ai = ssm_ops.s4d_lin_init(s, n_half)
+        else:
+            la = ssm_ops.inv_param_transform(
+                neg_real, self.real_transform).astype(np.float32)
+            ai = imag_init.astype(np.float32)
         log_a_real = self.param("log_A_real", lambda rng, _s: jnp.asarray(la),
                                 la.shape)
-        a_imag = self.param("A_imag", lambda rng, _s: jnp.asarray(ai),
-                            ai.shape)
-        c = self.param(
-            "C",
-            lambda rng, shape: jax.random.normal(rng, shape),
-            (self.channels, h, n_half, 2),
-        )
-        A = -jnp.exp(log_a_real) + 1j * a_imag  # (S, N/2)
+        # non-constant B inits fold into the random C (the kernel only uses
+        # the product B*C, PARITY.md #18); tiled to H like A (s4.py:1062)
+        if np.allclose(b_init, 1.0):
+            b_fold = None
+        else:
+            bh = np.tile(b_init, (h // s, 1)) if s != h else b_init
+            b_fold = jnp.asarray(
+                np.stack([bh.real, bh.imag], -1), jnp.float32)
+
+        def c_init(rng, shape):
+            cr = jax.random.normal(rng, shape)
+            if b_fold is None:
+                return cr
+            if self.is_real:
+                return cr * b_fold[..., 0]
+            re = (cr[..., 0] * b_fold[..., 0]
+                  - cr[..., 1] * b_fold[..., 1])
+            im = (cr[..., 0] * b_fold[..., 1]
+                  + cr[..., 1] * b_fold[..., 0])
+            return jnp.stack([re, im], -1)
+        a_real = -ssm_ops.param_transform(log_a_real, self.real_transform)
+        if self.is_real:
+            A = jax.lax.complex(a_real, jnp.zeros_like(a_real))  # (S, N)
+            c = self.param("C", c_init, (self.channels, h, n_half))
+            C = jax.lax.complex(c, jnp.zeros_like(c))
+        else:
+            if self.imag_transform != "none":
+                ai = ssm_ops.inv_param_transform(
+                    ai, self.imag_transform).astype(np.float32)
+            a_imag = self.param("A_imag", lambda rng, _s: jnp.asarray(ai),
+                                ai.shape)
+            # imag_transform='none' keeps the historical signed storage
+            # (models/s4d.py:46); otherwise Im A = -param_transform(A_imag)
+            # exactly like SSMKernelDiag (models/s4.py:1093)
+            im = (a_imag if self.imag_transform == "none"
+                  else -ssm_ops.param_transform(a_imag, self.imag_transform))
+            A = jax.lax.complex(a_real, im)  # (S, N/2)
+            c = self.param("C", c_init, (self.channels, h, n_half, 2))
+            C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
         if s != h:
             # reference tying TILES the copies: feature h uses copy h mod S
             # (einops 't n -> (v t) n', models/s4.py:1062)
             A = jnp.tile(A, (h // s, 1))        # tied copies -> (H, N/2)
-        C = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N/2)
+
+        inv_dt = jnp.sinh(log_dt) if self.dt_fast else log_dt
+        dt = ssm_ops.param_transform(inv_dt, self.dt_transform)
+        if self.bandlimit is not None:
+            # mask C on modes above the bandlimit (models/s4.py:1101-1103)
+            dt_b = dt[:, None] if dt.ndim == 1 else dt
+            freqs = dt_b * jnp.abs(jnp.imag(A)) / (2.0 * math.pi)
+            C = C * (freqs < self.bandlimit * 0.5).astype(C.real.dtype)
+
         if self.kernel_impl == "pallas":
             if self.disc != "zoh":
                 raise ValueError(
                     f"kernel_impl='pallas' supports disc='zoh' only, got "
                     f"{self.disc!r}")
+            if not (self.dt_tie and self.dt_transform == "exp"
+                    and not self.dt_fast and not self.is_real):
+                raise ValueError(
+                    "kernel_impl='pallas' supports the default dt "
+                    "parameterization (dt_tie=True, dt_transform='exp', "
+                    "dt_fast=False) and complex mode only")
             from resolution_pde_tpu.ops.pallas import s4d_kernel_pallas
 
             interp = jax.default_backend() not in ("tpu", "axon")
@@ -122,7 +227,7 @@ class S4DKernelLayer(nn.Module):
                     f"unknown disc {self.disc!r}; expected one of "
                     f"{sorted(ssm_ops.S4D_KERNELS)}")
             kfn = ssm_ops.S4D_KERNELS[self.disc]
-            kern = jax.vmap(lambda cc: kfn(cc, A, log_dt, L))(C)
+            kern = jax.vmap(lambda cc: kfn(cc, A, None, L, dt=dt))(C)
         return kern  # (channels, H, L)
 
     def discretize(self):
@@ -136,6 +241,22 @@ class DPLRKernelLayer(nn.Module):
     Stores the spectrum at full state size N (the reference stores N/2
     conjugate pairs; full-N is the annotated-S4 convention — capacity is a
     superset and the kernel values agree for conjugate-symmetric params).
+
+    measure: HiPPO init — 'legs' (historical path, bit-identical to prior
+    versions), 'legt' (needs rank>=2), 'fourier'/'fout' (models/s4.py:
+    310-382 transition/rank_correction via ops.ssm.nplr_init; the non-legs
+    measures clip B.imag at +-2 like the reference nplr, s4.py:453-454).
+    dt_tie: False stores dt per (feature, conjugate pair) — shape
+    (H, d_state/2) exactly like the reference (s4.py:839) — broadcast to
+    both halves of the full-N spectrum at resolve.
+    dt_transform/dt_fast: timestep parameterization (s4.py:820, 992).
+    real_transform: positive-parameter transform for -Re Lambda
+    (s4.py:994; init clamps at 1e-4, which keeps the fourier measure's
+    zero real parts finite, s4.py:637).
+    bandlimit: zero C-tilde on modes whose discrete frequency exceeds
+    bandlimit/2 (inherited diag behavior, s4.py:1101-1103).
+    Recurrent step mode (dplr_recurrent_step_fn) supports the default dt
+    parameterization only.
     """
 
     d_model: int
@@ -146,6 +267,12 @@ class DPLRKernelLayer(nn.Module):
     kernel_impl: str = "jnp"  # 'jnp' | 'pallas' (on-chip Cauchy reduction)
     rank: int = 1             # low-rank correction rank (s4.py:357-382)
     n_ssm: Optional[int] = None  # tied (A, B, P) copies (s4.py:1060-1064)
+    measure: str = "legs"
+    dt_tie: bool = True
+    dt_transform: str = "exp"
+    dt_fast: bool = False
+    real_transform: str = "exp"
+    bandlimit: Optional[float] = None
 
     @nn.compact
     def __call__(self, L: int):
@@ -153,46 +280,80 @@ class DPLRKernelLayer(nn.Module):
         s = self.n_ssm or h
         if h % s:
             raise ValueError(f"n_ssm={s} must divide d_model={h}")
-        Lam, P, B, _ = ssm_ops.make_dplr_hippo(n)
-        # rank > 1: extra rows zero-padded, matching the reference's
-        # rank_correction for the legs measure (models/s4.py:379-382)
-        P_rows = np.concatenate(
-            [P[None], np.zeros((self.rank - 1, n), P.dtype)], axis=0)
+        measures = ssm_ops.MEASURE_COMBINATIONS.get(
+            self.measure, (self.measure,))
+        if s % len(measures):
+            raise ValueError(
+                f"n_ssm={s} must be a multiple of the {len(measures)} "
+                f"measures of {self.measure!r} (models/s4.py:612-625)")
+
+        def one_measure(m):
+            if m == "legs":
+                # historical path: keeps the exact init every shipped
+                # config and checkpoint was produced with (nplr_init('legs')
+                # agrees up to the reference's B.imag clip, which legs
+                # never reaches)
+                Lam, P, B, _ = ssm_ops.make_dplr_hippo(n)
+                # rank > 1: extra rows zero-padded, matching the
+                # reference's rank_correction (models/s4.py:379-382)
+                P_rows = np.concatenate(
+                    [P[None], np.zeros((self.rank - 1, n), P.dtype)], axis=0)
+                return Lam, P_rows, B
+            return ssm_ops.nplr_init(m, n, self.rank)
+
+        # combination inits (e.g. 'hippo' = legs + fourier) assign each
+        # measure a contiguous block of the S trainable copies, exactly
+        # like the reference's combination() (models/s4.py:619-630)
+        parts = [one_measure(m) for m in measures]
+        rep_m = s // len(measures)
+        Lam_s = np.concatenate(
+            [np.broadcast_to(lam, (rep_m, n)) for lam, _, _ in parts], 0)
+        P_s = np.concatenate(
+            [np.broadcast_to(p[:, None], (self.rank, rep_m, n))
+             for _, p, _ in parts], 1)
+        B_s = np.concatenate(
+            [np.broadcast_to(b, (rep_m, n)) for _, _, b in parts], 0)
+
+        def dt_init(rng, shape):
+            u = jax.random.uniform(rng, shape)
+            raw = (u * (math.log(self.dt_max) - math.log(self.dt_min))
+                   + math.log(self.dt_min))
+            if self.dt_transform != "exp":
+                raw = ssm_ops.inv_param_transform_jnp(
+                    jnp.exp(raw), self.dt_transform)
+            if self.dt_fast:
+                raw = jnp.arcsinh(raw)
+            return raw
+
         log_dt = self.param(
-            "log_dt",
-            lambda rng, shape: ssm_ops.log_dt_init(rng, h, self.dt_min,
-                                                   self.dt_max),
-            (h,),
-        )
+            "log_dt", dt_init, (h,) if self.dt_tie else (h, n // 2))
         lam_re = self.param(
             "Lambda_log_neg_re",
-            lambda rng, _s: jnp.log(-jnp.asarray(
-                np.broadcast_to(Lam.real, (s, n)).copy(), jnp.float32)),
+            lambda rng, _s: jnp.asarray(
+                ssm_ops.inv_param_transform(-Lam_s.real, self.real_transform),
+                jnp.float32),
             (s, n),
         )
         lam_im = self.param(
             "Lambda_im",
-            lambda rng, _s: jnp.asarray(
-                np.broadcast_to(Lam.imag, (s, n)).copy(), jnp.float32),
+            lambda rng, _s: jnp.asarray(Lam_s.imag, jnp.float32),
             (s, n),
         )
         # rank-1 keeps the historical (S, N, 2) storage; rank > 1 stores
         # (R, S, N, 2) with a leading rank dim
         p_shape = (s, n, 2) if self.rank == 1 else (self.rank, s, n, 2)
-        p_init = (np.stack([P.real, P.imag], -1) if self.rank == 1
-                  else np.stack([P_rows.real, P_rows.imag], -1)[:, None])
+        p_init = (np.stack([P_s[0].real, P_s[0].imag], -1)
+                  if self.rank == 1
+                  else np.stack([P_s.real, P_s.imag], -1))
         p_vec = self.param(
             "P_vec",
-            lambda rng, _s: jnp.asarray(
-                np.broadcast_to(p_init, p_shape).copy(), jnp.float32),
+            lambda rng, _s: jnp.asarray(p_init, jnp.float32),
             p_shape,
         )
         b_vec = self.param(
             "B_vec",
             lambda rng, _s: jnp.asarray(
-                np.broadcast_to(
-                    np.stack([B.real, B.imag], -1), (s, n, 2)).copy(),
-                jnp.float32),
+                np.stack([B_s.real, B_s.imag], -1), jnp.float32),
             (s, n, 2),
         )
         c = self.param(
@@ -201,7 +362,8 @@ class DPLRKernelLayer(nn.Module):
             (0.5 ** 0.5),
             (self.channels, h, n, 2),
         )
-        Lambda = jax.lax.complex(-jnp.exp(lam_re), lam_im)  # (S, N)
+        lam_re_pos = ssm_ops.param_transform(lam_re, self.real_transform)
+        Lambda = jax.lax.complex(-lam_re_pos, lam_im)       # (S, N)
         Pc = jax.lax.complex(p_vec[..., 0], p_vec[..., 1])  # (S,N)|(R,S,N)
         Bc = jax.lax.complex(b_vec[..., 0], b_vec[..., 1])
         if s != h:  # tied copies -> per-feature (TILED: h uses h mod S,
@@ -213,9 +375,28 @@ class DPLRKernelLayer(nn.Module):
                   else jnp.tile(Pc, (1, rep, 1)))
         Cc = jax.lax.complex(c[..., 0], c[..., 1])  # (channels, H, N)
 
+        inv_dt = jnp.sinh(log_dt) if self.dt_fast else log_dt
+        dt = ssm_ops.param_transform(inv_dt, self.dt_transform)
+        if not self.dt_tie:
+            # per-pair dt broadcast to both conjugate halves of the full-N
+            # spectrum (the reference broadcasts its (H, N/2) dt over the
+            # half spectrum, s4.py:1099)
+            dt = jnp.concatenate([dt, dt], axis=-1)  # (H, N)
+        if self.bandlimit is not None:
+            # mask C-tilde above the bandlimit (models/s4.py:1101-1103)
+            dt_b = dt[:, None] if dt.ndim == 1 else dt
+            freqs = dt_b * jnp.abs(jnp.imag(Lambda)) / (2.0 * math.pi)
+            Cc = Cc * (freqs < self.bandlimit * 0.5).astype(Cc.real.dtype)
+
         if self.kernel_impl == "pallas":
             if self.rank != 1:
                 raise ValueError("kernel_impl='pallas' supports rank=1 only")
+            if not (self.dt_tie and self.dt_transform == "exp"
+                    and not self.dt_fast):
+                raise ValueError(
+                    "kernel_impl='pallas' supports the default dt "
+                    "parameterization (dt_tie=True, dt_transform='exp', "
+                    "dt_fast=False) only")
             from resolution_pde_tpu.ops.pallas.cauchy import (
                 dplr_kernel_pallas)
 
@@ -230,20 +411,16 @@ class DPLRKernelLayer(nn.Module):
                 interpret=interp)
             return k.reshape(ch, h, L)
 
-        if self.rank == 1:
-            def per_h(lam_h, p_h, b_h, c_h, ldt_h):
-                return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
+        def per_h(lam_h, p_h, b_h, c_h, dt_h):
+            return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, None, L,
+                                       dt=dt_h)
 
-            def per_channel(c_ch):
-                return jax.vmap(per_h)(Lambda, Pc, Bc, c_ch, log_dt)
-        else:
-            def per_h(lam_h, p_h, b_h, c_h, ldt_h):
-                return ssm_ops.dplr_kernel(lam_h, p_h, b_h, c_h, ldt_h, L)
+        p_axis = 0 if self.rank == 1 else 1
 
-            def per_channel(c_ch):
-                return jax.vmap(
-                    per_h, in_axes=(0, 1, 0, 0, 0)
-                )(Lambda, Pc, Bc, c_ch, log_dt)
+        def per_channel(c_ch):
+            return jax.vmap(
+                per_h, in_axes=(0, p_axis, 0, 0, 0)
+            )(Lambda, Pc, Bc, c_ch, dt)
 
         return jax.vmap(per_channel)(Cc)  # (channels, H, L)
 
@@ -265,22 +442,27 @@ class FFTConvLayer(nn.Module):
     n_ssm: Optional[int] = None  # tied (A, B, P) copies
     rank: int = 1                # dplr mode: low-rank correction rank
     kernel_impl: str = "jnp"     # 'jnp' | 'pallas'
+    # long-tail kernel options forwarded verbatim to the kernel layer
+    # (measure, dt_tie, dt_transform, dt_fast, real/imag_transform,
+    # bandlimit, is_real — see S4DKernelLayer / DPLRKernelLayer)
+    kernel_args: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, L, h = x.shape
         channels = self.channels
         kernel_channels = channels * (2 if self.bidirectional else 1)
+        kargs = dict(self.kernel_args or {})
         if self.mode in ("dplr", "nplr"):
             k = DPLRKernelLayer(
                 self.d_model, self.d_state, channels=kernel_channels,
                 rank=self.rank, n_ssm=self.n_ssm,
-                kernel_impl=self.kernel_impl)(L)  # (kc, H, L)
+                kernel_impl=self.kernel_impl, **kargs)(L)  # (kc, H, L)
         else:
             k = S4DKernelLayer(
                 self.d_model, self.d_state, channels=kernel_channels,
                 disc=self.disc, n_ssm=self.n_ssm,
-                kernel_impl=self.kernel_impl)(L)
+                kernel_impl=self.kernel_impl, **kargs)(L)
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s),
                        (channels, h))
 
@@ -334,6 +516,7 @@ class S4Block(nn.Module):
     n_ssm: Optional[int] = None
     rank: int = 1
     kernel_impl: str = "jnp"
+    kernel_args: Optional[dict] = None  # long-tail options, see FFTConvLayer
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -349,7 +532,7 @@ class S4Block(nn.Module):
             d_inner, self.d_state, self.mode, channels=1,
             bidirectional=self.bidirectional, dropout=self.dropout,
             disc=self.disc, n_ssm=self.n_ssm, rank=self.rank,
-            kernel_impl=self.kernel_impl,
+            kernel_impl=self.kernel_impl, kernel_args=self.kernel_args,
         )(x, deterministic)
         if self.gate:
             if y.shape[-1] != d_inner * self.gate:
@@ -441,6 +624,7 @@ class S4ND2dLayer(nn.Module):
     dropout: float = 0.0
     mode: str = "diag"
     linear: bool = False
+    kernel_args: Optional[dict] = None  # long-tail options, see FFTConvLayer
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -448,10 +632,11 @@ class S4ND2dLayer(nn.Module):
         kc = 2 if self.bidirectional else 1
         kernel_cls = (DPLRKernelLayer if self.mode in ("dplr", "nplr")
                       else S4DKernelLayer)
+        kargs = dict(self.kernel_args or {})
         kx = kernel_cls(self.d_model, self.d_state, channels=kc,
-                        name="kernel_x")(hh)  # (kc, C, H)
+                        name="kernel_x", **kargs)(hh)  # (kc, C, H)
         ky = kernel_cls(self.d_model, self.d_state, channels=kc,
-                        name="kernel_y")(ww)  # (kc, C, W)
+                        name="kernel_y", **kargs)(ww)  # (kc, C, W)
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s), (c,))
 
         def two_sided(k, L):

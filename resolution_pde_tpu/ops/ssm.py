@@ -25,6 +25,60 @@ import jax.numpy as jnp
 
 
 # ---------------------------------------------------------------------------
+# Parameter transforms (models/s4.py:635-664)
+# ---------------------------------------------------------------------------
+
+PARAM_TRANSFORMS = ("none", "exp", "relu", "sigmoid", "softplus")
+
+
+def param_transform(x, kind: str = "none"):
+    """Positive-parameter transform (models/s4.py:650-664). jnp-traceable."""
+    if kind == "none":
+        return x
+    if kind == "exp":
+        return jnp.exp(x)
+    if kind == "relu":
+        # the reference adds 1e-4 to avoid exact zeros (models/s4.py:658)
+        return jax.nn.relu(x) + 1e-4
+    if kind == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if kind == "softplus":
+        return jax.nn.softplus(x)
+    raise ValueError(f"unknown transform {kind!r}; one of {PARAM_TRANSFORMS}")
+
+
+def inv_param_transform(x: np.ndarray, kind: str = "none") -> np.ndarray:
+    """Inverse transform for initialization (models/s4.py:635-648); clamps
+    the positive value at 1e-4 first, exactly like the reference (this is
+    what keeps the fourier measure's zero real parts finite)."""
+    x = np.maximum(np.asarray(x, np.float64), 1e-4)
+    if kind in ("none", "relu"):
+        return x
+    if kind == "exp":
+        return np.log(x)
+    if kind == "sigmoid":
+        return np.log(x / (1.0 - x))
+    if kind == "softplus":
+        return np.log(np.expm1(x))
+    raise ValueError(f"unknown transform {kind!r}; one of {PARAM_TRANSFORMS}")
+
+
+def inv_param_transform_jnp(x, kind: str = "none"):
+    """Traced variant of inv_param_transform for use inside jitted param
+    initializers (the dt init draws from a traced rng). Same 1e-4 clamp."""
+    x = jnp.maximum(x, 1e-4)
+    if kind in ("none", "relu"):
+        return x
+    if kind == "exp":
+        return jnp.log(x)
+    if kind == "sigmoid":
+        return jnp.log(x / (1.0 - x))
+    if kind == "softplus":
+        return jnp.log(jnp.expm1(x))
+    raise ValueError(f"unknown transform {kind!r}; one of {PARAM_TRANSFORMS}")
+
+
+# ---------------------------------------------------------------------------
 # HiPPO initialization
 # ---------------------------------------------------------------------------
 
@@ -57,6 +111,118 @@ def make_dplr_hippo(n: int):
     return lambda_real + 1j * lambda_imag, p_rot, b_rot, v
 
 
+def hippo_transition(measure: str, n: int):
+    """(A, B) continuous-time transition matrices per HiPPO measure
+    (models/s4.py:310-355): 'legs' (Legendre scaled), 'legt' (Legendre
+    translated, halved for timescale), 'fourier'/'fout' (truncated Fourier
+    basis with the rank correction pre-subtracted). Returns
+    (A (n, n), B (n,)) float64."""
+    if measure == "legs":
+        a = hippo_legs_matrix(n)
+        b = np.sqrt(2 * np.arange(n, dtype=np.float64) + 1.0)
+        return a, b
+    if measure == "legt":
+        q = np.arange(n, dtype=np.float64)
+        r = np.sqrt(2 * q + 1)
+        j, i = np.meshgrid(q, q)
+        a = -(r[:, None] * np.where(i < j, (-1.0) ** (i - j), 1.0) * r[None, :])
+        b = r.copy()
+        return 0.5 * a, 0.5 * b  # halved for timescale (s4.py:327-329)
+    if measure in ("fourier", "fout"):
+        freqs = np.arange(n // 2, dtype=np.float64)
+        d = np.stack([np.zeros(n // 2), freqs], axis=-1).reshape(-1)[1:]
+        a = np.pi * (-np.diag(d, 1) + np.diag(d, -1))
+        b = np.zeros(n, dtype=np.float64)
+        b[0::2] = 2 ** 0.5
+        b[0] = 1.0
+        # the skew part minus the endpoint rank correction (s4.py:347-349)
+        return a - b[:, None] * b[None, :], b
+    raise ValueError(f"unknown HiPPO measure {measure!r}")
+
+
+def hippo_rank_correction(measure: str, n: int, rank: int = 1) -> np.ndarray:
+    """Low-rank rows P (rank, n) such that A + sum_r P_r P_r^T is normal
+    (models/s4.py:357-382). legt needs rank >= 2."""
+    if measure == "legs":
+        base = np.sqrt(0.5 + np.arange(n, dtype=np.float64))[None]  # (1, n)
+    elif measure == "legt":
+        p = np.sqrt(1.0 + 2.0 * np.arange(n, dtype=np.float64))
+        p0, p1 = p.copy(), p.copy()
+        p0[0::2] = 0.0
+        p1[1::2] = 0.0
+        base = np.stack([p0, p1], axis=0) * 2 ** -0.5  # (2, n), halved
+    elif measure in ("fourier", "fout"):
+        p = np.zeros(n, dtype=np.float64)
+        p[0::2] = 2 ** 0.5
+        p[0] = 1.0
+        base = p[None]
+    else:
+        raise ValueError(f"unknown HiPPO measure {measure!r}")
+    d = base.shape[0]
+    if rank < d:
+        raise ValueError(
+            f"measure {measure!r} needs rank >= {d}, got {rank}")
+    if rank > d:
+        base = np.concatenate(
+            [base, np.zeros((rank - d, n), np.float64)], axis=0)
+    return base
+
+
+def nplr_init(measure: str, n: int, rank: int = 1, b_clip: float = 2.0):
+    """Full-N DPLR diagonalization of a HiPPO measure
+    (models/s4.py:384-455 nplr(), full-spectrum variant — the reference
+    keeps N/2 conjugate pairs, we keep all N; see PARITY.md #7).
+
+    Returns (Lambda (n,) complex, P (rank, n) complex, B (n,) complex)
+    with A = diag(Lambda) - sum_r P_r P_r^*. B's imaginary part is clipped
+    to +-b_clip like the reference (s4.py:453-454).
+    """
+    a, b = hippo_transition(measure, n)
+    p = hippo_rank_correction(measure, n, rank)  # (rank, n)
+    ap = a + np.einsum("rm,rn->mn", p, p)
+    # AP must be (identity +) skew-symmetric: diagonalize the skew part in
+    # double precision via the Hermitian eigensolver (s4.py:407-421)
+    lam_re = np.mean(np.diagonal(ap)) * np.ones(n)
+    lam_im, v = np.linalg.eigh(ap * -1j)
+    lam = lam_re + 1j * lam_im
+    b_rot = v.conj().T @ b.astype(np.complex128)
+    p_rot = np.einsum("mn,rm->rn", np.conj(v), p.astype(np.complex128))
+    if b_clip is not None:
+        b_rot = b_rot.real + 1j * np.clip(b_rot.imag, -b_clip, b_clip)
+    return lam, p_rot, b_rot
+
+
+DIAG_INITS = ("lin", "inv", "legs")
+MEASURE_COMBINATIONS = {"hippo": ("legs", "fourier")}
+
+
+def diag_ssm_init(init: str, n_half: int):
+    """Diagonal SSM initialization families (models/s4.py:463-560 dplr()
+    with P_scale=0, reached via init='diag-*'; models/s4.py:500-530):
+
+      'lin'  — S4D-Lin: Lambda = -1/2 + i*pi*n, B = 1 (s4d.py:48-51)
+      'inv'  — S4D-Inv asymptotic: imag = N/pi * (N/(1+2n) - 1), B = 1
+      'legs' — S4D-LegS: the diagonal part of the legs NPLR (negative-imag
+               half of the spectrum) with the rotated HiPPO B
+               (s4.py:528-549; the 0.5 DPLR factor is dropped there too)
+
+    Returns (neg_real (n,), imag (n,), B (n,) complex128) in the
+    positive-imag convention (conjugate of the reference's negative-imag
+    storage; the kernel 2*Re is invariant with C conjugated)."""
+    big_n = 2 * n_half
+    n = np.arange(n_half, dtype=np.float64)
+    if init in ("lin", "linear"):
+        return 0.5 * np.ones(n_half), np.pi * n, np.ones(n_half, complex)
+    if init in ("inv", "inverse"):
+        imag = (big_n / np.pi) * (big_n / (1.0 + 2.0 * n) - 1.0)
+        return 0.5 * np.ones(n_half), imag, np.ones(n_half, complex)
+    if init == "legs":
+        lam, _, b = nplr_init("legs", big_n)
+        order = np.argsort(lam.imag)[:n_half]  # negative-imag half
+        return -lam.real[order], -lam.imag[order], np.conj(b[order])
+    raise ValueError(f"unknown diag init {init!r}; one of {DIAG_INITS}")
+
+
 def s4d_lin_init(h: int, n_half: int):
     """S4D-Lin initialization: Lambda_n = -1/2 + i*pi*n (models/s4d.py:48-51).
 
@@ -78,13 +244,21 @@ def log_dt_init(rng, h: int, dt_min: float = 1e-3, dt_max: float = 1e-1):
 # Kernel computations
 # ---------------------------------------------------------------------------
 
-def s4d_kernel_zoh(C, A, log_dt, L: int):
+def _dt_cols(log_dt, dt):
+    """Resolve the timestep to a (H, 1) or (H, N) column array: either
+    exp(log_dt) (the historical parameterization) or an explicit dt from
+    a dt_transform/dt_tie=False parameterization (models/s4.py:839,1099)."""
+    d = jnp.exp(log_dt) if dt is None else dt
+    return d[:, None] if d.ndim == 1 else d
+
+
+def s4d_kernel_zoh(C, A, log_dt, L: int, dt=None):
     """S4D convolution kernel, ZOH discretization (models/s4d.py:53-69).
 
     C: (H, N) complex; A: (H, N) complex (negative real part);
-    log_dt: (H,). Returns real kernel (H, L).
+    log_dt: (H,), or pass dt= ((H,) or (H, N)) directly. Returns (H, L).
     """
-    dt = jnp.exp(log_dt)[:, None]  # (H, 1)
+    dt = _dt_cols(log_dt, dt)
     dtA = A * dt  # (H, N)
     # Vandermonde: exp(dtA * l) for l in [0, L)
     # contraction in complex split form (TPU-friendly; no complex matmul)
@@ -102,11 +276,11 @@ def s4d_kernel_zoh(C, A, log_dt, L: int):
     return 2.0 * k
 
 
-def s4d_kernel_bilinear(C, A, log_dt, L: int):
+def s4d_kernel_bilinear(C, A, log_dt, L: int, dt=None):
     """S4D kernel, bilinear discretization (models/s4.py:1117-1189,
     disc='bilinear'): C' = C * dt / (1 - dtA/2), dA = (1+dtA/2)/(1-dtA/2),
     K = 2 Re sum_n C'_n dA_n^l. Shapes as s4d_kernel_zoh."""
-    dt = jnp.exp(log_dt)[:, None]
+    dt = _dt_cols(log_dt, dt)
     dtA = A * dt
     C_scaled = C * dt / (1.0 - dtA / 2.0)
     log_dA = jnp.log((1.0 + dtA / 2.0) / (1.0 - dtA / 2.0))  # (H, N)
@@ -119,12 +293,12 @@ def s4d_kernel_bilinear(C, A, log_dt, L: int):
     return 2.0 * k
 
 
-def s4d_kernel_dss(C, A, log_dt, L: int):
+def s4d_kernel_dss(C, A, log_dt, L: int, dt=None):
     """S4D kernel, DSS discretization (models/s4.py:1160-1178, disc='dss'):
     softmax-normalized exponentials that tolerate positive-real eigenvalues.
     Note the reference takes Re (not 2 Re) in this branch. Shapes as
     s4d_kernel_zoh."""
-    dt = jnp.exp(log_dt)[:, None]
+    dt = _dt_cols(log_dt, dt)
     dtA = A * dt  # (H, N)
     l_range = jnp.arange(L)
     pos = jnp.real(A) > 0  # (H, N)
@@ -158,28 +332,31 @@ def cauchy(v, omega, lambd):
                    axis=-1)
 
 
-def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int):
+def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int, dt=None):
     """S4 DPLR convolution kernel via the bilinear generating function
     evaluated at the roots of unity (models/s4.py:1343-1447 semantics),
     with a rank-general Woodbury correction (s4.py:1408-1432).
 
     Per-feature: Lambda, B, C_tilde: (N,) complex; P: (N,) or (R, N)
-    complex (rank-R low-rank correction); log_dt: scalar. Returns real
-    (L,). C_tilde is the trained parameter (the (I - Abar^L)-modified C
-    of the S4 paper).
+    complex (rank-R low-rank correction); log_dt: scalar, or pass dt=
+    (scalar, or (N,) for dt_tie=False — the reference broadcasts dt over
+    the state dim, s4.py:1382-1390). Returns real (L,). C_tilde is the
+    trained parameter (the (I - Abar^L)-modified C of the S4 paper).
     """
     if P.ndim == 1:
         P = P[None]  # (1, N)
     R = P.shape[0]
-    step = jnp.exp(log_dt)
+    step = jnp.exp(log_dt) if dt is None else dt    # scalar or (N,)
     omega_l = jnp.exp(-2j * jnp.pi * jnp.arange(L) / L)
-    g = (2.0 / step) * ((1.0 - omega_l) / (1.0 + omega_l))
+    z = 2.0 * (1.0 - omega_l) / (1.0 + omega_l)
     c = 2.0 / (1.0 + omega_l)
     # rows a_i in {conj(C~), conj(P_r)}, cols b_j in {B, P_r}
     a = jnp.concatenate([jnp.conj(C_tilde)[None], jnp.conj(P)], axis=0)
     b = jnp.concatenate([B[None], P], axis=0)       # (R+1, N)
     v = a[:, None, :] * b[None, :, :]               # (R+1, R+1, N)
-    r = cauchy(v, g, Lambda)                        # (R+1, R+1, L)
+    # sum_n v_n dt_n / (z_l - dt_n Lambda_n): dt folds into v and Lambda
+    # exactly as the reference does (s4.py:1382-1390 "A = A*dt ... v*dt")
+    r = cauchy(v * step, z, Lambda * step)          # (R+1, R+1, L)
     if R == 1:
         kf = (r[0, 0] - r[0, 1] * (1.0 / (1.0 + r[1, 1])) * r[1, 0])
     else:

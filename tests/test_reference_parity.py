@@ -618,7 +618,8 @@ def _transplant_dplr_kernel(ref_kernel, sub):
         t = t.detach().numpy()
         return t[..., 0] + 1j * t[..., 1]
 
-    assert ref_kernel.dt_transform == "exp"
+    assert ref_kernel.real_transform == "exp"
+    assert ref_kernel.imag_transform == "none"
     A = (-np.exp(ref_kernel.A_real.detach().numpy())
          - 1j * ref_kernel.A_imag.detach().numpy())  # (S, N)
     B = c(ref_kernel.B)[0]        # (S, N)
@@ -642,9 +643,11 @@ def _transplant_dplr_kernel(ref_kernel, sub):
         p_full = p_full[0]
     ct_full = np.concatenate([np.conj(Ct), Ct], axis=-1)
     sub = dict(sub)
+    inv_dt = ref_kernel.inv_dt.detach().numpy()  # (H, 1) or (H, N/2)
     sub["log_dt"] = jnp.asarray(
-        ref_kernel.inv_dt.detach().numpy()[:, 0], jnp.float32)
-    sub["Lambda_log_neg_re"] = jnp.asarray(np.log(-lam.real), jnp.float32)
+        inv_dt[:, 0] if ref_kernel.dt_tie else inv_dt, jnp.float32)
+    sub["Lambda_log_neg_re"] = jnp.asarray(
+        np.log(np.maximum(-lam.real, 1e-4)), jnp.float32)
     sub["Lambda_im"] = jnp.asarray(lam.imag, jnp.float32)
     sub["P_vec"] = jnp.asarray(
         np.stack([p_full.real, p_full.imag], -1), jnp.float32)
@@ -820,31 +823,47 @@ def _transplant_diag_kernel(ref_kernel, sub):
     S4DKernelLayer subtree. The reference's separate B parameter is folded
     into C (the kernel only ever uses the product B*C, s4.py:1143); the
     recurrent state then differs by a diagonal rescale that cancels in y
-    (PARITY.md). A_imag is stored negated with the 'none' transform."""
+    (PARITY.md). A_imag is stored negated with the 'none' transform
+    (historical signed storage); any other imag_transform stores the
+    reference value verbatim (both sides resolve -param_transform).
+    Handles dt_tie=False ((H, N) inv_dt copied whole), dt_fast /
+    dt_transform (stored parameterization is identical on both sides),
+    is_real (real folded B*C, no A_imag), and bandlimit (masking happens
+    at resolve on both sides, so parameters transplant unchanged)."""
     import jax.numpy as jnp
 
     def c(t):
         t = t.detach().numpy()
         return t[..., 0] + 1j * t[..., 1]
 
-    assert ref_kernel.dt_transform == "exp"
     s_target = np.asarray(sub["log_A_real"]).shape[0]
-    a_real = ref_kernel.A_real.detach().numpy()     # (S, N) = log(-Re A)
-    a_imag_stored = ref_kernel.A_imag.detach().numpy()  # = -Im A
-    B = c(ref_kernel.B)[0]                           # (S, N)
-    C = c(ref_kernel.C)                              # (channels, H, N)
+    a_real = ref_kernel.A_real.detach().numpy()     # (S, N) stored
+    if ref_kernel.is_real:
+        B = ref_kernel.B.detach().numpy()[0]         # (S, N) real
+        C = ref_kernel.C.detach().numpy()            # (channels, H, N)
+    else:
+        a_imag_stored = ref_kernel.A_imag.detach().numpy()
+        B = c(ref_kernel.B)[0]                       # (S, N)
+        C = c(ref_kernel.C)                          # (channels, H, N)
     rep_h = C.shape[1] // B.shape[0]
     BC = np.tile(B, (rep_h, 1))[None] * C            # (channels, H, N)
     if s_target != a_real.shape[0]:
         rep = s_target // a_real.shape[0]
         a_real = np.tile(a_real, (rep, 1))
-        a_imag_stored = np.tile(a_imag_stored, (rep, 1))
+        if not ref_kernel.is_real:
+            a_imag_stored = np.tile(a_imag_stored, (rep, 1))
     sub = dict(sub)
+    inv_dt = ref_kernel.inv_dt.detach().numpy()      # (H, 1) or (H, N)
     sub["log_dt"] = jnp.asarray(
-        ref_kernel.inv_dt.detach().numpy()[:, 0], jnp.float32)
+        inv_dt[:, 0] if ref_kernel.dt_tie else inv_dt, jnp.float32)
     sub["log_A_real"] = jnp.asarray(a_real, jnp.float32)
-    sub["A_imag"] = jnp.asarray(-a_imag_stored, jnp.float32)
-    sub["C"] = jnp.asarray(np.stack([BC.real, BC.imag], -1), jnp.float32)
+    if ref_kernel.is_real:
+        sub["C"] = jnp.asarray(BC, jnp.float32)
+    else:
+        sub["A_imag"] = jnp.asarray(
+            -a_imag_stored if ref_kernel.imag_transform == "none"
+            else a_imag_stored, jnp.float32)
+        sub["C"] = jnp.asarray(np.stack([BC.real, BC.imag], -1), jnp.float32)
     return sub
 
 
@@ -1094,3 +1113,154 @@ def test_linear_attention_golden(rng):
                                     jnp.asarray(y)))
     np.testing.assert_allclose(g_self, e_self, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(g_cross, e_cross, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("opts", [
+    dict(dt_tie=False),
+    dict(dt_transform="softplus"),
+    dict(dt_fast=True),
+    dict(real_transform="softplus", imag_transform="exp"),
+    dict(bandlimit=0.05),
+    dict(is_real=True),
+], ids=["dt_untied", "dt_softplus", "dt_fast", "re_im_transforms",
+        "bandlimit", "is_real"])
+def test_diag_kernel_option_surface_golden(opts, rng):
+    """SSMKernelDiag's long-tail option surface (models/s4.py:819-820,
+    992-999): untied per-state dt, dt_transform, dt_fast (asinh/sinh
+    parameterization), real/imag transforms, bandlimit masking, and the
+    real-valued EMA mode — each golden vs S4DKernelLayer with the same
+    option and transplanted parameters."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import S4DKernelLayer
+
+    torch.manual_seed(7)
+    h, n_ref, L = 4, 4, 12
+    d_state = 2 * n_ref
+    ref = ref_s4.SSMKernelDiag(d_model=h, d_state=d_state, l_max=L,
+                               verbose=False, **opts)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()  # (1, H, L)
+
+    layer = S4DKernelLayer(d_model=h, d_state=d_state, channels=1, **opts)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_diag_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("measure,rank", [("legt", 2), ("fout", 1)])
+def test_dplr_kernel_measure_golden(measure, rank, rng):
+    """Non-legs HiPPO measures (models/s4.py:310-382 transition /
+    rank_correction; 'legt' requires rank 2): reference SSMKernelDPLR
+    with init=measure == DPLRKernelLayer(measure=...) after transplant.
+    The fourier measure exercises the zero-real-part eigenvalue clamp
+    (s4.py:637 inv_transform min=1e-4)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+
+    torch.manual_seed(8)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                               init=measure, rank=rank, verbose=False)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()
+
+    layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                            measure=measure, rank=rank)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_dplr_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("opts", [
+    dict(dt_tie=False),
+    dict(dt_transform="softplus"),
+    dict(dt_fast=True),
+], ids=["dt_untied", "dt_softplus", "dt_fast"])
+def test_dplr_kernel_dt_options_golden(opts, rng):
+    """DPLR kernel with the dt parameterization options (models/s4.py:
+    819-820, 992, 1097-1099): untied (H, N/2) dt broadcast over conjugate
+    pairs, softplus transform, and the asinh/sinh fast parameterization."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+
+    torch.manual_seed(9)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                               verbose=False, **opts)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()
+
+    layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                            **opts)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_dplr_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("init", ["inv", "legs"])
+def test_diag_init_family_golden(init, rng):
+    """Deterministic parts of the diag init families (models/s4.py:463-560
+    dplr() with P_scale=0, reached via init='diag-inv'/'diag-legs'):
+    A agrees with ops.ssm.diag_ssm_init up to the conjugate convention
+    (ours stores positive imag); B agrees in magnitude (eigenvector phase
+    freedom for 'legs')."""
+    import torch  # noqa: F401
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.ops import ssm as ssm_ops
+
+    n_half = 8
+    A_ref, P_ref, B_ref, _ = ref_s4.dplr(
+        init=init, N=2 * n_half, rank=1, H=1, P_scale=0.0)
+    A_ref = A_ref[0].numpy()
+    B_ref = B_ref[0].numpy()
+    neg_real, imag, b = ssm_ops.diag_ssm_init(init, n_half)
+    np.testing.assert_allclose(-neg_real, A_ref.real, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(imag, -A_ref.imag, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.abs(b), np.abs(B_ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_nplr_fourier_matches_reference_half_spectrum(rng):
+    """nplr_init('fourier') full-N spectrum contains exactly the
+    reference nplr('fourier') half spectrum plus conjugates
+    (models/s4.py:384-455; incl. the double zero eigenvalue)."""
+    import torch
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.ops import ssm as ssm_ops
+
+    n = 8
+    W_ref, P_ref, B_ref, _ = ref_s4.nplr("fourier", n)
+    lam, p, b = ssm_ops.nplr_init("fourier", n)
+
+    def key(z):
+        return np.sort_complex(np.round(z, 5))
+
+    ours_half = lam[np.argsort(lam.imag)][: n // 2]
+    np.testing.assert_allclose(
+        key(ours_half), key(W_ref.numpy()), atol=1e-4)
+    # full spectrum closed under conjugation
+    np.testing.assert_allclose(
+        key(lam), key(np.conj(lam)), atol=1e-6)

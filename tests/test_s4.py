@@ -298,3 +298,98 @@ def test_s4block_gate_and_bottleneck(rng):
     nolinear = S4Block(8, d_state=8, mode="diag", final_act=None)
     pn = nolinear.init(jax.random.key(2), x)
     assert nolinear.apply(pn, x).shape == (2, 16, 8)
+
+
+@pytest.mark.parametrize("measure,rank",
+                         [("legs", 1), ("legt", 2), ("fourier", 1)])
+def test_nplr_init_unitary_equivalence(measure, rank):
+    """nplr_init returns (Lambda, P, B) with diag(Lambda) - sum_r P_r P_r^*
+    unitarily equivalent to the dense HiPPO transition matrix
+    (models/s4.py:384-455 nplr, full-spectrum variant): the eigenvalue
+    sets must coincide."""
+    n = 16
+    lam, p, b = ssm_ops.nplr_init(measure, n, rank, b_clip=None)
+    a_dense, _ = ssm_ops.hippo_transition(measure, n)
+    m = np.diag(lam) - np.einsum("rm,rn->mn", p, np.conj(p))
+
+    def spectrum(x):
+        e = np.linalg.eigvals(x)
+        return np.sort_complex(np.round(e, 6))
+
+    np.testing.assert_allclose(spectrum(m), spectrum(a_dense.astype(complex)),
+                               rtol=1e-4, atol=1e-4)
+    assert b.shape == (n,) and p.shape == (rank, n)
+
+
+def test_nplr_init_legs_matches_historical():
+    """nplr_init('legs') agrees with make_dplr_hippo (the historical init
+    every shipped config uses) up to the reference's B.imag clip."""
+    n = 16
+    lam0, p0, b0, _ = ssm_ops.make_dplr_hippo(n)
+    lam1, p1, b1 = ssm_ops.nplr_init("legs", n, 1)
+    np.testing.assert_allclose(lam1, lam0, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(p1[0], p0, rtol=1e-10, atol=1e-10)
+    b0_clip = b0.real + 1j * np.clip(b0.imag, -2.0, 2.0)
+    np.testing.assert_allclose(b1, b0_clip, rtol=1e-10, atol=1e-10)
+
+
+def test_dplr_real_transform_invariance():
+    """real_transform changes the storage, not the resolved operator: two
+    DPLR layers initialized from the same rng under 'exp' and 'softplus'
+    transforms resolve to the same Lambda and hence the same kernel
+    (models/s4.py:994, 1088-1093 semantics)."""
+    L = 16
+    k = {}
+    for rt in ("exp", "softplus"):
+        layer = DPLRKernelLayer(d_model=4, d_state=8, real_transform=rt)
+        params = jax.jit(layer.init, static_argnums=1)(jax.random.key(3), L)
+        k[rt] = np.asarray(
+            jax.jit(lambda p, m=layer: m.apply(p, L))(params))
+    np.testing.assert_allclose(k["softplus"], k["exp"], rtol=1e-4, atol=1e-5)
+
+
+def test_diag_kernel_options_finite_and_reachable():
+    """The long-tail options compose through FFTConvLayer/S4Block via
+    kernel_args and produce finite outputs (smoke over the option
+    cross-product the goldens don't cover pairwise)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 12, 8)).astype(np.float32))
+    blk = S4Block(8, d_state=8, mode="diag",
+                  kernel_args=dict(dt_tie=False, dt_transform="softplus",
+                                   bandlimit=0.2))
+    p = blk.init(jax.random.key(0), x)
+    assert np.isfinite(np.asarray(blk.apply(p, x))).all()
+
+    blk2 = S4Block(8, d_state=8, mode="dplr",
+                   kernel_args=dict(measure="fout", dt_fast=True))
+    p2 = blk2.init(jax.random.key(1), x)
+    assert np.isfinite(np.asarray(blk2.apply(p2, x))).all()
+
+    conv = FFTConvLayer(8, d_state=8, mode="diag",
+                        kernel_args=dict(is_real=True))
+    p3 = conv.init(jax.random.key(2), x)
+    assert np.isfinite(np.asarray(conv.apply(p3, x))).all()
+
+
+def test_combination_inits_block_structure():
+    """'diag' (inv+lin) and 'hippo' (legs+fourier) combination inits assign
+    contiguous copy blocks per sub-init, like the reference combination()
+    (models/s4.py:612-630)."""
+    L = 12
+    layer = S4DKernelLayer(d_model=4, d_state=8, n_ssm=2, measure="diag")
+    p = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    ai = np.asarray(p["params"]["A_imag"])  # (2, 4)
+    _, imag_inv, _ = ssm_ops.diag_ssm_init("inv", 4)
+    _, imag_lin, _ = ssm_ops.diag_ssm_init("lin", 4)
+    np.testing.assert_allclose(ai[0], imag_inv, rtol=1e-5)
+    np.testing.assert_allclose(ai[1], imag_lin, rtol=1e-5)
+
+    dp = DPLRKernelLayer(d_model=4, d_state=8, n_ssm=2, measure="hippo")
+    pd = jax.jit(dp.init, static_argnums=1)(jax.random.key(0), L)
+    li = np.asarray(pd["params"]["Lambda_im"])  # (2, 8)
+    lam_legs, _, _, _ = ssm_ops.make_dplr_hippo(8)
+    lam_four, _, _ = ssm_ops.nplr_init("fourier", 8)
+    np.testing.assert_allclose(li[0], lam_legs.imag.astype(np.float32),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(li[1], lam_four.imag.astype(np.float32),
+                               rtol=1e-5, atol=1e-5)
