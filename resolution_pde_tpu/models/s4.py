@@ -82,8 +82,8 @@ class S4DKernelLayer(nn.Module):
     is_real: real-valued SSM (EMA interpretation, s4.py:999); d_state then
     counts real states directly (the reference doubles the d_state kwarg
     so N stays d_state, s4.py:1014-1016) and only A_real/C are stored.
-    Recurrent step mode (s4d_recurrent_step_fn) supports the default dt
-    parameterization and complex mode only.
+    Recurrent step mode (s4d_recurrent_step_fn) supports the full option
+    surface — pass the same dt/transform/is_real options to the builder.
     """
 
     d_model: int
@@ -255,8 +255,9 @@ class DPLRKernelLayer(nn.Module):
     zero real parts finite, s4.py:637).
     bandlimit: zero C-tilde on modes whose discrete frequency exceeds
     bandlimit/2 (inherited diag behavior, s4.py:1101-1103).
-    Recurrent step mode (dplr_recurrent_step_fn) supports the default dt
-    parameterization only.
+    Recurrent step mode (dplr_recurrent_step_fn) supports the full option
+    surface — pass the same dt/transform options to the builder (per-state
+    dt discretizes with a diagonal timestep in the bilinear transform).
     """
 
     d_model: int
@@ -453,15 +454,20 @@ class FFTConvLayer(nn.Module):
         channels = self.channels
         kernel_channels = channels * (2 if self.bidirectional else 1)
         kargs = dict(self.kernel_args or {})
+        # overlap with explicit fields: kernel_args wins when set there
+        # (lets callers carry the whole option bundle in one dict)
+        disc = kargs.pop("disc", self.disc)
+        n_ssm = kargs.pop("n_ssm", self.n_ssm)
+        rank = kargs.pop("rank", self.rank)
         if self.mode in ("dplr", "nplr"):
             k = DPLRKernelLayer(
                 self.d_model, self.d_state, channels=kernel_channels,
-                rank=self.rank, n_ssm=self.n_ssm,
+                rank=rank, n_ssm=n_ssm,
                 kernel_impl=self.kernel_impl, **kargs)(L)  # (kc, H, L)
         else:
             k = S4DKernelLayer(
                 self.d_model, self.d_state, channels=kernel_channels,
-                disc=self.disc, n_ssm=self.n_ssm,
+                disc=disc, n_ssm=n_ssm,
                 kernel_impl=self.kernel_impl, **kargs)(L)
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s),
                        (channels, h))
@@ -708,26 +714,52 @@ class S4NDModel(nn.Module):
         return jnp.moveaxis(x, -1, 1)
 
 
-def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh"):
+def _resolve_dt(kernel_params, dt_transform: str, dt_fast: bool):
+    """Resolve the stored dt parameter to positive timesteps, matching the
+    kernel layers' in-call resolution (models/s4.py:1053, 1097-1099).
+    Returns (H,) or (H, n) per-state (dt_tie=False storage)."""
+    log_dt = kernel_params["log_dt"]
+    inv_dt = jnp.sinh(log_dt) if dt_fast else log_dt
+    return ssm_ops.param_transform(inv_dt, dt_transform)
+
+
+def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh",
+                          *, dt_transform: str = "exp", dt_fast: bool = False,
+                          real_transform: str = "exp",
+                          imag_transform: str = "none",
+                          is_real: bool = False):
     """Build a recurrent step function from S4DKernelLayer params (the
     TPU replacement for _setup_step/step, models/s4.py:1787-1807).
 
     disc: 'zoh' | 'bilinear' (like the reference's _setup_step,
     s4.py:1196-1206 — 'dss' has no recurrent form there either).
-    Returns (init_state (H, N/2) complex zeros, step(state, u) -> (state, y))
-    for single-channel kernels; y matches the convolutional output exactly
-    (tested in tests/test_s4.py).
+    The dt/transform/is_real keyword options mirror S4DKernelLayer's
+    fields and must match the values the layer was constructed with
+    (dt_tie=False needs no flag — it is recognized from the stored dt
+    shape). Returns (init_state (H, N) complex zeros,
+    step(state, u) -> (state, y)) for single-channel kernels; y matches
+    the convolutional output exactly (tested in tests/test_s4.py).
     """
-    log_dt = kernel_params["log_dt"]
-    A = -jnp.exp(kernel_params["log_A_real"]) + 1j * kernel_params["A_imag"]
+    dt = _resolve_dt(kernel_params, dt_transform, dt_fast)
+    a_real = -ssm_ops.param_transform(kernel_params["log_A_real"],
+                                      real_transform)
     c = kernel_params["C"][0]  # channel 0
-    C = jax.lax.complex(c[..., 0], c[..., 1])
+    if is_real:
+        A = jax.lax.complex(a_real, jnp.zeros_like(a_real))
+        C = jax.lax.complex(c, jnp.zeros_like(c))
+    else:
+        a_imag = kernel_params["A_imag"]
+        im = (a_imag if imag_transform == "none"
+              else -ssm_ops.param_transform(a_imag, imag_transform))
+        A = jax.lax.complex(a_real, im)
+        C = jax.lax.complex(c[..., 0], c[..., 1])
     if A.shape[0] != C.shape[0]:  # n_ssm-tied copies (tiled, h mod S)
         A = jnp.tile(A, (C.shape[0] // A.shape[0], 1))
+    dt_cols = dt[:, None] if dt.ndim == 1 else dt  # per-state if tie=False
     if disc == "zoh":
-        Ab, dB = ssm_ops.discretize_diag_zoh(A, log_dt[:, None])
+        Ab, dB = ssm_ops.discretize_diag_zoh(A, None, dt=dt_cols)
     elif disc == "bilinear":
-        Ab, dB = ssm_ops.discretize_diag_bilinear(A, log_dt[:, None])
+        Ab, dB = ssm_ops.discretize_diag_bilinear(A, None, dt=dt_cols)
     else:
         raise ValueError(
             f"no recurrent form for disc={disc!r} (reference supports "
@@ -746,18 +778,26 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh"):
     return init_state, step
 
 
-def dplr_recurrent_step_fn(kernel_params, L: int):
+def dplr_recurrent_step_fn(kernel_params, L: int, *,
+                           dt_transform: str = "exp", dt_fast: bool = False,
+                           real_transform: str = "exp"):
     """Recurrent step for the FULL S4 (DPLR) kernel — the TPU replacement
     for SSMKernelDPLR._setup_step/step (models/s4.py:1190-1218, 1787-1807).
 
     kernel_params: a DPLRKernelLayer param subtree. L is the kernel length
-    the layer was trained at (the C recovery inverts I - Abar^L).
+    the layer was trained at (the C recovery inverts I - Abar^L). The
+    dt/transform keyword options mirror DPLRKernelLayer's fields and must
+    match the layer's construction; dt_tie=False storage ((H, N/2) per
+    conjugate pair) is recognized from the stored dt shape and broadcast
+    to both halves of the full-N spectrum, exactly like the conv path.
     Returns (init_state, step) with state (B, H, N) complex; y matches the
     convolutional output exactly (tests/test_s4.py).
     """
-    log_dt = kernel_params["log_dt"]                       # (H,)
-    Lam = jax.lax.complex(-jnp.exp(kernel_params["Lambda_log_neg_re"]),
-                          kernel_params["Lambda_im"])      # (S, N)
+    dt = _resolve_dt(kernel_params, dt_transform, dt_fast)  # (H,)|(H,N/2)
+    Lam = jax.lax.complex(
+        -ssm_ops.param_transform(kernel_params["Lambda_log_neg_re"],
+                                 real_transform),
+        kernel_params["Lambda_im"])                         # (S, N)
     P = jax.lax.complex(kernel_params["P_vec"][..., 0],
                         kernel_params["P_vec"][..., 1])    # (S,N)|(R,S,N)
     B = jax.lax.complex(kernel_params["B_vec"][..., 0],
@@ -771,12 +811,14 @@ def dplr_recurrent_step_fn(kernel_params, L: int):
         P = (jnp.tile(P, (rep, 1)) if P.ndim == 2
              else jnp.tile(P, (1, rep, 1)))
 
+    if dt.ndim == 2:  # dt_tie=False: per pair -> both spectrum halves
+        dt = jnp.concatenate([dt, dt], axis=-1)            # (H, N)
     p_axis = 0 if P.ndim == 2 else 1  # rank-general storage layout
     Ab, Bb, C = jax.vmap(
-        lambda lam, p, b, ct, ld: ssm_ops.discretize_dplr(
-            lam, p, b, ct, ld, L),
+        lambda lam, p, b, ct, d: ssm_ops.discretize_dplr(
+            lam, p, b, ct, None, L, dt=d),
         in_axes=(0, p_axis, 0, 0, 0),
-    )(Lam, P, B, C_t, log_dt)                              # (H,N,N),(H,N),(H,N)
+    )(Lam, P, B, C_t, dt)                                  # (H,N,N),(H,N),(H,N)
     h, n = Lam.shape
 
     def init_state(batch: int):

@@ -67,6 +67,7 @@ class S4BaseModel(nn.Module):
     bidirectional: bool = False
     s4_dropout: float = 0.0
     final_mlp_hidden_expansion: Optional[int] = None
+    kernel_args: Optional[dict] = None  # S4Block long-tail kernel options
 
     @nn.compact
     def __call__(self, x, grid, deterministic: bool = True):
@@ -84,7 +85,8 @@ class S4BaseModel(nn.Module):
                 z = nn.LayerNorm()(z)
             z = S4Block(self.d_model, mode=self.mode,
                         bidirectional=self.bidirectional,
-                        dropout=self.s4_dropout)(z, deterministic)
+                        dropout=self.s4_dropout,
+                        kernel_args=self.kernel_args)(z, deterministic)
             if self.exo_dropout > 0.0:
                 z = nn.Dropout(self.exo_dropout,
                                deterministic=deterministic)(z)
@@ -121,6 +123,7 @@ class S4SeqModel(nn.Module):
     n_layers: int = 4
     dropout: float = 0.0
     mode: str = "diag"
+    kernel_args: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, grid, deterministic: bool = True):
@@ -134,7 +137,8 @@ class S4SeqModel(nn.Module):
         x = nn.Dense(self.d_model)(x)
         for _ in range(self.n_layers):
             z = S4Block(self.d_model, mode=self.mode,
-                        dropout=self.dropout)(x, deterministic)
+                        dropout=self.dropout,
+                        kernel_args=self.kernel_args)(x, deterministic)
             x = z + x
         x = nn.Dense(self.d_output)(x)
         return iop.unbatch_space(x, input_shape)
@@ -203,6 +207,7 @@ class S4BaseSeqModel(nn.Module):
     exo_dropout: float = 0.0
     interlayer_act: Optional[str] = None
     mode: str = "diag"
+    kernel_args: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, grid, deterministic: bool = True):
@@ -213,7 +218,8 @@ class S4BaseSeqModel(nn.Module):
         x = iop.batch_space(x)  # ((B S), T, V+1)
         x = nn.Dense(self.d_model)(x)
         for _ in range(self.n_layers):
-            z = S4Block(self.d_model, mode=self.mode)(x, deterministic)
+            z = S4Block(self.d_model, mode=self.mode,
+                        kernel_args=self.kernel_args)(x, deterministic)
             if self.exo_dropout > 0.0:
                 z = nn.Dropout(self.exo_dropout,
                                deterministic=deterministic)(z)
@@ -241,6 +247,7 @@ class S4DualSeqModel(nn.Module):
     bidirectional_space: bool = True
     mode: str = "diag"
     exo_dropout: float = 0.0
+    kernel_args: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, grid, deterministic: bool = True):
@@ -255,13 +262,15 @@ class S4DualSeqModel(nn.Module):
                 # time -> batch; bidirectional S4 over SPACE
                 z = x.reshape(b * t, s, d)
                 z = S4Block(d, mode=self.mode,
-                            bidirectional=self.bidirectional_space)(
+                            bidirectional=self.bidirectional_space,
+                            kernel_args=self.kernel_args)(
                     z, deterministic)
                 z = z.reshape(b, t, s, d)
             elif proc == "BatchSpace":
                 # space -> batch; causal S4 over TIME
                 z = jnp.moveaxis(x, 1, 2).reshape(b * s, t, d)
-                z = S4Block(d, mode=self.mode, bidirectional=False)(
+                z = S4Block(d, mode=self.mode, bidirectional=False,
+                            kernel_args=self.kernel_args)(
                     z, deterministic)
                 z = jnp.moveaxis(z.reshape(b, s, t, d), 2, 1)
             else:
@@ -304,9 +313,23 @@ class ChainModel(nn.Module):
         return y[:, self.chain_length - 1 :: self.chain_length]
 
 
+def _recurrent_step_options(kernel_args, mode: str):
+    """Split a layer's kernel_args into (disc, step-fn kwargs) for the
+    recurrent builders — only the options that change parameter RESOLUTION
+    matter at step time (shape-only options like dt_tie/n_ssm are
+    recognized from the stored parameter shapes)."""
+    ka = dict(kernel_args or {})
+    disc = ka.get("disc", "zoh")
+    keys = (("dt_transform", "dt_fast", "real_transform", "imag_transform",
+             "is_real") if mode == "diag"
+            else ("dt_transform", "dt_fast", "real_transform"))
+    return disc, {k: ka[k] for k in keys if k in ka}
+
+
 def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
                         L_train: int,
-                        interlayer_act: Optional[str] = None):
+                        interlayer_act: Optional[str] = None,
+                        kernel_args: Optional[dict] = None):
     """Build the recurrent (init_state, step) pair for an
     S4BaseSeqModel/S4SeqModel param tree — the TPU-functional equivalent of
     the reference's setup_step/default_state/step
@@ -317,11 +340,14 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
     (y_t (B_, d_output), new_state). Outputs match the causal
     convolutional forward exactly (tests/test_s4_base_mgpt.py).
     `interlayer_act` must match the model's field — it is applied after
-    each residual, as in S4BaseSeqModel.__call__.
+    each residual, as in S4BaseSeqModel.__call__. `kernel_args` likewise
+    (the S4Block kernel_args the model was constructed with); dt/transform
+    options are resolved identically to the conv path.
     """
     from resolution_pde_tpu.models.s4 import (
         dplr_recurrent_step_fn, s4d_recurrent_step_fn)
 
+    disc, step_kw = _recurrent_step_options(kernel_args, mode)
     p = params["params"] if "params" in params else params
     enc_k, enc_b = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
     dec_k, dec_b = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
@@ -330,10 +356,11 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
         blk = p[f"S4Block_{i}"]
         conv = blk["FFTConvLayer_0"]
         if mode == "diag":
-            init_s, kstep = s4d_recurrent_step_fn(conv["S4DKernelLayer_0"])
+            init_s, kstep = s4d_recurrent_step_fn(
+                conv["S4DKernelLayer_0"], disc=disc, **step_kw)
         else:
             init_s, kstep = dplr_recurrent_step_fn(
-                conv["DPLRKernelLayer_0"], L_train)
+                conv["DPLRKernelLayer_0"], L_train, **step_kw)
         layers.append((init_s, kstep, conv["D"][0],
                        blk["Dense_0"]["kernel"], blk["Dense_0"]["bias"]))
 
@@ -362,7 +389,8 @@ def s4seq_recurrent_fns(params, d_model: int, n_layers: int, mode: str,
 
 
 def s4dualseq_recurrent_fns(params, model: "S4DualSeqModel",
-                            L_train: int):
+                            L_train: int,
+                            kernel_args: Optional[dict] = None):
     """Recurrent (init_state, step) for S4DualSeqModel — the reference's
     setup_step/step (s4seq_model.py:245-331): 'BatchSpace' (time) layers
     step their SSM state per spatial point; 'BatchTime' (spatial) layers
@@ -377,6 +405,9 @@ def s4dualseq_recurrent_fns(params, model: "S4DualSeqModel",
     from resolution_pde_tpu.models.s4 import (
         S4Block, dplr_recurrent_step_fn, s4d_recurrent_step_fn)
 
+    if kernel_args is None:
+        kernel_args = getattr(model, "kernel_args", None)
+    disc, step_kw = _recurrent_step_options(kernel_args, model.mode)
     p = params["params"] if "params" in params else params
     enc_k, enc_b = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
     dec_k, dec_b = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
@@ -387,16 +418,17 @@ def s4dualseq_recurrent_fns(params, model: "S4DualSeqModel",
         blk = p[f"S4Block_{i}"]
         if proc == "BatchTime":
             mod = S4Block(d, mode=model.mode,
-                          bidirectional=model.bidirectional_space)
+                          bidirectional=model.bidirectional_space,
+                          kernel_args=kernel_args)
             layers.append(("spatial", mod, blk))
         else:
             conv = blk["FFTConvLayer_0"]
             if model.mode == "diag":
                 init_s, kstep = s4d_recurrent_step_fn(
-                    conv["S4DKernelLayer_0"])
+                    conv["S4DKernelLayer_0"], disc=disc, **step_kw)
             else:
                 init_s, kstep = dplr_recurrent_step_fn(
-                    conv["DPLRKernelLayer_0"], L_train)
+                    conv["DPLRKernelLayer_0"], L_train, **step_kw)
             layers.append(("time", (init_s, kstep, conv["D"][0],
                                     blk["Dense_0"]["kernel"],
                                     blk["Dense_0"]["bias"]), blk))
@@ -450,7 +482,8 @@ def chain_predict(params, inner_model, x0, grid, n_timesteps: int,
     init_state, step = s4seq_recurrent_fns(
         {"params": p}, inner_model.d_model, inner_model.n_layers,
         inner_model.mode, L_train=train_timesteps * chain_length,
-        interlayer_act=getattr(inner_model, "interlayer_act", None))
+        interlayer_act=getattr(inner_model, "interlayer_act", None),
+        kernel_args=getattr(inner_model, "kernel_args", None))
     b, s_pts, v = x0.shape
 
     def window(x_seed):

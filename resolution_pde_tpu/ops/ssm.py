@@ -369,24 +369,28 @@ def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int, dt=None):
     return jnp.real(out)
 
 
-def discretize_dplr(Lambda, P, B, C_tilde, log_dt, L: int):
+def discretize_dplr(Lambda, P, B, C_tilde, log_dt, L: int, dt=None):
     """Discrete (Abar, Bbar, C) for recurrent stepping
     (models/s4.py:1190-1218 _setup_step semantics, bilinear transform).
 
     Per-feature inputs as in dplr_kernel; P may be (N,) rank-1 or (R, N).
+    log_dt: scalar, or pass dt= directly (scalar, or (N,) per-state —
+    bilinear with diagonal timestep: Abar = (2 diag(1/dt) - A)^{-1}
+    (2 diag(1/dt) + A), matching the per-state-dt generating function).
     Returns (Ab (N,N), Bb (N,), C (N,)) complex, where
     y_k = 2 Re(C^* x_k) ... consistent with kernel above.
     """
-    step = jnp.exp(log_dt)
+    step = jnp.exp(log_dt) if dt is None else dt
     n = Lambda.shape[0]
     if P.ndim == 1:
         P = P[None]
     A = jnp.diag(Lambda) - jnp.einsum("rm,rn->mn", P, jnp.conj(P))
     I = jnp.eye(n, dtype=A.dtype)
-    A0 = (2.0 / step) * I + A
+    D = jnp.diag(jnp.broadcast_to(2.0 / step, (n,)).astype(A.dtype))
+    A0 = D + A
     # (2/dt I - A)^{-1} via a dense solve: exact for any rank (the rank-1
     # Woodbury special case is subsumed; N is small so setup cost is moot)
-    A1 = jnp.linalg.inv((2.0 / step) * I - A)
+    A1 = jnp.linalg.inv(D - A)
     Ab = A1 @ A0
     Bb = 2.0 * (A1 @ B[:, None])[:, 0]
     # Recover the stepping C from the trained C_tilde:
@@ -396,26 +400,28 @@ def discretize_dplr(Lambda, P, B, C_tilde, log_dt, L: int):
     return Ab, Bb, C
 
 
-def discretize_diag_zoh(A, log_dt):
+def discretize_diag_zoh(A, log_dt, dt=None):
     """Discrete (Abar (N,), Bbar_C (N,)) for S4D recurrence, per feature.
 
     ZOH: Abar = exp(dt A); effective input weight dB = (exp(dt A)-1)/A
     (matching s4d_kernel_zoh so step-mode equals convolution mode).
     Recurrence: x_k = Abar x_{k-1} + dB u_k; y_k = 2 Re(sum C x_k).
+    log_dt or explicit dt=, broadcastable against A (per-feature column
+    or per-state full shape).
     """
-    dt = jnp.exp(log_dt)
+    dt = jnp.exp(log_dt) if dt is None else dt
     dtA = A * dt
     Ab = jnp.exp(dtA)
     dB = (jnp.exp(dtA) - 1.0) / A
     return Ab, dB
 
 
-def discretize_diag_bilinear(A, log_dt):
+def discretize_diag_bilinear(A, log_dt, dt=None):
     """Bilinear discretization for the diagonal kernel (models/s4.py:
     1203-1205, disc='bilinear'): Abar = (1+dtA/2)/(1-dtA/2),
     dB = dt/(1-dtA/2) — matching s4d_kernel_bilinear so step mode equals
-    convolution mode."""
-    dt = jnp.exp(log_dt)
+    convolution mode. log_dt or explicit dt= as in discretize_diag_zoh."""
+    dt = jnp.exp(log_dt) if dt is None else dt
     dtA = A * dt
     Ab = (1.0 + dtA / 2.0) / (1.0 - dtA / 2.0)
     dB = dt / (1.0 - dtA / 2.0)

@@ -393,3 +393,73 @@ def test_combination_inits_block_structure():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(li[1], lam_four.imag.astype(np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Recurrent step mode across the kernel option surface (round-3 closure of
+# the PARITY #19 tail: step fns resolve dt/transforms exactly like conv)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("opts", [
+    dict(dt_tie=False),
+    dict(dt_transform="softplus"),
+    dict(dt_fast=True),
+    dict(is_real=True),
+    dict(imag_transform="exp"),
+    dict(real_transform="softplus"),
+    dict(disc="bilinear", dt_transform="sigmoid", dt_fast=True),
+    dict(n_ssm=2, dt_tie=False),
+], ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
+def test_s4d_option_surface_conv_equals_recurrence(rng, opts):
+    """Every dt/transform/is_real option: FFT-convolution output ==
+    recurrent stepping built with the matching step options."""
+    H, L = 4, 16
+    layer = S4DKernelLayer(d_model=H, d_state=8, channels=1, **opts)
+    params = layer.init(jax.random.key(1), L)
+    k = layer.apply(params, L)[0]  # (H, L)
+
+    u = rng.standard_normal((2, H, L)).astype(np.float32)
+    y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
+
+    step_kw = {k_: opts[k_] for k_ in
+               ("dt_transform", "dt_fast", "real_transform",
+                "imag_transform", "is_real") if k_ in opts}
+    init_state, step = s4d_recurrent_step_fn(
+        params["params"], disc=opts.get("disc", "zoh"), **step_kw)
+    state = init_state(2)
+    ys = []
+    for t in range(L):
+        state, y = step(state, jnp.asarray(u[:, :, t]))
+        ys.append(np.asarray(y))
+    y_rec = np.stack(ys, axis=-1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("opts", [
+    dict(dt_tie=False),
+    dict(dt_transform="softplus", dt_fast=True),
+    dict(real_transform="softplus"),
+], ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
+def test_dplr_option_surface_conv_equals_recurrence(rng, opts):
+    """DPLR dt/transform options: the per-state-dt dense-solve
+    discretization must agree with the generating-function kernel."""
+    from resolution_pde_tpu.models.s4 import dplr_recurrent_step_fn
+
+    H, L = 2, 12
+    layer = DPLRKernelLayer(d_model=H, d_state=8, channels=1, **opts)
+    params = layer.init(jax.random.key(2), L)
+    k = layer.apply(params, L)[0]  # (H, L)
+
+    u = rng.standard_normal((2, H, L)).astype(np.float32)
+    y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
+
+    step_kw = {k_: opts[k_] for k_ in
+               ("dt_transform", "dt_fast", "real_transform") if k_ in opts}
+    init_state, step = dplr_recurrent_step_fn(params["params"], L, **step_kw)
+    state = init_state(2)
+    ys = []
+    for t in range(L):
+        state, y = step(state, jnp.asarray(u[:, :, t]))
+        ys.append(np.asarray(y))
+    y_rec = np.stack(ys, axis=-1)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=1e-3, atol=1e-4)

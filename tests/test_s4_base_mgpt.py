@@ -296,3 +296,32 @@ def test_chain_predict_recurrent_rollout(rng):
                       train_timesteps=t, chain_length=2)
     assert y.shape == (b, 7, s, v)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_s4seq_kernel_args_conv_equals_recurrent_step(rng):
+    """kernel_args (long-tail kernel options) thread through the seq model
+    AND its recurrent builder: conv == scan-of-steps with
+    disc='bilinear' + dt_fast set via kernel_args."""
+    from resolution_pde_tpu.models.s4_base import (
+        S4BaseSeqModel, s4seq_recurrent_fns)
+
+    b, t, s, v, d = 2, 8, 4, 1, 12
+    x, grid = _seq_inputs(rng, b, t, s, v)
+    ka = dict(disc="bilinear", dt_fast=True, dt_transform="softplus")
+    m = S4BaseSeqModel(d_input=v, d_output=1, d_model=d, n_layers=2,
+                       mode="diag", kernel_args=ka)
+    p = m.init(jax.random.key(0), x, grid)
+    y_conv = np.asarray(m.apply(p, x, grid))
+
+    init_state, step = s4seq_recurrent_fns(p, d, 2, "diag", L_train=t,
+                                           kernel_args=ka)
+    xt = np.moveaxis(np.asarray(x), 1, 2).reshape(b * s, t, v)
+    gt = np.asarray(grid).reshape(b * s, 1)
+    state = init_state(b * s)
+    ys = []
+    for k in range(t):
+        y_k, state = step(state, jnp.asarray(xt[:, k]), jnp.asarray(gt))
+        ys.append(np.asarray(y_k))
+    y_rec = np.stack(ys, axis=1).reshape(b, s, t, 1)
+    y_rec = np.moveaxis(y_rec, 1, 2)
+    np.testing.assert_allclose(y_rec, y_conv, rtol=2e-3, atol=2e-4)
