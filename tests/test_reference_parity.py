@@ -1264,3 +1264,59 @@ def test_nplr_fourier_matches_reference_half_spectrum(rng):
     # full spectrum closed under conjugation
     np.testing.assert_allclose(
         key(lam), key(np.conj(lam)), atol=1e-6)
+
+
+def test_dplr_kernel_hippo_combination_golden(rng):
+    """The 'hippo' combination init (models/s4.py:612-625: half the n_ssm
+    copies 'legs', half 'fourier'): reference SSMKernelDPLR with
+    init='hippo', n_ssm=2 == DPLRKernelLayer(measure='hippo', n_ssm=2)
+    after transplant — exercises the combination + tying resolve path."""
+    import torch
+    import jax
+
+    ref_s4 = _import_ref_s4()
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+
+    torch.manual_seed(10)
+    h, n_ref, L = 4, 4, 16
+    ref = ref_s4.SSMKernelDPLR(d_model=h, d_state=2 * n_ref, l_max=L,
+                               init="hippo", n_ssm=2, verbose=False)
+    with torch.no_grad():
+        k_ref, _ = ref.forward(L=L)
+    k_ref = k_ref.detach().numpy()
+
+    layer = DPLRKernelLayer(d_model=h, d_state=2 * n_ref, channels=1,
+                            measure="hippo", n_ssm=2)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), L)
+    sub = _transplant_dplr_kernel(ref, params["params"])
+    k_mine = np.asarray(
+        jax.jit(lambda p: layer.apply({"params": p}, L))(sub))
+    np.testing.assert_allclose(k_mine, k_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dplr_hippo_combination_init_structure():
+    """Our OWN 'hippo' init assigns copy 0 the legs NPLR spectrum and
+    copy 1 the fourier NPLR spectrum (contiguous blocks, like the
+    reference's combination(), models/s4.py:619-630)."""
+    import jax
+
+    from resolution_pde_tpu.models.s4 import DPLRKernelLayer
+    from resolution_pde_tpu.ops import ssm as ssm_ops
+
+    n = 8
+    layer = DPLRKernelLayer(d_model=4, d_state=n, channels=1,
+                            measure="hippo", n_ssm=2)
+    params = jax.jit(layer.init, static_argnums=1)(jax.random.key(0), 16)
+    p = params["params"]
+    lam = (-np.exp(np.asarray(p["Lambda_log_neg_re"]))
+           + 1j * np.asarray(p["Lambda_im"]))  # (2, N)
+
+    legs, _, _, _ = ssm_ops.make_dplr_hippo(n)
+    four, _, _ = ssm_ops.nplr_init("fourier", n)
+    # the stored real part went through the 1e-4 clamp + log roundtrip
+    np.testing.assert_allclose(lam[0].imag, legs.imag, atol=1e-5)
+    np.testing.assert_allclose(lam[0].real,
+                               np.minimum(legs.real, -1e-4), atol=1e-5)
+    np.testing.assert_allclose(lam[1].imag, four.imag, atol=1e-5)
+    np.testing.assert_allclose(lam[1].real,
+                               np.minimum(four.real, -1e-4), atol=1e-5)
