@@ -22,25 +22,28 @@ def solve_burgers(u0, nu: float = 1e-3, dt: float = 1e-4,
                   n_snapshots: int = 201, steps_per_snapshot: int = 100):
     """u0: (B, N) on [0, 1). Returns (B, n_snapshots, N), snapshot 0 = u0."""
     n = u0.shape[-1]
-    k = 2 * np.pi * np.fft.fftfreq(n, d=1.0 / n)
+    # half-spectrum state (rfft): conjugate symmetry by construction —
+    # see datagen/ks.py for why real(ifft(.)) full-spectrum stepping is
+    # unsafe (here the CN diffusion damps the asymmetric component, but
+    # rfft is still exact and half the work)
+    k = 2 * np.pi * np.fft.rfftfreq(n, d=1.0 / n)
     lap = -(k ** 2)
     cn_num = jnp.asarray(1.0 + 0.5 * dt * nu * lap)
     cn_den = jnp.asarray(1.0 - 0.5 * dt * nu * lap)
     ik = jnp.asarray(1j * k)
-    k_max = np.abs(k).max()
-    dealias = jnp.asarray(
-        (np.abs(k) <= (2.0 / 3.0) * k_max).astype(np.float32))
+    k_max = k.max()
+    dealias = jnp.asarray((k <= (2.0 / 3.0) * k_max).astype(np.float32))
 
     def step(v):
-        u = jnp.real(jnp.fft.ifft(v, axis=-1))
-        nl = -0.5 * ik * jnp.fft.fft(u * u, axis=-1) * dealias
+        u = jnp.fft.irfft(v, n=n, axis=-1)
+        nl = -0.5 * ik * jnp.fft.rfft(u * u, axis=-1) * dealias
         return (cn_num * v + dt * nl) / cn_den
 
-    v0 = jnp.fft.fft(u0, axis=-1)
+    v0 = jnp.fft.rfft(u0, axis=-1)
 
     def chunk(v, _):
         v = jax.lax.fori_loop(0, steps_per_snapshot, lambda i, s: step(s), v)
-        return v, jnp.real(jnp.fft.ifft(v, axis=-1))
+        return v, jnp.fft.irfft(v, n=n, axis=-1)
 
     _, snaps = jax.lax.scan(chunk, v0, None, length=n_snapshots - 1)
     traj = jnp.concatenate([u0[:, None], jnp.moveaxis(snaps, 0, 1)], axis=1)

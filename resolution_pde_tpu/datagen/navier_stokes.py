@@ -7,6 +7,11 @@ dealiasing, Crank-Nicolson semi-implicit update; snapshots recorded every
 floor(steps/record_steps) steps. The reference runs on the removed
 torch.rfft API (torch <= 1.7); this is the modern complex-FFT formulation.
 
+Full-spectrum stepping with real(ifft2(.)) projections is safe HERE
+(unlike datagen/ks.py, which must use rfft): the linear operator
+-visc k^2 is pure decay, so the conjugate-asymmetric roundoff component
+is damped rather than amplified.
+
 TPU design: the whole time integration is a lax.scan of fori_loop chunks —
 one compiled program, no per-step host round-trips; batched over initial
 conditions.

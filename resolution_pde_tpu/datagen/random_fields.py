@@ -46,16 +46,24 @@ class GaussianRF:
         sqrt_eig[(0,) * dim] = 0.0
         self.sqrt_eig = jnp.asarray(sqrt_eig, jnp.float32)
 
+        def _sample(key, n: int):
+            kr, ki = jax.random.split(key)
+            shape = (n, *self.size_tuple)
+            coeff = jax.lax.complex(
+                self.sqrt_eig * jax.random.normal(kr, shape),
+                self.sqrt_eig * jax.random.normal(ki, shape),
+            )
+            axes = tuple(range(1, self.dim + 1))
+            # legacy torch.ifft(normalized=False) is the standard
+            # 1/N^d-scaled inverse (numpy's default); the size^d factor in
+            # sqrt_eig cancels it
+            return jnp.real(jnp.fft.ifftn(coeff, axes=axes))
+
+        # jitted once per instance: eager dispatch is unsupported on some
+        # TPU backends (CLAUDE.md platform gotchas), and datagen drivers
+        # call this directly
+        self._sample = jax.jit(_sample, static_argnames=("n",))
+
     def sample(self, key, n: int):
-        """Sample n fields; returns real (n, *size)."""
-        kr, ki = jax.random.split(key)
-        shape = (n, *self.size_tuple)
-        coeff = jax.lax.complex(
-            self.sqrt_eig * jax.random.normal(kr, shape),
-            self.sqrt_eig * jax.random.normal(ki, shape),
-        )
-        axes = tuple(range(1, self.dim + 1))
-        # legacy torch.ifft(normalized=False) is the standard 1/N^d-scaled
-        # inverse (numpy's default); the size^d factor in sqrt_eig cancels it
-        u = jnp.fft.ifftn(coeff, axes=axes)
-        return jnp.real(u)
+        """Sample n fields; returns real (n, *size). Jitted."""
+        return self._sample(key, n)

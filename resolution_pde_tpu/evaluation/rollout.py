@@ -77,6 +77,10 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
         raise ValueError(
             f"cannot roll out: trajectories have {t} frame(s) and "
             f"rollout_steps={rollout_steps}")
+    if n == 0:  # empty trajectory set (tiny-n splits): nothing to score
+        if per_step_losses is not None:
+            per_step_losses[:] = [0.0] * steps
+        return 0.0
 
     # The whole batch — rollout, decode, per-step losses — is ONE jitted
     # program returning the (steps,) loss vector; batches accumulate
@@ -199,6 +203,10 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
         raise ValueError(
             f"trajectories of {t} frames cannot seed a window of "
             f"{window_size} and roll out")
+    if n == 0:  # empty trajectory set (tiny-n splits): nothing to score
+        if per_step_losses is not None:
+            per_step_losses[:] = [0.0] * steps
+        return 0.0
 
     # one jitted program per batch + device-side accumulation, single host
     # fetch per resolution (see rollout_loss)

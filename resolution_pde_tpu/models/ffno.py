@@ -156,9 +156,7 @@ class FSpectralConv2d(nn.Module):
                     import jax as _jax
 
                     x = factorized_spectral_conv_2d_pallas2(
-                        x if self.compute_dtype is not None
-                        else x.astype(jnp.float32),
-                        wy, wx, self.n_modes,
+                        xin, wy, wx, self.n_modes,
                         compute_dtype=self.compute_dtype,
                         interpret=_jax.default_backend() not in
                         ("tpu", "axon")).astype(dt)

@@ -727,7 +727,8 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh",
                           *, dt_transform: str = "exp", dt_fast: bool = False,
                           real_transform: str = "exp",
                           imag_transform: str = "none",
-                          is_real: bool = False):
+                          is_real: bool = False,
+                          bandlimit=None):
     """Build a recurrent step function from S4DKernelLayer params (the
     TPU replacement for _setup_step/step, models/s4.py:1787-1807).
 
@@ -756,6 +757,11 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh",
     if A.shape[0] != C.shape[0]:  # n_ssm-tied copies (tiled, h mod S)
         A = jnp.tile(A, (C.shape[0] // A.shape[0], 1))
     dt_cols = dt[:, None] if dt.ndim == 1 else dt  # per-state if tie=False
+    if bandlimit is not None:
+        # mask C above the bandlimit exactly like the conv path
+        # (models/s4.py:1101-1103)
+        freqs = dt_cols * jnp.abs(jnp.imag(A)) / (2.0 * math.pi)
+        C = C * (freqs < bandlimit * 0.5).astype(C.real.dtype)
     if disc == "zoh":
         Ab, dB = ssm_ops.discretize_diag_zoh(A, None, dt=dt_cols)
     elif disc == "bilinear":
@@ -780,7 +786,8 @@ def s4d_recurrent_step_fn(kernel_params, L_unused=None, disc: str = "zoh",
 
 def dplr_recurrent_step_fn(kernel_params, L: int, *,
                            dt_transform: str = "exp", dt_fast: bool = False,
-                           real_transform: str = "exp"):
+                           real_transform: str = "exp",
+                           bandlimit=None):
     """Recurrent step for the FULL S4 (DPLR) kernel — the TPU replacement
     for SSMKernelDPLR._setup_step/step (models/s4.py:1190-1218, 1787-1807).
 
@@ -813,6 +820,12 @@ def dplr_recurrent_step_fn(kernel_params, L: int, *,
 
     if dt.ndim == 2:  # dt_tie=False: per pair -> both spectrum halves
         dt = jnp.concatenate([dt, dt], axis=-1)            # (H, N)
+    if bandlimit is not None:
+        # mask the trained C-tilde above the bandlimit BEFORE the stepping-C
+        # recovery, exactly like the conv path (models/s4.py:1101-1103)
+        dt_b = dt[:, None] if dt.ndim == 1 else dt
+        freqs = dt_b * jnp.abs(jnp.imag(Lam)) / (2.0 * math.pi)
+        C_t = C_t * (freqs < bandlimit * 0.5).astype(C_t.real.dtype)
     p_axis = 0 if P.ndim == 2 else 1  # rank-general storage layout
     Ab, Bb, C = jax.vmap(
         lambda lam, p, b, ct, d: ssm_ops.discretize_dplr(

@@ -321,8 +321,8 @@ def _recurrent_step_options(kernel_args, mode: str):
     ka = dict(kernel_args or {})
     disc = ka.get("disc", "zoh")
     keys = (("dt_transform", "dt_fast", "real_transform", "imag_transform",
-             "is_real") if mode == "diag"
-            else ("dt_transform", "dt_fast", "real_transform"))
+             "is_real", "bandlimit") if mode == "diag"
+            else ("dt_transform", "dt_fast", "real_transform", "bandlimit"))
     return disc, {k: ka[k] for k in keys if k in ka}
 
 

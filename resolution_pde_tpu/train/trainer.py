@@ -218,21 +218,30 @@ class Trainer:
                       else jnp.ones((accum, b // accum), jnp.float32))
 
                 def micro(carry, inp):
-                    model_state, gsum, lsum, i = carry
+                    model_state, gsum, lsum, wtot, i = carry
                     xb, yb, wb = inp
                     key = jax.random.fold_in(
                         state.dropout_key, state.step * accum + i)
                     loss, new_ms, grads = grads_of(
                         state.params, model_state, xb, yb, wb, key)
-                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-                    return (new_ms, gsum, lsum + loss, i + 1), None
+                    # weight each microbatch by its REAL-sample count so
+                    # padded straggler batches reproduce the accum=1
+                    # weighted mean exactly (each micro loss/grad is a
+                    # sum(w*.)/sum(w) mean; re-weighting by sum(w) and
+                    # dividing by the total recovers the global mean)
+                    wsum = jnp.sum(wb)
+                    gsum = jax.tree_util.tree_map(
+                        lambda a, g: a + wsum * g, gsum, grads)
+                    return (new_ms, gsum, lsum + wsum * loss,
+                            wtot + wsum, i + 1), None
 
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-                (new_model_state, gsum, lsum, _), _ = jax.lax.scan(
-                    micro, (state.model_state, zeros, 0.0, 0),
+                (new_model_state, gsum, lsum, wtot, _), _ = jax.lax.scan(
+                    micro, (state.model_state, zeros, 0.0, 0.0, 0),
                     (xm, ym, wm))
-                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
-                loss = lsum / accum
+                denom = jnp.maximum(wtot, 1.0)
+                grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+                loss = lsum / denom
             else:
                 key = jax.random.fold_in(state.dropout_key, state.step)
                 loss, new_model_state, grads = grads_of(

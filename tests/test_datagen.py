@@ -1,6 +1,7 @@
 """Data-generation tests: GRF statistics/parity, NS solver physics
 (conservation/decay sanity + parity vs an independent torch reimplementation
 of the reference stepping), KS/Burgers solver sanity, writer round-trips."""
+import os
 
 import numpy as np
 import pytest
@@ -219,3 +220,56 @@ def test_generate_data_cli_burgers_feeds_factory(tmp_path):
     res = burger_markov_dataset("1D_Burgers_Sols_Nu0.001.hdf5", out,
                                 normalization_type="simple")
     assert len(res[0]) > 0 and res[0].x.shape[-1] == 32
+
+
+def test_generate_data_ks_viscosity_and_splits(tmp_path):
+    """The viscosity knob reaches the solver (different physics per value)
+    and splits=... controls the naive train/valid/test file sizes."""
+    import h5py
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+
+    def train_arr(out):
+        with h5py.File(os.path.join(out, "KS_train_2048.h5"), "r") as f:
+            g = f["train"]
+            key = next(k for k in g.keys() if k.startswith("pde"))
+            return np.asarray(g[key])
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    common = ["pde=ks", "n=8", "resolutions=[32]", "n_snapshots=3",
+              "seed=0", "splits=[0.5,0.25,0.25]"]
+    gen_main([f"out={out_a}", "viscosity=1.0"] + common)
+    gen_main([f"out={out_b}", "viscosity=2.0"] + common)
+
+    a, b = train_arr(out_a), train_arr(out_b)
+    assert a.shape == b.shape
+    assert not np.allclose(a, b), "viscosity did not reach the solver"
+
+    # splits=[0.5,0.25,0.25] at n=8 -> 4/2/2 trajectories
+    def n_traj(out, name, split):
+        with h5py.File(os.path.join(out, name), "r") as f:
+            g = f[split]
+            key = next(k for k in g.keys() if k.startswith("pde"))
+            return g[key].shape[0]
+
+    assert n_traj(out_a, "KS_train_2048.h5", "train") == 4
+    assert n_traj(out_a, "KS_valid.h5", "valid") == 2
+    assert n_traj(out_a, "KS_test.h5", "test") == 2
+
+
+def test_ks_long_run_stays_on_attractor():
+    """Regression for the kursiv.m conjugate-symmetry runaway: full-spectrum
+    stepping with real(ifft(.)) nonlinearity diverges at t ~ 150 (the
+    conjugate-asymmetric roundoff component grows at the bare linear rate
+    1/(4 visc)); the rfft half-spectrum formulation must stay on the
+    bounded KS attractor for arbitrarily long runs."""
+    L = 32 * np.pi
+    x = np.linspace(0, L, 128, endpoint=False)
+    u0 = jnp.asarray(np.cos(x / 16) * (1 + np.sin(x / 16)),
+                     jnp.float32)[None]
+    t = np.asarray(solve_ks(u0, L=L, visc=1.0, dt=0.25, n_snapshots=13,
+                            steps_per_snapshot=200))  # T = 600
+    assert np.isfinite(t).all()
+    assert np.abs(t).max() < 10.0  # attractor amplitude ~3
+    # still chaotic, not decayed
+    assert np.abs(t[0, -1]).max() > 0.5

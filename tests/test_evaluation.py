@@ -294,3 +294,21 @@ def test_window_rollout_loss_perfect_shift_model(rng):
     loss = window_rollout_loss(ShiftModel(), None, traj, rollout_steps=4,
                                window_size=w)
     assert loss < 1e-6
+
+
+def test_rollout_loss_empty_trajectory_set():
+    """Zero trajectories (tiny-n splits can produce an empty eval bucket):
+    rollout_loss returns 0.0 instead of crashing on the None accumulator."""
+    from resolution_pde_tpu.evaluation.rollout import window_rollout_loss
+
+    class RollModel:
+        def apply(self, params, x, deterministic=True):
+            return jnp.roll(x, 2, axis=-1)
+
+    traj = np.zeros((0, 6, 32), np.float32)
+    per_step = []
+    assert rollout_loss(RollModel(), None, traj, rollout_steps=4,
+                        per_step_losses=per_step) == 0.0
+    assert per_step == [0.0] * 4
+    assert window_rollout_loss(RollModel(), None, traj, rollout_steps=2,
+                               window_size=3) == 0.0

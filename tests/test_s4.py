@@ -409,6 +409,7 @@ def test_combination_inits_block_structure():
     dict(real_transform="softplus"),
     dict(disc="bilinear", dt_transform="sigmoid", dt_fast=True),
     dict(n_ssm=2, dt_tie=False),
+    dict(bandlimit=0.05),
 ], ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
 def test_s4d_option_surface_conv_equals_recurrence(rng, opts):
     """Every dt/transform/is_real option: FFT-convolution output ==
@@ -423,7 +424,7 @@ def test_s4d_option_surface_conv_equals_recurrence(rng, opts):
 
     step_kw = {k_: opts[k_] for k_ in
                ("dt_transform", "dt_fast", "real_transform",
-                "imag_transform", "is_real") if k_ in opts}
+                "imag_transform", "is_real", "bandlimit") if k_ in opts}
     init_state, step = s4d_recurrent_step_fn(
         params["params"], disc=opts.get("disc", "zoh"), **step_kw)
     state = init_state(2)
@@ -439,6 +440,7 @@ def test_s4d_option_surface_conv_equals_recurrence(rng, opts):
     dict(dt_tie=False),
     dict(dt_transform="softplus", dt_fast=True),
     dict(real_transform="softplus"),
+    dict(bandlimit=0.05),
 ], ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
 def test_dplr_option_surface_conv_equals_recurrence(rng, opts):
     """DPLR dt/transform options: the per-state-dt dense-solve
@@ -454,7 +456,8 @@ def test_dplr_option_surface_conv_equals_recurrence(rng, opts):
     y_conv = np.asarray(ssm_ops.fft_causal_conv(jnp.asarray(u), k[None]))
 
     step_kw = {k_: opts[k_] for k_ in
-               ("dt_transform", "dt_fast", "real_transform") if k_ in opts}
+               ("dt_transform", "dt_fast", "real_transform", "bandlimit")
+               if k_ in opts}
     init_state, step = dplr_recurrent_step_fn(params["params"], L, **step_kw)
     state = init_state(2)
     ys = []
