@@ -36,16 +36,33 @@ def write_ks_file(path: str, u: np.ndarray, L: float = 64.0,
 def write_ks_multires_tree(base_folder: str, data_by_res: dict,
                            viscosity: float = 0.075, L: float = 64.0,
                            lmax: int = 8, et: float = 5.0, nte: int = 51,
-                           nt: int = 51, train_s: int = 2048):
-    """res_{R}/visc_{v}_L{L}_lmax{l}_et{e}_nte{n}_nt{n}/KS_train_{s}.h5 tree
-    (ks_naive_true_multires.py:255-261)."""
+                           nt: int = 51, train_s: int = 2048,
+                           split_counts=None):
+    """res_{R}/visc_{v}_L{L}_lmax{l}_et{e}_nte{n}_nt{n}/ tree
+    (ks_naive_true_multires.py:255-261). Each res dir carries the THREE
+    split files the eval swap reads (`ks_markov_dataset` with
+    eval_saved_folder pointing at a res dir loads KS_train_*.h5 +
+    KS_valid.h5 + KS_test.h5, ks_naive_markov.py:309): pass
+    split_counts=(n_train, n_valid, n_test) to slice each res's
+    trajectories contiguously (same boundaries as the naive files, so the
+    held-out eval trajectories never appear in any train file). Without
+    split_counts, everything goes into the train file (legacy layout)."""
     for res, u in data_by_res.items():
         d = os.path.join(
             base_folder, f"res_{res}",
             f"visc_{viscosity}_L{L}_lmax{lmax}_et{et}_nte{nte}_nt{nt}")
         os.makedirs(d, exist_ok=True)
-        write_ks_file(os.path.join(d, f"KS_train_{train_s}.h5"), u, L=L,
-                      split="train")
+        if split_counts is None:
+            parts = {f"KS_train_{train_s}.h5": (u, "train")}
+        else:
+            n_tr, n_va, n_te = split_counts
+            parts = {
+                f"KS_train_{train_s}.h5": (u[:n_tr], "train"),
+                "KS_valid.h5": (u[n_tr:n_tr + n_va], "valid"),
+                "KS_test.h5": (u[n_tr + n_va:n_tr + n_va + n_te], "test"),
+            }
+        for fname, (part, split) in parts.items():
+            write_ks_file(os.path.join(d, fname), part, L=L, split=split)
 
 
 def write_pdebench_file(path: str, u: np.ndarray):

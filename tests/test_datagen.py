@@ -197,6 +197,18 @@ def test_generate_data_cli_ks_feeds_factories(tmp_path):
     assert out2[3] is not None  # per-res rollout buckets
     assert sorted(out2[3].resolutions()) == [16, 32]
 
+    # The EVAL-swap layout: ks_naive_true_mres1.yaml points
+    # eval_saved_folder at a res dir, and ks_markov_dataset then needs
+    # KS_valid.h5/KS_test.h5 THERE, not just the train file (caught live:
+    # the eval sweep 404'd on KS_valid.h5 before the tree wrote splits).
+    res_dir = os.path.join(out, "res_32",
+                           "visc_0.05_L64.0_lmax8_et5.0_nte51_nt51")
+    ev_train, _, ev_test, ev_roll, _, _ = ks_markov_dataset(
+        "KS_train_2048.h5", res_dir)
+    assert len(ev_test) > 0 and len(ev_roll) > 0
+    # held-out split: eval test trajectories appear in NO train file
+    assert len(ev_train) + len(ev_test) < 10 * 3  # strict subset per split
+
 
 def test_generate_data_cli_ns_feeds_factory(tmp_path):
     from resolution_pde_tpu.cli.generate_data import main as gen_main
