@@ -69,6 +69,9 @@ def main(argv=None, spatial_ndim: int = 1):
                            use_wandb=cfg.get("log_to_wandb", False))
 
     schedule = common.build_schedule(cfg)
+    import time as _t
+
+    t_fit = _t.perf_counter()
     state, history = trainer.fit(
         state,
         train_loader,
@@ -77,6 +80,8 @@ def main(argv=None, spatial_ndim: int = 1):
         schedule=schedule,
         log_fn=logger.log,
     )
+
+    train_seconds = _t.perf_counter() - t_fit
 
     test_loss = trainer.evaluate(state, test_loader)
     print(f"Test L2 loss: {test_loss:.6f}")
@@ -195,6 +200,8 @@ def main(argv=None, spatial_ndim: int = 1):
         "rollout": rollout_results,
         "checkpoint": ckpt_path,
         "history": history,
+        "n_params": int(n_params),
+        "train_seconds": train_seconds,
     }
 
 

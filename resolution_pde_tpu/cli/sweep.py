@@ -86,7 +86,7 @@ def _write_tables(out_dir: str, family: str, rows):
     header = (["run", "test_rel_l2"]
               + [f"superres@{r}" for r in resolutions]
               + [f"rollout@{r}" for r in roll_res]
-              + ["checkpoint", "error"])
+              + ["params_m", "train_s", "checkpoint", "error"])
 
     def cells(name, out, err):
         if out is None:
@@ -97,7 +97,11 @@ def _write_tables(out_dir: str, family: str, rows):
         return ([name, fmt(out["test_loss"])]
                 + [fmt(sr[r]) if r in sr else "" for r in resolutions]
                 + [fmt(ro[r]) if r in ro else "" for r in roll_res]
-                + [str(out.get("checkpoint") or ""), ""])
+                + [f"{out['n_params'] / 1e6:.2f}"
+                   if out.get("n_params") else "",
+                   f"{out['train_seconds']:.0f}"
+                   if out.get("train_seconds") else "",
+                   str(out.get("checkpoint") or ""), ""])
 
     table = [cells(*row) for row in rows]
     with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
