@@ -8,7 +8,12 @@ model x dataset ladders, run1.sh:92,146-192) as one command per FAMILY:
 
 Every run in the family executes the full driver pipeline (train,
 super-resolution sweep, rollout eval, checkpoint) in-process — compiled
-programs are shared across runs of the same shape. Per-run results
+programs are shared across runs of the same shape. Pass `isolate=true`
+to run each leg in a fresh interpreter instead (with a retrying backend
+probe between legs): JAX caches a failed platform init for the process
+lifetime, so on a tunneled-TPU backend one transient outage would
+otherwise poison every later leg; program reuse across isolated legs
+still happens via the persistent compile cache. Per-run results
 aggregate into `runs/sweeps/<family>_<ts>/` as a CSV + markdown table
 (rows = runs, columns = test loss and per-resolution rel-L2), the
 RESULTS.md-style artifact the reference assembles by hand from wandb.
@@ -18,8 +23,11 @@ Extra `key=value` args apply to EVERY run in the family.
 from __future__ import annotations
 
 import csv
+import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 import traceback
 
@@ -76,6 +84,80 @@ def _run_one(driver: str, overrides):
     return drv(list(overrides))
 
 
+def _wait_for_backend(tries: int = 6, sleep_s: float = 60.0):
+    """Probe jax backend init in a SUBPROCESS until it succeeds.
+
+    JAX caches a failed platform initialization for the process lifetime
+    (xla_bridge._backend_errors), so one transient device outage at the
+    first leg would poison every later leg of an in-process sweep — the
+    exact failure mode observed live on the tunneled-TPU backend. Probing
+    in a child process leaves this process's backend state untouched."""
+    for i in range(tries):
+        r = subprocess.run(
+            [sys.executable, "-c",
+             _pin_platform() + "import jax; jax.devices()"],
+            capture_output=True, timeout=600, env=_child_env())
+        if r.returncode == 0:
+            return
+        print(f"backend probe {i + 1}/{tries} failed "
+              f"({r.stderr.decode(errors='replace').strip()[-200:]}); "
+              f"retrying in {sleep_s:.0f}s", flush=True)
+        time.sleep(sleep_s)
+    raise RuntimeError(f"device backend unavailable after {tries} probes")
+
+
+def _child_env() -> dict:
+    """Child-process env with this package's root on PYTHONPATH (callers
+    may have chdir'd away from the repo root; `python -c` only adds cwd)."""
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _pin_platform() -> str:
+    """Code prefix pinning the child's jax platform from $RPDE_PLATFORM.
+
+    The sitecustomize pins JAX_PLATFORMS=axon in every process; an
+    in-process jax.config.update is the only working override (CLAUDE.md),
+    so tests export RPDE_PLATFORM=cpu to keep isolated legs off the TPU."""
+    plat = os.environ.get("RPDE_PLATFORM")
+    if not plat:
+        return ""
+    return ("import jax\n"
+            f"jax.config.update('jax_platforms', {plat!r})\n")
+
+
+def _run_one_isolated(driver: str, overrides):
+    """Run one leg in a fresh interpreter so device-backend state (init
+    failures, HBM fragmentation, a wedged client) cannot leak across legs.
+    Compiled-program reuse across legs comes from the persistent XLA
+    compile cache, not process state, so isolation costs only interpreter
+    startup."""
+    fd, out_path = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    code = (
+        _pin_platform()
+        + "import json, sys\n"
+        "from resolution_pde_tpu.cli.sweep import _run_one\n"
+        f"out = _run_one({driver!r}, {list(overrides)!r})\n"
+        "out.pop('history', None)\n"
+        f"json.dump(out, open({out_path!r}, 'w'), default=float)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=_child_env())
+        if r.returncode != 0:
+            raise RuntimeError(f"isolated {driver} run exited {r.returncode}")
+        with open(out_path) as f:
+            out = json.load(f)
+    finally:
+        os.unlink(out_path)
+    for k in ("super_resolution", "rollout"):  # JSON stringifies int keys
+        if isinstance(out.get(k), dict):
+            out[k] = {int(res): v for res, v in out[k].items()}
+    return out
+
+
 def _write_tables(out_dir: str, family: str, rows):
     """rows: [(name, out_dict | None, error | None)]. Produces sweep.csv +
     sweep.md with one row per run and one column per eval resolution."""
@@ -120,10 +202,13 @@ def _write_tables(out_dir: str, family: str, rows):
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     family = "baseline"
+    isolate = False
     extras = []
     for a in argv:
         if a.startswith("family="):
             family = a.split("=", 1)[1]
+        elif a.startswith("isolate="):
+            isolate = a.split("=", 1)[1].lower() in ("1", "true", "yes")
         else:
             extras.append(a)
     if family not in FAMILIES:
@@ -138,7 +223,11 @@ def main(argv=None):
         print(f"=== sweep[{family}] run {name}: "
               f"{' '.join(overrides + extras)}", flush=True)
         try:
-            out = _run_one(driver, overrides + extras)
+            if isolate:
+                _wait_for_backend()
+                out = _run_one_isolated(driver, overrides + extras)
+            else:
+                out = _run_one(driver, overrides + extras)
             rows.append((name, out, None))
         except Exception as e:  # defensive per-run guard: one failing run
             traceback.print_exc()  # must not kill the family sweep

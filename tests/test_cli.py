@@ -386,6 +386,43 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
             assert driver in ("1d", "2d")
 
 
+def test_sweep_isolated_legs(tmp_path, monkeypatch):
+    """isolate=true runs each leg in a fresh interpreter (JAX caches a
+    failed backend init for the process lifetime, so one transient device
+    outage must not poison later legs) and still aggregates identically.
+    RPDE_PLATFORM pins the child interpreters to CPU."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RPDE_PLATFORM", "cpu")
+
+    from resolution_pde_tpu.cli import sweep
+
+    tiny = {
+        "tiny_iso": [
+            ("fno_ks", "1d",
+             ["model=fno_1d", "dataset=ks_naive", "model.width=8",
+              "model.modes=8", "model.n_blocks=1",
+              f"dataset.dataset_params.saved_folder={tmp_path}",
+              "dataset.original_res=64",
+              "dataset.max_test_resolution=64",
+              "dataset.rollout_steps=2",
+              "training.epochs=1", "training.batch_size=16"]),
+            ("broken", "1d", ["model=fno_1d", "dataset=does_not_exist"]),
+        ],
+    }
+    monkeypatch.setattr(sweep, "FAMILIES", tiny)
+    monkeypatch.setattr(sweep, "_wait_for_backend",
+                        lambda *a, **k: None)  # CPU: nothing to probe
+    out = sweep.main(["family=tiny_iso", "isolate=true"])
+
+    assert out["broken"] is None
+    res = out["fno_ks"]
+    assert np.isfinite(res["test_loss"])
+    assert set(res["super_resolution"]) == {32, 64}  # int keys restored
+    assert set(res["rollout"]) == {32, 64}
+    assert res["n_params"] > 0 and res["train_seconds"] > 0
+
+
 def test_frequency_evaluation_2d_autodetect(tmp_path, monkeypatch):
     """The frequency driver must pick the RADIAL (2D) decomposition from
     the target layout, not the pde name (VERDICT r2 weak #6): a 2D NS
