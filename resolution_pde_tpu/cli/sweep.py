@@ -93,14 +93,19 @@ def _wait_for_backend(tries: int = 6, sleep_s: float = 60.0):
     exact failure mode observed live on the tunneled-TPU backend. Probing
     in a child process leaves this process's backend state untouched."""
     for i in range(tries):
-        r = subprocess.run(
-            [sys.executable, "-c",
-             _pin_platform() + "import jax; jax.devices()"],
-            capture_output=True, timeout=600, env=_child_env())
-        if r.returncode == 0:
-            return
-        print(f"backend probe {i + 1}/{tries} failed "
-              f"({r.stderr.decode(errors='replace').strip()[-200:]}); "
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 _pin_platform() + "import jax; jax.devices()"],
+                capture_output=True, timeout=300, env=_child_env())
+        except subprocess.TimeoutExpired:
+            # with the relay down jax.devices() HANGS rather than failing
+            last = "probe timed out (relay down? check ss -ltn :8082)"
+        else:
+            if r.returncode == 0:
+                return
+            last = r.stderr.decode(errors="replace").strip()[-200:]
+        print(f"backend probe {i + 1}/{tries} failed ({last}); "
               f"retrying in {sleep_s:.0f}s", flush=True)
         time.sleep(sleep_s)
     raise RuntimeError(f"device backend unavailable after {tries} probes")

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Reproduce the reference's experiment families end-to-end on the TPU:
+#   1. baseline (the five BASELINE.json canonical configs)
+#   2. ks_ladder  (resolution-strategy ladder; needs the PINO KS file)
+#   3. burger_ladder (needs the PDEBench multires dirs)
+# Data prerequisites materialized first (idempotent: skips existing files).
+# Sweeps run with isolate=true so a transient tunnel outage cannot poison
+# a whole family (see cli/sweep.py).
+set -e
+cd /root/repo
+EPOCHS="${EPOCHS:-50}"
+
+if [ ! -f data/pino/ks/ks_pino.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \
+        n=256 resolutions=[1024] n_snapshots=51 seed=21
+    cp data/pino/ks/KS_train_2048.h5 data/pino/ks/ks_pino.h5
+fi
+if [ ! -d data/pdebench_gen/burgers_1024_0.001 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=burgers \
+        out=data/pdebench_gen n=256 resolutions=[1024,512,256,128] \
+        n_snapshots=51 viscosity=0.001 seed=22
+fi
+mkdir -p data/pdebench
+if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
+    cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
+fi
+
+for fam in baseline ks_ladder burger_ladder; do
+    python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS
+done
+echo "ALL FAMILIES DONE"
