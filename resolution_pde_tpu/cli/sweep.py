@@ -66,10 +66,11 @@ FAMILIES = {
         for ds in ("ns_active_t2", "ns_active_t4", "ns_active_t8",
                    "ns_active_t16")
     ],
-    # Model ladder on one dataset (the reference's model=<x> sweeps).
+    # Model ladder on one dataset (the reference's model=<x> sweeps,
+    # run1.sh:49-51,87-88 — ffno/unet/s4 over one dataset).
     "ks_models": [
         (f"{m}_ks_naive", "1d", [f"model={m}", "dataset=ks_naive"])
-        for m in ("fno_1d", "ffno_1d", "cno_1d")
+        for m in ("fno_1d", "ffno_1d", "cno_1d", "unet_1d")
     ],
 }
 
