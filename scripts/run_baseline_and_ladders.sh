@@ -10,6 +10,10 @@ set -e
 cd /root/repo
 EPOCHS="${EPOCHS:-50}"
 
+# headline family first — ladder data generation can wait
+python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
+    training.epochs=$EPOCHS training.t_max=$EPOCHS
+
 if [ ! -f data/pino/ks/ks_pino.h5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \
         n=256 resolutions=[1024] n_snapshots=51 seed=21
@@ -25,7 +29,7 @@ if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
     cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
 fi
 
-for fam in baseline ks_ladder burger_ladder; do
+for fam in ks_ladder burger_ladder ks_models; do
     python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS
 done
