@@ -234,6 +234,27 @@ def test_generate_data_cli_burgers_feeds_factory(tmp_path):
     assert len(res[0]) > 0 and res[0].x.shape[-1] == 32
 
 
+def test_generate_data_ks_marginal_resolution_stays_on_attractor(tmp_path):
+    """visc=0.075 @128 passes the weak 'a damped mode exists' criterion yet
+    blows up when solved natively (measured max|u| 488 -> NaN in the first
+    baseline-data generation); the generator must solve resolved and
+    truncate, and the written data must be finite and attractor-sized."""
+    import h5py
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+
+    out = str(tmp_path / "ks")
+    gen_main([f"out={out}", "pde=ks", "n=4", "resolutions=[128]",
+              "n_snapshots=4", "viscosity=0.075", "seed=3"])
+    path = os.path.join(out, "KS_train_2048.h5")
+    with h5py.File(path) as f:
+        key = next(k for k in f["train"] if k.startswith("pde"))
+        u = np.asarray(f["train"][key])
+    assert np.isfinite(u).all()
+    # resolved KS at visc v has max|u| ~ 3/sqrt(v) (~11 here); 488 was the
+    # runaway signature
+    assert np.abs(u).max() < 10.0 / np.sqrt(0.075)
+
+
 def test_generate_data_ks_viscosity_and_splits(tmp_path):
     """The viscosity knob reaches the solver (different physics per value)
     and splits=... controls the naive train/valid/test file sizes."""
