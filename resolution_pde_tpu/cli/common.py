@@ -25,12 +25,30 @@ from resolution_pde_tpu.train.schedules import get_schedule
 
 
 def unpack_data(data, normalization_type: str):
-    """Split the factory tuple (main_1d.py:70-83 semantics)."""
-    train, val, test, rollout = data[:4]
-    out = {"train": train, "val": val, "test": test, "rollout": rollout}
+    """Split the factory tuple (main_1d.py:70-83 semantics).
+
+    ks_pino_markov_dataset (dataloaders/ks_pino_resize_markov.py:232)
+    returns a 7-tuple WITHOUT the rollout slot — (train, val, test,
+    min_data, max_data, min_model, max_model). The reference driver
+    cannot actually consume it (main_1d.py:82 unpacks data_[4:] into
+    four names -> arity crash; the yaml also lacks normalization_type,
+    main_1d.py:59), so here the slotless shape is detected (scalar where
+    the rollout dataset would be) and handled: no rollout eval, minmax
+    stats from data[3:7]. PARITY.md records the deviation.
+    """
+    slot3 = data[3] if len(data) > 3 else None
+    if isinstance(slot3, (int, float)):
+        train, val, test = data[:3]
+        out = {"train": train, "val": val, "test": test, "rollout": None}
+        stats = data[3:7]
+        normalization_type = "minmax"  # scalars ARE the minmax stats
+    else:
+        train, val, test, rollout = data[:4]
+        out = {"train": train, "val": val, "test": test, "rollout": rollout}
+        stats = data[4:8]
     if normalization_type == "minmax":
         out.update(dict(zip(
-            ("min_data", "max_data", "min_model", "max_model"), data[4:8])))
+            ("min_data", "max_data", "min_model", "max_model"), stats)))
         # minmax eval uses denormalize_data(x*(max-min)+min)
         # (train/training.py:90-91, 116-124) == MinMaxNormalizer.decode
         from resolution_pde_tpu.data.dataset import MinMaxNormalizer

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 
 from resolution_pde_tpu.ops.normalizers import (
@@ -156,8 +157,13 @@ def fit_normalizers(train_x: np.ndarray, train_y: np.ndarray,
     raise ValueError(f"unknown normalization_type {normalization_type!r}")
 
 
+@jax.tree_util.register_pytree_node_class
 class MinMaxNormalizer:
-    """encode: (x - min) / (max - min); decode is train/training.py:90-91."""
+    """encode: (x - min) / (max - min); decode is train/training.py:90-91.
+
+    Registered as a pytree (like ops/normalizers.py) so the trainer can
+    pass it straight into the jitted train/eval step as the y_normalizer.
+    """
 
     def __init__(self, min_val: float, max_val: float):
         self.min = min_val
@@ -168,3 +174,10 @@ class MinMaxNormalizer:
 
     def decode(self, x):
         return x * (self.max - self.min) + self.min
+
+    def tree_flatten(self):
+        return (self.min, self.max), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)

@@ -783,11 +783,18 @@ def load_darcy_data_from_mat(data_path, res_scale=1, split=(0.8, 0.1, 0.1),
 def ks_pino_markov_dataset(filename, saved_folder=None, data_normalizer=True,
                            s=None, reduced_batch=1, reduced_resolution=1,
                            reduced_resolution_t=1, num_samples_max=-1,
-                           split_ratio=(0.8, 0.1, 0.1)):
+                           split_ratio=(0.8, 0.1, 0.1),
+                           normalization_type="minmax"):
     """PINO-style KS variant (dataloaders/ks_pino_resize_markov.py:115-232):
     single file, contiguous ratio split over trajectories, minmax
     normalization, optional FFT resize to `s`. Returns
-    (train, val, test, min_data, max_data, min_model, max_model)."""
+    (train, val, test, min_data, max_data, min_model, max_model) — NO
+    rollout slot, matching the reference's 7-tuple (:232).
+    normalization_type is accepted for the driver's denormalize path and
+    must be 'minmax' (the only normalization this variant implements)."""
+    if normalization_type != "minmax":
+        raise ValueError("ks_pino_markov_dataset normalization is minmax "
+                         f"only, got {normalization_type!r}")
     u = _ks_load(filename, saved_folder or ".", s=s,
                  reduced_batch=reduced_batch,
                  reduced_resolution=reduced_resolution,

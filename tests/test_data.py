@@ -316,6 +316,27 @@ def test_ks_pino_factory(tmp_path):
     assert train.x.min() >= -1e-6 and train.x.max() <= 1 + 1e-6
 
 
+def test_ks_pino_unpack_slotless_tuple(tmp_path):
+    """The pino 7-tuple has NO rollout slot (reference
+    ks_pino_resize_markov.py:232); unpack_data must detect the scalar at
+    index 3 and hand the driver minmax normalizer objects, not floats
+    (the reference driver crashes outright on this shape, main_1d.py:82)."""
+    _write_ks_file(str(tmp_path / "KS_train_64.h5"), n=20)
+    from resolution_pde_tpu.cli import common
+    from resolution_pde_tpu.data.factories import ks_pino_markov_dataset
+
+    out = ks_pino_markov_dataset("KS_train_64.h5", str(tmp_path), s=32)
+    bundle = common.unpack_data(out, "minmax")
+    assert bundle["rollout"] is None
+    assert bundle["min_data"] == out[3] and bundle["max_model"] == out[6]
+    enc = bundle["x_normalizer"].encode(np.full((2, 1, 32), out[4]))
+    assert np.allclose(enc, 1.0)
+    # declared normalization_type wins only when the slot shape is
+    # standard; the slotless tuple forces minmax regardless
+    bundle2 = common.unpack_data(out, "simple")
+    assert bundle2["y_normalizer"].decode(np.ones((1,))) == out[6]
+
+
 def test_active_matter_all_factory(tmp_path, rng):
     from resolution_pde_tpu.data.factories import (
         active_matter_all_markov_dataset)
