@@ -58,7 +58,14 @@ def unpack_data(data, normalization_type: str):
         out["y_normalizer"] = MinMaxNormalizer(out["min_model"],
                                                out["max_model"])
     else:
-        out["x_normalizer"], out["y_normalizer"] = data[4:6]
+        xn, yn = data[4:6]
+        if isinstance(xn, (int, float)):
+            raise ValueError(
+                "factory returned minmax stats (scalars) where normalizer "
+                f"objects were expected, but the config declares "
+                f"normalization_type={normalization_type!r} — set "
+                "normalization_type: minmax in the dataset yaml")
+        out["x_normalizer"], out["y_normalizer"] = xn, yn
     return out
 
 

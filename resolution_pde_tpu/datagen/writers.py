@@ -92,3 +92,13 @@ def write_ns_file(path: str, u: np.ndarray, a: np.ndarray | None = None,
             f.create_dataset("a", data=a.astype(np.float32))
         if t is not None:
             f.create_dataset("t", data=t.astype(np.float32))
+
+
+def write_well_file(path: str, fields: dict):
+    """The-Well-style layout (read_active_matter_h5, data/io.py:137): one
+    group 't0_fields' holding each scalar field as (b, t, h, w)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("t0_fields")
+        for name, arr in fields.items():
+            grp.create_dataset(name, data=np.asarray(arr, np.float32))

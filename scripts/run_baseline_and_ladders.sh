@@ -33,4 +33,14 @@ for fam in ks_ladder burger_ladder ks_models; do
     python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS
 done
+
+# Active-matter ladder: The Well needs egress, so synthesize the exact
+# multi-file ingestion layout with NS solves (see generate_data pde=active).
+if [ ! -f data/well/active_matter/train/active_matter_0.hdf5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=active \
+        out=data/well/active_matter/train n=24 resolutions=[256] \
+        n_snapshots=49 seed=23
+fi
+python -m resolution_pde_tpu.cli.sweep family=ns_active_ladder isolate=true \
+    training.epochs=$EPOCHS training.t_max=$EPOCHS
 echo "ALL FAMILIES DONE"

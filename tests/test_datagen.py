@@ -222,6 +222,26 @@ def test_generate_data_cli_ns_feeds_factory(tmp_path):
     assert np.isfinite(train.x).all()
 
 
+def test_generate_data_cli_active_feeds_factory(tmp_path):
+    """pde=active writes The-Well multi-file layout consumed by the
+    ns_active_t* ladder's factory (minmax 8-tuple, time stride)."""
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+    from resolution_pde_tpu.data.factories import (
+        multi_file_active_matter_markov_dataset)
+
+    out = str(tmp_path / "well" / "active_matter" / "train")
+    gen_main([f"out={out}", "pde=active", "n=6", "resolutions=[16]",
+              "n_snapshots=5", "seed=3"])
+    res = multi_file_active_matter_markov_dataset(
+        "active_matter_*.hdf5", out, reduced_resolution_t=2)
+    train, rollout = res[0], res[3]
+    assert len(train) > 0 and train.x.shape[1:] == (1, 16, 16)
+    assert np.isfinite(train.x).all()
+    assert rollout is not None
+    mn_d, mx_d = res[4], res[5]
+    assert mn_d < mx_d
+
+
 def test_generate_data_cli_burgers_feeds_factory(tmp_path):
     from resolution_pde_tpu.cli.generate_data import main as gen_main
     from resolution_pde_tpu.data.factories import burger_markov_dataset
