@@ -34,13 +34,17 @@ def main(argv=None, spatial_ndim: int | None = None):
         # radially-binned decomposition for 2D PDEs. Detect dimensionality
         # from the target layout ((N, C, X) vs (N, C, H, W)) rather than
         # from the pde name — new 2D pde strings would otherwise silently
-        # get the 1D decomposition (VERDICT r2 weak #6).
-        sample_y = np.asarray(test.y[0])  # one sample: (C, X) or (C, H, W)
-        spatial_ndim = sample_y.ndim - 1
+        # get the 1D decomposition (VERDICT r2 weak #6). Window (S4-family)
+        # targets carry NO channel dim — (X,) / (H, W) — so the channel
+        # offset depends on the factory family, not just the rank.
+        target = str(cfg.dataset.dataset_params.get("_target_", ""))
+        sample_y = np.asarray(test.y[0])
+        spatial_ndim = sample_y.ndim - (0 if "window" in target else 1)
         if spatial_ndim not in (1, 2):
             raise ValueError(
                 f"cannot infer spatial ndim from target sample shape "
-                f"{sample_y.shape}; pass spatial_ndim explicitly")
+                f"{sample_y.shape} (factory {target!r}); pass spatial_ndim "
+                f"explicitly")
     xn, yn = bundle["x_normalizer"], bundle["y_normalizer"]
 
     model = common.build_model(cfg)

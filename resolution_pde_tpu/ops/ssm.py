@@ -92,11 +92,46 @@ def hippo_legs_matrix(n: int) -> np.ndarray:
     return t @ m @ np.linalg.inv(t)
 
 
+def _conj_pair_perm(n: int) -> np.ndarray:
+    """Permutation taking an eigh-ASCENDING-imag spectrum to the
+    [half, conj(half)] layout where index j and j + n/2 are a conjugate
+    pair. eigh orders a skew spectrum as (-a_k, ..., -a_1, a_1, ..., a_k),
+    pairing j with n-1-j; downstream full-N consumers
+    (DPLRKernelLayer/dplr_recurrent_step_fn dt_tie=False) instead tie
+    per-pair quantities by `concatenate([dt, dt])`, i.e. j with j + n/2 —
+    the same layout reference-checkpoint transplants use. Without this
+    reordering a natively initialized layer would give the two halves of a
+    conjugate pair DIFFERENT timesteps, silently breaking the kernel's
+    conjugate symmetry (the asymmetric part is discarded by real())."""
+    half = n // 2
+    return np.concatenate([np.arange(half, n),
+                           np.arange(half - 1, -1, -1)])
+
+
+def _conj_pair_basis(lam_im: np.ndarray, v: np.ndarray):
+    """Reorder an eigh-ascending (imag, eigvecs) pair into the
+    [half, conj(half)] layout AND fix the per-mode phase gauge so the
+    second-half eigenvectors are the exact elementwise conjugates of the
+    first half. The diagonalized matrix is real, so conj(v_j) is a valid
+    eigenvector for conj(lam_j); eigh's arbitrary phases would otherwise
+    leave the rotated B/P of a conjugate pair differing by a phase.
+    Zero modes (degenerate at 0, e.g. the fourier measure) keep eigh's
+    orthonormal vectors — conjugating could duplicate a real vector."""
+    n = lam_im.shape[0]
+    half = n // 2
+    perm = _conj_pair_perm(n)
+    lam_im, v = lam_im[perm], v[:, perm].copy()
+    nz = np.abs(lam_im[:half]) > 1e-12
+    v[:, half:][:, nz] = np.conj(v[:, :half][:, nz])
+    return lam_im, v
+
+
 def make_dplr_hippo(n: int):
     """Diagonalized HiPPO-LegS in DPLR form (models/s4.py:384-500).
 
     Returns (Lambda (n,) complex128, P (n,), B (n,)) with
-    A = Lambda - P P^*.
+    A = Lambda - P P^*, in [half, conj(half)] order (index j and j + n/2
+    are conjugate pairs — see _conj_pair_perm).
     """
     a = hippo_legs_matrix(n)
     p = np.sqrt(np.arange(n, dtype=np.float64) + 0.5)
@@ -106,6 +141,7 @@ def make_dplr_hippo(n: int):
     s_diag = np.diagonal(s)
     lambda_real = np.mean(s_diag) * np.ones_like(s_diag)
     lambda_imag, v = np.linalg.eigh(s * -1j)
+    lambda_imag, v = _conj_pair_basis(lambda_imag, v)
     p_rot = v.conj().T @ p
     b_rot = v.conj().T @ b
     return lambda_real + 1j * lambda_imag, p_rot, b_rot, v
@@ -174,8 +210,10 @@ def nplr_init(measure: str, n: int, rank: int = 1, b_clip: float = 2.0):
     keeps N/2 conjugate pairs, we keep all N; see PARITY.md #7).
 
     Returns (Lambda (n,) complex, P (rank, n) complex, B (n,) complex)
-    with A = diag(Lambda) - sum_r P_r P_r^*. B's imaginary part is clipped
-    to +-b_clip like the reference (s4.py:453-454).
+    with A = diag(Lambda) - sum_r P_r P_r^*, in [half, conj(half)] order
+    (index j and j + n/2 are conjugate pairs — see _conj_pair_perm).
+    B's imaginary part is clipped to +-b_clip like the reference
+    (s4.py:453-454).
     """
     a, b = hippo_transition(measure, n)
     p = hippo_rank_correction(measure, n, rank)  # (rank, n)
@@ -184,6 +222,7 @@ def nplr_init(measure: str, n: int, rank: int = 1, b_clip: float = 2.0):
     # double precision via the Hermitian eigensolver (s4.py:407-421)
     lam_re = np.mean(np.diagonal(ap)) * np.ones(n)
     lam_im, v = np.linalg.eigh(ap * -1j)
+    lam_im, v = _conj_pair_basis(lam_im, v)
     lam = lam_re + 1j * lam_im
     b_rot = v.conj().T @ b.astype(np.complex128)
     p_rot = np.einsum("mn,rm->rn", np.conj(v), p.astype(np.complex128))

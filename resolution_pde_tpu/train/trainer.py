@@ -209,8 +209,27 @@ class Trainer:
 
             if accum > 1:
                 # gradient accumulation: scan over microbatches, average
-                # grads/losses, thread BN stats sequentially
+                # grads/losses, thread BN stats sequentially.
+                # Batch sizes not divisible by accum (straggler batches from
+                # drop_last=False loaders, odd batch_size configs) are padded
+                # with zero-weight rows HERE — x.shape[0] is static at trace
+                # time, so this costs nothing for divisible batches and only
+                # a recompile a straggler batch pays anyway. (For BatchNorm
+                # models the padded rows enter the straggler batch's batch
+                # statistics — the same bounded perturbation as
+                # shard_batch(straggler="pad").)
                 b = x.shape[0]
+                pad = (-b) % accum
+                if pad:
+                    if weights is None:
+                        weights = jnp.ones((b,), jnp.float32)
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+                    y = jnp.concatenate(
+                        [y, jnp.broadcast_to(y[:1], (pad,) + y.shape[1:])])
+                    weights = jnp.concatenate(
+                        [weights, jnp.zeros((pad,), jnp.float32)])
+                    b += pad
                 xm = x.reshape((accum, b // accum) + x.shape[1:])
                 ym = y.reshape((accum, b // accum) + y.shape[1:])
                 wm = (weights.reshape(accum, b // accum)

@@ -321,6 +321,38 @@ def test_nplr_init_unitary_equivalence(measure, rank):
     assert b.shape == (n,) and p.shape == (rank, n)
 
 
+@pytest.mark.parametrize("measure", ["legs", "legt", "fourier"])
+def test_nplr_init_conj_pair_layout(measure):
+    """The native init must store the spectrum in [half, conj(half)] order
+    so index j and j + n/2 are a conjugate PAIR — dt_tie=False broadcasts
+    one dt per pair via concatenate([dt, dt]) (models/s4.py dt handling),
+    which would otherwise give the two halves of a conjugate pair
+    different timesteps and silently break the kernel's conjugate
+    symmetry (the asymmetric part is discarded by real())."""
+    n = 16
+    rank = 2 if measure == "legt" else 1
+    lam, p, b = ssm_ops.nplr_init(measure, n, rank, b_clip=None)
+    half = n // 2
+    np.testing.assert_allclose(lam[half:], np.conj(lam[:half]),
+                               rtol=1e-12, atol=1e-12)
+    # B and P pair exactly on nonzero modes (zero modes — fourier's
+    # degenerate pair at 0 — keep eigh's orthonormal basis)
+    nz = np.abs(lam.imag[:half]) > 1e-12
+    np.testing.assert_allclose(b[half:][nz], np.conj(b[:half][nz]),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(p[:, half:][:, nz],
+                               np.conj(p[:, :half][:, nz]),
+                               rtol=1e-8, atol=1e-8)
+    if measure == "legs":
+        lam0, p0, b0, _ = ssm_ops.make_dplr_hippo(n)
+        np.testing.assert_allclose(lam0[half:], np.conj(lam0[:half]),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(p0[half:], np.conj(p0[:half]),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(b0[half:], np.conj(b0[:half]),
+                                   rtol=1e-8, atol=1e-8)
+
+
 def test_nplr_init_legs_matches_historical():
     """nplr_init('legs') agrees with make_dplr_hippo (the historical init
     every shipped config uses) up to the reference's B.imag clip."""
