@@ -37,36 +37,12 @@ def model_flops_per_sample(res: int, width: int, n_layers: int, n_modes: int,
     return n_layers * (einsum + ff + fft)
 
 
-def _wait_for_backend(tries: int = 5, sleep_s: float = 60.0):
-    """Probe backend init in a SUBPROCESS until it succeeds. The tunneled
-    TPU can flap; a failed in-process init is cached by JAX for the
-    process lifetime, so probing must happen in a child — and with the
-    relay down jax.devices() can HANG rather than fail, so each probe is
-    time-bounded."""
-    import subprocess
-    import sys
-
-    last = ""
-    for i in range(tries):
-        try:
-            r = subprocess.run([sys.executable, "-c",
-                                "import jax; jax.devices()"],
-                               capture_output=True, timeout=300)
-        except subprocess.TimeoutExpired:
-            last = "probe timed out (relay down? check ss -ltn :8082)"
-        else:
-            if r.returncode == 0:
-                return
-            last = r.stderr.decode(errors="replace").strip()[-200:]
-        print(f"backend probe {i + 1}/{tries} failed ({last}); retry in "
-              f"{sleep_s:.0f}s", file=sys.stderr, flush=True)
-        time.sleep(sleep_s)
-    raise RuntimeError(f"device backend unavailable after {tries} probes: "
-                       f"{last}")
-
-
 def main():
-    _wait_for_backend()
+    # Flap-tolerant probe shared with cli/sweep.py (bounded child-process
+    # retries; a failed in-process init is cached for the process lifetime)
+    from resolution_pde_tpu.utils.backend_probe import wait_for_backend
+
+    wait_for_backend(tries=5)
     import jax
 
     # persistent compile cache: the dominant bench cost is XLA compilation

@@ -32,16 +32,16 @@ def unpack_data(data, normalization_type: str):
     min_data, max_data, min_model, max_model). The reference driver
     cannot actually consume it (main_1d.py:82 unpacks data_[4:] into
     four names -> arity crash; the yaml also lacks normalization_type,
-    main_1d.py:59), so here the slotless shape is detected (scalar where
-    the rollout dataset would be) and handled: no rollout eval, minmax
-    stats from data[3:7]. PARITY.md records the deviation.
+    main_1d.py:59), so here the slotless shape is detected by arity —
+    every other factory returns 6 (simple) or 8 (minmax) slots — and
+    handled: no rollout eval, minmax stats from data[3:7] (all None when
+    data_normalizer=false). PARITY.md records the deviation.
     """
-    slot3 = data[3] if len(data) > 3 else None
-    if isinstance(slot3, (int, float)):
+    if len(data) == 7:
         train, val, test = data[:3]
         out = {"train": train, "val": val, "test": test, "rollout": None}
         stats = data[3:7]
-        normalization_type = "minmax"  # scalars ARE the minmax stats
+        normalization_type = "minmax"  # slots 3:7 ARE the minmax stats
     else:
         train, val, test, rollout = data[:4]
         out = {"train": train, "val": val, "test": test, "rollout": rollout}
@@ -49,6 +49,11 @@ def unpack_data(data, normalization_type: str):
     if normalization_type == "minmax":
         out.update(dict(zip(
             ("min_data", "max_data", "min_model", "max_model"), stats)))
+        if out["min_data"] is None:
+            # data_normalizer=false: no stats were fit; keep the same
+            # no-normalizer convention as the simple branch
+            out["x_normalizer"] = out["y_normalizer"] = None
+            return out
         # minmax eval uses denormalize_data(x*(max-min)+min)
         # (train/training.py:90-91, 116-124) == MinMaxNormalizer.decode
         from resolution_pde_tpu.data.dataset import MinMaxNormalizer

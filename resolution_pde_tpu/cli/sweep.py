@@ -85,54 +85,13 @@ def _run_one(driver: str, overrides):
     return drv(list(overrides))
 
 
-def _wait_for_backend(tries: int = 6, sleep_s: float = 60.0):
-    """Probe jax backend init in a SUBPROCESS until it succeeds.
-
-    JAX caches a failed platform initialization for the process lifetime
-    (xla_bridge._backend_errors), so one transient device outage at the
-    first leg would poison every later leg of an in-process sweep — the
-    exact failure mode observed live on the tunneled-TPU backend. Probing
-    in a child process leaves this process's backend state untouched."""
-    for i in range(tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 _pin_platform() + "import jax; jax.devices()"],
-                capture_output=True, timeout=300, env=_child_env())
-        except subprocess.TimeoutExpired:
-            # with the relay down jax.devices() HANGS rather than failing
-            last = "probe timed out (relay down? check ss -ltn :8082)"
-        else:
-            if r.returncode == 0:
-                return
-            last = r.stderr.decode(errors="replace").strip()[-200:]
-        print(f"backend probe {i + 1}/{tries} failed ({last}); "
-              f"retrying in {sleep_s:.0f}s", flush=True)
-        time.sleep(sleep_s)
-    raise RuntimeError(f"device backend unavailable after {tries} probes")
-
-
-def _child_env() -> dict:
-    """Child-process env with this package's root on PYTHONPATH (callers
-    may have chdir'd away from the repo root; `python -c` only adds cwd)."""
-    pkg_root = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
-    return env
-
-
-def _pin_platform() -> str:
-    """Code prefix pinning the child's jax platform from $RPDE_PLATFORM.
-
-    The sitecustomize pins JAX_PLATFORMS=axon in every process; an
-    in-process jax.config.update is the only working override (CLAUDE.md),
-    so tests export RPDE_PLATFORM=cpu to keep isolated legs off the TPU."""
-    plat = os.environ.get("RPDE_PLATFORM")
-    if not plat:
-        return ""
-    return ("import jax\n"
-            f"jax.config.update('jax_platforms', {plat!r})\n")
+# Flap-tolerant backend probing shared with bench.py; module-level aliases
+# kept so tests can monkeypatch sweep._wait_for_backend.
+from resolution_pde_tpu.utils.backend_probe import (  # noqa: E402
+    child_env as _child_env,
+    pin_platform as _pin_platform,
+    wait_for_backend as _wait_for_backend,
+)
 
 
 def _run_one_isolated(driver: str, overrides):
@@ -197,11 +156,14 @@ def _write_tables(out_dir: str, family: str, rows):
         w.writerow(header)
         w.writerows(table)
     with open(os.path.join(out_dir, "sweep.md"), "w") as f:
+        # drop only the checkpoint-path column; the error column stays so
+        # a failed run is distinguishable from "metric not applicable"
         f.write(f"# Sweep: {family}\n\n")
-        f.write("| " + " | ".join(header[:-2]) + " |\n")
-        f.write("|" + "---|" * (len(header) - 2) + "\n")
+        md_header = header[:-2] + [header[-1]]
+        f.write("| " + " | ".join(md_header) + " |\n")
+        f.write("|" + "---|" * len(md_header) + "\n")
         for row in table:
-            f.write("| " + " | ".join(row[:-2]) + " |\n")
+            f.write("| " + " | ".join(row[:-2] + [row[-1]]) + " |\n")
     return header, table
 
 
@@ -241,11 +203,12 @@ def main(argv=None):
 
     header, table = _write_tables(out_dir, family, rows)
     print(f"\nsweep results -> {out_dir}/sweep.csv")
-    widths = [max(len(h), max((len(r[i]) for r in table), default=0))
-              for i, h in enumerate(header[:-2])]
-    print("  ".join(h.ljust(w) for h, w in zip(header[:-2], widths)))
+    cols = list(range(len(header) - 2)) + [len(header) - 1]  # skip ckpt path
+    widths = [max(len(header[i]), max((len(r[i]) for r in table), default=0))
+              for i in cols]
+    print("  ".join(header[i].ljust(w) for i, w in zip(cols, widths)))
     for row in table:
-        print("  ".join(c.ljust(w) for c, w in zip(row[:-2], widths)))
+        print("  ".join(row[i].ljust(w) for i, w in zip(cols, widths)))
     failed = [n for n, out, _ in rows if out is None]
     if failed:
         print(f"FAILED runs: {failed}")

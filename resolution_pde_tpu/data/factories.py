@@ -310,6 +310,48 @@ def burger_true_multires_markov_dataset(
         pairing="burgers", add_res_method=add_res_method)
 
 
+def _rollout_buckets_per_res(load_res, data_mres_size, split_ratio,
+                             random_seed, base_res, to_traj):
+    """Per-stored-resolution rollout trajectory buckets, extracted from the
+    per-res files' test splits (the reference's
+    extract_ks_test_trajectories_for_rollout,
+    ks_naive_true_multires.py:32-172; same subsample seed+indices as the
+    markov test split), plus the base resolution as a reduction fallback.
+
+    to_traj(test_u) -> (bucket_key, trajectory_array) hides the 1D/2D
+    layout difference (spatial axis position, channel slicing)."""
+    rollout_buckets = {}
+    for resolution, target in sorted((data_mres_size or {}).items()):
+        if target == 0:
+            continue
+        u = load_res(resolution)
+        if u is None:
+            continue
+        _, va_end = split_ratio_indices(u.shape[0], split_ratio)
+        test_u = u[va_end:]
+        # the reference extractor gates on the TEST-split size (a target
+        # at or above it keeps every test trajectory,
+        # ks_naive_true_multires.py:128-142)
+        if 0 < target < test_u.shape[0]:
+            k = int(target * split_ratio[2])
+            if k <= 0:
+                continue
+            rs = np.random.RandomState(random_seed + resolution + 2)
+            test_u = test_u[rs.choice(test_u.shape[0],
+                                      min(k, test_u.shape[0]),
+                                      replace=False)]
+        key, traj = to_traj(test_u)
+        rollout_buckets[key] = TrajectoryDataset(traj)
+    if base_res is not None:
+        u_base = load_res(base_res)
+        if u_base is not None:
+            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
+            key, traj = to_traj(u_base[va_end:])
+            if key not in rollout_buckets:
+                rollout_buckets[key] = TrajectoryDataset(traj)
+    return rollout_buckets
+
+
 def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                               add_res_samples, downsample_from_res,
                               use_low_pass_filter, lowpass_cutoff_ratio,
@@ -394,39 +436,11 @@ def _generic_true_multires_1d(load_res, data_mres_size, add_res,
                     x, y = pair_fn(down.astype(np.float32))
                     _merge_bucket(buckets[name], down.shape[-1], x, y)
 
-    # rollout trajectories extracted per STORED resolution from the
-    # per-res files' test splits (the reference's
-    # extract_ks_test_trajectories_for_rollout,
-    # ks_naive_true_multires.py:32-172; same subsample seed+indices as the
-    # markov test split), plus the base resolution for reduction fallback
-    rollout_buckets = {}
-    for resolution, target in sorted((data_mres_size or {}).items()):
-        if target == 0:
-            continue
-        u = load_res(resolution)
-        if u is None:
-            continue
-        _, va_end = split_ratio_indices(u.shape[0], split_ratio)
-        test_u = u[va_end:]
-        # the reference extractor gates on the TEST-split size (a target
-        # at or above it keeps every test trajectory,
-        # ks_naive_true_multires.py:128-142)
-        if 0 < target < test_u.shape[0]:
-            k = int(target * split_ratio[2])
-            if k <= 0:
-                continue
-            rs = np.random.RandomState(random_seed + resolution + 2)
-            test_u = test_u[rs.choice(test_u.shape[0],
-                                      min(k, test_u.shape[0]),
-                                      replace=False)]
-        rollout_buckets[test_u.shape[-1]] = TrajectoryDataset(
-            np.ascontiguousarray(test_u, dtype=np.float32))
-    if base_res is not None:
-        u_base = load_res(base_res)
-        if u_base is not None and u_base.shape[-1] not in rollout_buckets:
-            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            rollout_buckets[u_base.shape[-1]] = TrajectoryDataset(
-                np.ascontiguousarray(u_base[va_end:], dtype=np.float32))
+    rollout_buckets = _rollout_buckets_per_res(
+        load_res, data_mres_size, split_ratio, random_seed, base_res,
+        to_traj=lambda test_u: (
+            test_u.shape[-1],
+            np.ascontiguousarray(test_u, dtype=np.float32)))
     rollout = (MultiResTrajectoryDataset(rollout_buckets)
                if rollout_buckets else None)
 
@@ -579,36 +593,13 @@ def ns_true_multires_markov_dataset(
                     else:
                         buckets[name][key] = ArrayDataset(x, y)
 
-    # per-stored-resolution rollout buckets (see _generic_true_multires_1d;
-    # 2D analogue of extract_ks_test_trajectories_for_rollout) + base res
-    rollout_buckets = {}
-    for resolution, target in sorted((data_mres_size or {}).items()):
-        if target == 0:
-            continue
-        u = load_res(resolution)
-        if u is None:
-            continue
-        _, va_end = split_ratio_indices(u.shape[0], split_ratio)
-        test_u = u[va_end:]
-        # the reference extractor gates on the TEST-split size (a target
-        # at or above it keeps every test trajectory,
-        # ks_naive_true_multires.py:128-142)
-        if 0 < target < test_u.shape[0]:
-            k = int(target * split_ratio[2])
-            if k <= 0:
-                continue
-            rs = np.random.RandomState(random_seed + resolution + 2)
-            test_u = test_u[rs.choice(test_u.shape[0],
-                                      min(k, test_u.shape[0]),
-                                      replace=False)]
-        rollout_buckets[test_u.shape[2]] = TrajectoryDataset(
-            np.ascontiguousarray(test_u[:, :, :, :, 0], dtype=np.float32))
-    if base_res is not None:
-        u_base = load_res(base_res)
-        if u_base is not None and u_base.shape[2] not in rollout_buckets:
-            _, va_end = split_ratio_indices(u_base.shape[0], split_ratio)
-            rollout_buckets[u_base.shape[2]] = TrajectoryDataset(
-                np.ascontiguousarray(u_base[va_end:, :, :, :, 0]))
+    # 2D analogue of the 1D per-stored-resolution extraction: spatial key
+    # at axis 2, scalar field from the trailing channel axis
+    rollout_buckets = _rollout_buckets_per_res(
+        load_res, data_mres_size, split_ratio, random_seed, base_res,
+        to_traj=lambda test_u: (
+            test_u.shape[2],
+            np.ascontiguousarray(test_u[:, :, :, :, 0], dtype=np.float32)))
     rollout = (MultiResTrajectoryDataset(rollout_buckets)
                if rollout_buckets else None)
 

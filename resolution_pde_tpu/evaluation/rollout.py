@@ -16,6 +16,7 @@ rollout length); works for 1D (B, C, S) and 2D (B, C, H, W) states.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -77,10 +78,15 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
         raise ValueError(
             f"cannot roll out: trajectories have {t} frame(s) and "
             f"rollout_steps={rollout_steps}")
-    if n == 0:  # empty trajectory set (tiny-n splits): nothing to score
+    if n == 0:
+        # Empty trajectory set (tiny-n splits): NaN, the same sentinel the
+        # per-resolution guard uses for failed evals — 0.0 would read as a
+        # PERFECT rollout in sweep.csv / RESULTS tables.
+        warnings.warn("rollout_loss: empty trajectory set, returning NaN",
+                      stacklevel=2)
         if per_step_losses is not None:
-            per_step_losses[:] = [0.0] * steps
-        return 0.0
+            per_step_losses[:] = [float("nan")] * steps
+        return float("nan")
 
     # The whole batch — rollout, decode, per-step losses — is ONE jitted
     # program returning the (steps,) loss vector; batches accumulate
@@ -203,10 +209,13 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
         raise ValueError(
             f"trajectories of {t} frames cannot seed a window of "
             f"{window_size} and roll out")
-    if n == 0:  # empty trajectory set (tiny-n splits): nothing to score
+    if n == 0:  # empty trajectory set: NaN, not a perfect-looking 0.0
+        warnings.warn(
+            "window_rollout_loss: empty trajectory set, returning NaN",
+            stacklevel=2)
         if per_step_losses is not None:
-            per_step_losses[:] = [0.0] * steps
-        return 0.0
+            per_step_losses[:] = [float("nan")] * steps
+        return float("nan")
 
     # one jitted program per batch + device-side accumulation, single host
     # fetch per resolution (see rollout_loss)

@@ -378,7 +378,13 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
         lines = f.read().strip().split("\n")
     assert len(lines) == 4  # header + 3 runs
     assert "superres@32" in lines[0] and "rollout@64" in lines[0]
-    assert os.path.exists(os.path.join(sweeps[0], "sweep.md"))
+    # sweep.md keeps the error column so a failed run is distinguishable
+    # from "metric not applicable" (it drops only the checkpoint path)
+    with open(os.path.join(sweeps[0], "sweep.md")) as f:
+        md = f.read().split("\n")
+    assert md[2].rstrip().endswith("| error |")
+    broken_row = next(ln for ln in md if ln.startswith("| broken"))
+    assert "Error" in broken_row  # the exception text made it to the table
 
     # every real family references only shipped configs
     for fam, runs in sweep.FAMILIES.items():

@@ -336,6 +336,15 @@ def test_ks_pino_unpack_slotless_tuple(tmp_path):
     bundle2 = common.unpack_data(out, "simple")
     assert bundle2["y_normalizer"].decode(np.ones((1,))) == out[6]
 
+    # data_normalizer=false: the 7-tuple is all-None stats — unpack must
+    # yield no normalizers, not KeyError/MinMaxNormalizer(None, None)
+    raw = ks_pino_markov_dataset("KS_train_64.h5", str(tmp_path), s=32,
+                                 data_normalizer=False)
+    assert len(raw) == 7 and raw[3:] == (None,) * 4
+    bundle3 = common.unpack_data(raw, "minmax")
+    assert bundle3["rollout"] is None
+    assert bundle3["x_normalizer"] is None and bundle3["y_normalizer"] is None
+
 
 def test_active_matter_all_factory(tmp_path, rng):
     from resolution_pde_tpu.data.factories import (

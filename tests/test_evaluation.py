@@ -298,7 +298,8 @@ def test_window_rollout_loss_perfect_shift_model(rng):
 
 def test_rollout_loss_empty_trajectory_set():
     """Zero trajectories (tiny-n splits can produce an empty eval bucket):
-    rollout_loss returns 0.0 instead of crashing on the None accumulator."""
+    rollout returns NaN — the per-resolution guard's failed-eval sentinel —
+    not a perfect-looking 0.0 in the sweep tables."""
     from resolution_pde_tpu.evaluation.rollout import window_rollout_loss
 
     class RollModel:
@@ -307,8 +308,11 @@ def test_rollout_loss_empty_trajectory_set():
 
     traj = np.zeros((0, 6, 32), np.float32)
     per_step = []
-    assert rollout_loss(RollModel(), None, traj, rollout_steps=4,
-                        per_step_losses=per_step) == 0.0
-    assert per_step == [0.0] * 4
-    assert window_rollout_loss(RollModel(), None, traj, rollout_steps=2,
-                               window_size=3) == 0.0
+    with pytest.warns(UserWarning, match="empty trajectory"):
+        loss = rollout_loss(RollModel(), None, traj, rollout_steps=4,
+                            per_step_losses=per_step)
+    assert np.isnan(loss)
+    assert len(per_step) == 4 and all(np.isnan(v) for v in per_step)
+    with pytest.warns(UserWarning, match="empty trajectory"):
+        assert np.isnan(window_rollout_loss(RollModel(), None, traj,
+                                            rollout_steps=2, window_size=3))
