@@ -15,6 +15,7 @@ the north star is >= 3.0.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -85,7 +86,9 @@ def main():
         # Pallas fused FF: Dense->GELU->Dense->GELU->Dense->LayerNorm plus
         # the residual add in ONE kernel, hidden activations never leave
         # VMEM (ops/pallas/fused_ff.py). See RESULTS.md roofline analysis.
-        ff_impl="fused",
+        # RPDE_FF_IMPL=fused_saved switches to the saved-pre-activation
+        # backward (no recompute GEMMs) for A/B on hardware.
+        ff_impl=os.environ.get("RPDE_FF_IMPL", "fused"),
     )
     trainer = Trainer(model, learning_rate=1e-3)
 

@@ -273,7 +273,7 @@ class FFNO2D(nn.Module):
             if self.remat
             else FSpectralConv2d
         )
-        fuse_res = self.ff_impl == "fused" and self.dropout == 0.0
+        fuse_res = self.ff_impl.startswith("fused") and self.dropout == 0.0
         for _ in range(self.n_layers):
             layer = layer_cls(
                 self.width,

@@ -182,13 +182,15 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     dtype: Any = None
     approx_gelu: bool = False  # tanh-approx GELU (cheaper on the VPU)
-    ff_impl: str = "dense"  # 'dense' | 'fused' (Pallas)
+    # 'dense' | 'fused' (Pallas, recompute backward) | 'fused_saved'
+    # (Pallas, saved pre-activations: no backward recompute GEMMs)
+    ff_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, residual=None):
         """residual: optional tensor added to the output (the FFNO skip);
         the fused path folds the add into the kernel."""
-        if self.ff_impl == "fused" and self.dropout == 0.0:
+        if self.ff_impl.startswith("fused") and self.dropout == 0.0:
             return self._fused(x, residual)
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
@@ -226,7 +228,8 @@ class FeedForward(nn.Module):
         interpret = jax.default_backend() not in ("tpu", "axon")
         return fused_feedforward(x, kernels, biases, ln, residual,
                                  approx_gelu=self.approx_gelu,
-                                 compute_dtype=cd, interpret=interpret)
+                                 compute_dtype=cd, interpret=interpret,
+                                 save_acts=self.ff_impl == "fused_saved")
 
 
 class PointwiseMLP(nn.Module):

@@ -82,7 +82,12 @@ def _const_spec(shape):
 
 
 def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
-                approx_gelu, has_residual, cd, interpret):
+                approx_gelu, has_residual, cd, interpret,
+                save_zs: bool = False):
+    """save_zs=True additionally returns the per-layer pre-activations
+    (stored in `cd`), letting the backward skip its recompute GEMMs at the
+    cost of the extra HBM round-trip — the FLOPs-vs-bandwidth trade in the
+    opposite direction from the default flash-style recompute."""
     n, _ = x.shape
     tile = _pick_tile(n, _FWD_TILES)
     c_out = kernels[-1].shape[1]
@@ -111,7 +116,9 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
     sub = tile // nsplit
 
     def kernel(*refs):
-        out_ref = refs[-1]
+        n_out = 1 + (n_layers if save_zs else 0)
+        out_ref = refs[-n_out]
+        z_refs = refs[len(refs) - n_out + 1:]
         ks = [refs[base + 2 * i][:] for i in range(n_layers)]
         bs = [refs[base + 1 + 2 * i][:] for i in range(n_layers)]
         if has_ln:
@@ -121,6 +128,9 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
         for i in range(n_layers):
             zs = [jnp.dot(h, ks[i], preferred_element_type=jnp.float32)
                   + bs[i] for h in chunks]
+            if save_zs:
+                for j, z in enumerate(zs):
+                    z_refs[i][j * sub:(j + 1) * sub] = z.astype(cd)
             if i < n_layers - 1:
                 chunks = [_gelu(z, approx_gelu).astype(cd) for z in zs]
             else:
@@ -136,21 +146,36 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
                 z = z + refs[1][j * sub:(j + 1) * sub].astype(jnp.float32)
             out_ref[j * sub:(j + 1) * sub] = z.astype(out_ref.dtype)
 
-    return pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((n, c_out), x.dtype)]
+    out_specs = [pl.BlockSpec((tile, c_out), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_zs:
+        for k in kernels:
+            d = k.shape[1]
+            out_shapes.append(jax.ShapeDtypeStruct((n, d), cd))
+            out_specs.append(pl.BlockSpec((tile, d), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(n // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c_out), x.dtype),
+        out_specs=out_specs if save_zs else out_specs[0],
+        out_shape=out_shapes if save_zs else out_shapes[0],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
+    if save_zs:
+        return outs[0], tuple(outs[1:])
+    return outs
 
 
 def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
-                cd, interpret):
+                cd, interpret, zs_saved=None):
+    """zs_saved: optional tuple of per-layer pre-activations from the
+    forward (save_zs=True). When given, the recompute GEMMs are skipped —
+    layer inputs are reconstructed with a VPU-only GELU."""
     n, c_in = x.shape
     tile = _pick_tile(n, _BWD_TILES)
     c_out = kernels[-1].shape[1]
@@ -168,6 +193,13 @@ def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
     if has_ln:
         args += [ln[0].reshape(1, -1).astype(jnp.float32)]
         in_specs += [_const_spec((1, c_out))]
+    n_fixed_refs = len(args)
+    if zs_saved is not None:
+        for z in zs_saved:
+            args.append(z)
+            in_specs.append(pl.BlockSpec((tile, z.shape[1]),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
 
     # outputs: dx (tiled) + per-weight f32 accumulators (constant blocks)
     out_shapes = [jax.ShapeDtypeStruct((n, c_in), x.dtype)]
@@ -196,15 +228,24 @@ def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
         ks = [ins[2 + 2 * i][:] for i in range(n_layers)]
         bs = [ins[3 + 2 * i][:] for i in range(n_layers)]
 
-        # recompute forward, keeping layer inputs h and pre-activations z
-        hs, zs = [], []
-        h = ins[0][:]
-        for i in range(n_layers):
-            hs.append(h)
-            z = jnp.dot(h, ks[i], preferred_element_type=jnp.float32) + bs[i]
-            zs.append(z)
-            if i < n_layers - 1:
-                h = _gelu(z, approx_gelu).astype(cd)
+        if zs_saved is not None:
+            # saved pre-activations: reconstruct layer inputs VPU-only
+            zs = [ins[n_fixed_refs + i][:].astype(jnp.float32)
+                  for i in range(n_layers)]
+            hs = [ins[0][:]]
+            for i in range(n_layers - 1):
+                hs.append(_gelu(zs[i], approx_gelu).astype(cd))
+        else:
+            # recompute forward, keeping layer inputs h + pre-activations z
+            hs, zs = [], []
+            h = ins[0][:]
+            for i in range(n_layers):
+                hs.append(h)
+                z = (jnp.dot(h, ks[i], preferred_element_type=jnp.float32)
+                     + bs[i])
+                zs.append(z)
+                if i < n_layers - 1:
+                    h = _gelu(z, approx_gelu).astype(cd)
 
         gg = ins[1][:].astype(jnp.float32)
         if has_ln:
@@ -269,7 +310,8 @@ def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_ff(n_layers: int, has_ln: bool, approx_gelu: bool,
-                   has_residual: bool, cd_name: str, interpret: bool):
+                   has_residual: bool, cd_name: str, interpret: bool,
+                   save_acts: bool = False):
     cd = jnp.dtype(cd_name)
     bkw = dict(n_layers=n_layers, has_ln=has_ln, approx_gelu=approx_gelu,
                cd=cd, interpret=interpret)
@@ -280,11 +322,17 @@ def _make_fused_ff(n_layers: int, has_ln: bool, approx_gelu: bool,
         return _fwd_pallas(x, kernels, biases, ln, residual, **fkw)
 
     def f_fwd(x, kernels, biases, ln, residual):
-        return f(x, kernels, biases, ln, residual), (x, kernels, biases, ln)
+        if save_acts:
+            out, zs = _fwd_pallas(x, kernels, biases, ln, residual,
+                                  save_zs=True, **fkw)
+            return out, (x, kernels, biases, ln, zs)
+        return f(x, kernels, biases, ln, residual), (x, kernels, biases,
+                                                     ln, None)
 
     def f_bwd(res, g):
-        x, kernels, biases, ln = res
-        dx, dks, dbs, dln = _bwd_pallas(x, g, kernels, biases, ln, **bkw)
+        x, kernels, biases, ln, zs = res
+        dx, dks, dbs, dln = _bwd_pallas(x, g, kernels, biases, ln,
+                                        zs_saved=zs, **bkw)
         # residual enters the output additively -> its cotangent is g
         dres = g if has_residual else None
         return dx, dks, dbs, dln, dres
@@ -296,7 +344,8 @@ def _make_fused_ff(n_layers: int, has_ln: bool, approx_gelu: bool,
 def fused_feedforward(x, kernels, biases, ln=None, residual=None, *,
                       approx_gelu: bool = True,
                       compute_dtype=jnp.bfloat16,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      save_acts: bool = False):
     """Fused Dense->GELU->...->Dense[->LayerNorm] chain.
 
     x: (..., C_in). kernels: tuple of (in_i, out_i) f32 arrays with
@@ -308,6 +357,13 @@ def fused_feedforward(x, kernels, biases, ln=None, residual=None, *,
     if the flattened row count has no aligned divisor the input is
     zero-padded to a multiple of 256 (padded rows never contribute to
     gradients because their cotangent is zero).
+
+    save_acts=True stores the per-layer pre-activations (in compute_dtype)
+    during the forward and skips the backward's recompute GEMMs — trading
+    ~1 forward of MXU work for the extra HBM round-trip. Worth it when
+    the chain is MXU-bound (the bench FF stack); the stored-bf16
+    pre-activations perturb gradients at bf16 rounding level (exact in
+    f32), so the default stays the recompute path.
     """
     lead = x.shape[:-1]
     c_in = x.shape[-1]
@@ -325,7 +381,8 @@ def fused_feedforward(x, kernels, biases, ln=None, residual=None, *,
             r2 = jnp.pad(r2, ((0, pad), (0, 0)))
     f = _make_fused_ff(len(kernels), ln is not None, bool(approx_gelu),
                        residual is not None,
-                       jnp.dtype(compute_dtype).name, bool(interpret))
+                       jnp.dtype(compute_dtype).name, bool(interpret),
+                       bool(save_acts))
     out = f(x2, tuple(kernels), tuple(biases),
             tuple(ln) if ln is not None else None, r2)
     if pad:

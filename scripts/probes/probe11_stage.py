@@ -2,7 +2,8 @@
 /tmp/probe11_results.txt — cold compiles on this backend can exceed a
 single command timeout, so each stage gets its own process.
 
-Stages: step8 | step16 | spec | ff
+Stages: step8 | step16 | step8_pallas2 | step8_ffsaved | fwd8 | grad8 |
+spec | spec2 | ff | ff_saved
 """
 
 import sys
@@ -41,7 +42,7 @@ def main(stage):
     RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS = 256, 64, 4, 64, 4, 3
     rng = np.random.default_rng(0)
 
-    if stage in ("step8", "step16", "step8_pallas2"):
+    if stage in ("step8", "step16", "step8_pallas2", "step8_ffsaved"):
         from resolution_pde_tpu.models import FFNO2D
         from resolution_pde_tpu.train import Trainer
 
@@ -56,7 +57,9 @@ def main(stage):
             remat=False, compute_dtype=jnp.bfloat16,
             spectral_impl=("pallas2" if stage == "step8_pallas2"
                            else "dft_v3"),
-            approx_gelu=True, ff_impl="fused")
+            approx_gelu=True,
+            ff_impl=("fused_saved" if stage == "step8_ffsaved"
+                     else "fused"))
         trainer = Trainer(model, learning_rate=1e-3)
         holder = {"s": trainer.init(x[:1])}
 
@@ -143,7 +146,7 @@ def main(stage):
         report(f"spec stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
         return
 
-    if stage == "ff":
+    if stage in ("ff", "ff_saved"):
         from resolution_pde_tpu.ops.pallas.fused_ff import fused_feedforward
 
         F = WIDTH * FACTOR
@@ -159,16 +162,19 @@ def main(stage):
                  jnp.zeros((WIDTH,), jnp.float32)),
             ))
 
+        save = stage == "ff_saved"
+
         def ff_loss(ffw):
             h = xcl
             for kern, bias, ln in ffw:
                 h = fused_feedforward(h, kern, bias, ln, residual=h,
                                       approx_gelu=True,
-                                      compute_dtype=jnp.bfloat16)
+                                      compute_dtype=jnp.bfloat16,
+                                      save_acts=save)
             return jnp.sum(h.astype(jnp.float32) ** 2)
 
         g = jax.jit(jax.grad(ff_loss))
-        report(f"ff stack fwd+bwd: {timeit(lambda: g(ffw)):.2f} ms")
+        report(f"{stage} stack fwd+bwd: {timeit(lambda: g(ffw)):.2f} ms")
         return
 
     raise SystemExit(f"unknown stage {stage}")

@@ -131,3 +131,67 @@ def test_ffno2d_fused_ff_matches_dense():
                     jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("has_ln", [True, False])
+def test_fused_ff_save_acts_matches_recompute(has_ln):
+    """save_acts=True (saved pre-activations, no backward recompute GEMMs)
+    must produce the SAME forward and VJP as the default recompute backward
+    — exactly, in f32, where the stored z carries no rounding."""
+    n_layers, dim, factor, rows = 3, 16, 4, 192
+    kernels, biases = _make(n_layers, dim, factor)
+    ln = ((jnp.ones(dim) * 1.1).astype(jnp.float32),
+          (jnp.ones(dim) * -0.2).astype(jnp.float32)) if has_ln else None
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, rows // 3, dim)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((3, rows // 3, dim)), jnp.float32)
+
+    def run(save_acts):
+        def loss(x, kernels, biases, ln, res):
+            out = fused_feedforward(x, kernels, biases, ln, res,
+                                    approx_gelu=True,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True, save_acts=save_acts)
+            return jnp.sum(jnp.sin(out)), out
+
+        diff_idx = (0, 1, 2, 3, 4) if has_ln else (0, 1, 2, 4)
+        (l, out), g = jax.value_and_grad(loss, argnums=diff_idx,
+                                         has_aux=True)(
+            x, kernels, biases, ln, res)
+        return out, g
+
+    out_r, g_r = run(False)
+    out_s, g_s = run(True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_r))
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_ffno2d_fused_saved_matches_dense():
+    """Model-level: ff_impl='fused_saved' matches 'dense' forward + grads
+    (f32 interpret) and shares the identical param tree."""
+    from resolution_pde_tpu.models import FFNO2D
+
+    kw = dict(in_channels=1, out_channels=1, width=12, n_layers=2,
+              n_modes=6, factor=2, n_ff_layers=2, layer_norm=True)
+    dense = FFNO2D(**kw)
+    saved = FFNO2D(**kw, ff_impl="fused_saved")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 1, 16, 16)), jnp.float32)
+
+    pd = dense.init(jax.random.key(0), x)
+    ps = saved.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(pd)
+            == jax.tree_util.tree_structure(ps))
+
+    np.testing.assert_allclose(np.asarray(saved.apply(pd, x)),
+                               np.asarray(dense.apply(pd, x)),
+                               rtol=2e-5, atol=2e-5)
+    gd = jax.grad(lambda p: jnp.sum(dense.apply(p, x) ** 2))(pd)
+    gs = jax.grad(lambda p: jnp.sum(saved.apply(p, x) ** 2))(pd)
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
