@@ -320,3 +320,34 @@ def test_gradient_accumulation_weighted_straggler(rng):
                     jax.tree_util.tree_leaves(s_acc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_gradient_accumulation_non_divisible_batch(rng):
+    """batch % accum_steps != 0 (drop_last=False stragglers, odd
+    batch_size configs): the step pads with zero-weight rows instead of
+    crashing, and reproduces the accum=1 result exactly."""
+    from resolution_pde_tpu.models import FFNO1D
+
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=4)
+    x = jnp.asarray(rng.standard_normal((7, 1, 32)), jnp.float32)
+    y = jnp.roll(x, 3, axis=-1)
+
+    ref = Trainer(model, learning_rate=1e-3)
+    acc = Trainer(model, learning_rate=1e-3, accum_steps=2)
+    s_ref = ref.init(x[:2])
+    s_acc = acc.init(x[:2])
+    for _ in range(3):
+        s_ref, l_ref = ref._train_step(s_ref, x, y, None)
+        s_acc, l_acc = acc._train_step(s_acc, x, y, None)
+    assert abs(float(l_ref) - float(l_acc)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # explicit weights compose with the padding too
+    w = jnp.asarray([1, 1, 1, 1, 1, 1, 0], jnp.float32)
+    s_ref, l_ref = ref._train_step(s_ref, x, y, None, w)
+    s_acc, l_acc = acc._train_step(s_acc, x, y, None, w)
+    assert abs(float(l_ref) - float(l_acc)) < 1e-6
