@@ -10,6 +10,13 @@ set -e
 cd /root/repo
 EPOCHS="${EPOCHS:-50}"
 
+# Quick perf A/B first (minutes, informs the bench default): fused FF
+# recompute backward vs saved-pre-activation backward, isolated stack and
+# full train step. One process per stage (cold compiles can be long).
+for st in ff ff_saved step8 step8_ffsaved; do
+    python scripts/probes/probe11_stage.py "$st" || true
+done
+
 # headline family first — ladder data generation can wait
 python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
     training.epochs=$EPOCHS training.t_max=$EPOCHS
