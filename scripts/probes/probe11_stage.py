@@ -6,8 +6,15 @@ Stages: step8 | step16 | step8_pallas2 | step8_ffsaved | fwd8 | grad8 |
 spec | spec2 | ff | ff_saved
 """
 
+import os
 import sys
 import time
+
+# Self-locating: `python scripts/probes/probe11_stage.py` puts scripts/probes
+# on sys.path, not the repo root — insert it so the package imports without
+# an explicit PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import numpy as np
 

@@ -8,6 +8,7 @@
 # a whole family (see cli/sweep.py).
 set -e
 cd /root/repo
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 EPOCHS="${EPOCHS:-50}"
 
 # Quick perf A/B first (minutes, informs the bench default): fused FF
