@@ -92,7 +92,9 @@ def main(argv=None, spatial_ndim: int | None = None):
             pred = forward(variables, bx)
             tgt = yn.decode(by) if yn is not None else by
             es, ms = sums_fn(pred, tgt)
-            spatial_shape = by.shape[2:]
+            # last spatial_ndim dims — window (S4) targets carry no
+            # channel dim, so a fixed [2:] slice would come up empty
+            spatial_shape = by.shape[by.ndim - spatial_ndim:]
             if err_acc is None:
                 err_acc, mag_acc = es, ms
             else:

@@ -39,10 +39,17 @@ def spectrum_sums_1d(y_hat, y):
     sums of |F(err)|^2 and |F(y)|^2 over (batch, channel). Accumulate these
     across batches, then call finalize_frequency_1d — no host transfer of
     predictions (VERDICT r1 weak #5)."""
-    f_hat = jnp.fft.rfft(jnp.asarray(y_hat), axis=-1)
+    # align layouts: window (S4) targets carry no channel dim while the
+    # model emits (B, 1, X) — same size, so reshape (never broadcast,
+    # which would silently cross-pair samples)
+    y_hat = jnp.reshape(jnp.asarray(y_hat), jnp.shape(y))
+    f_hat = jnp.fft.rfft(y_hat, axis=-1)
     f = jnp.fft.rfft(jnp.asarray(y), axis=-1)
-    err_sq = jnp.sum(jnp.abs(f_hat - f) ** 2, axis=(0, 1))
-    mag_sq = jnp.sum(jnp.abs(f) ** 2, axis=(0, 1))
+    # sum over every leading (batch/channel) axis — window (S4) tensors
+    # carry no channel dim, so a fixed (0, 1) would eat the mode axis
+    lead = tuple(range(f.ndim - 1))
+    err_sq = jnp.sum(jnp.abs(f_hat - f) ** 2, axis=lead)
+    mag_sq = jnp.sum(jnp.abs(f) ** 2, axis=lead)
     return err_sq, mag_sq
 
 
@@ -65,10 +72,12 @@ def decompose_error_by_frequency_1d(y_hat, y, num_modes=None):
 
 def spectrum_sums_2d(y_hat, y):
     """Device-side additive statistics for the 2D decomposition."""
-    f_hat = jnp.fft.rfft2(jnp.asarray(y_hat), axes=(-2, -1))
+    y_hat = jnp.reshape(jnp.asarray(y_hat), jnp.shape(y))
+    f_hat = jnp.fft.rfft2(y_hat, axes=(-2, -1))
     f = jnp.fft.rfft2(jnp.asarray(y), axes=(-2, -1))
-    err_sq = jnp.sum(jnp.abs(f_hat - f) ** 2, axis=(0, 1))
-    mag_sq = jnp.sum(jnp.abs(f) ** 2, axis=(0, 1))
+    lead = tuple(range(f.ndim - 2))
+    err_sq = jnp.sum(jnp.abs(f_hat - f) ** 2, axis=lead)
+    mag_sq = jnp.sum(jnp.abs(f) ** 2, axis=lead)
     return err_sq, mag_sq
 
 

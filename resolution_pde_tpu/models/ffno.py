@@ -142,10 +142,13 @@ class FSpectralConv2d(nn.Module):
                     x = factorized_spectral_conv_2d_dft_v2(
                         xin, wy, wx, self.n_modes,
                         gemm_dtype=self.compute_dtype).astype(dt)
-                elif self.spectral_impl == "dft_v3":
+                elif self.spectral_impl in ("dft_v3", "dft_v3s"):
                     x = factorized_spectral_conv_2d_dft_v3(
                         xin, wy, wx, self.n_modes,
-                        gemm_dtype=self.compute_dtype).astype(dt)
+                        gemm_dtype=self.compute_dtype,
+                        store_dtype=(self.compute_dtype
+                                     if self.spectral_impl == "dft_v3s"
+                                     else None)).astype(dt)
                 elif self.spectral_impl == "dft_v4":
                     x = factorized_spectral_conv_2d_dft_v4(
                         xin, wy, wx, self.n_modes,

@@ -314,7 +314,7 @@ def factorized_spectral_conv_2d_dft_v2(x, weight_y, weight_x, n_modes: int,
 
 
 def _dft_pass_last_axis_v3(xc, weight, n_modes: int, fft_norm: str,
-                           gemm_dtype):
+                           gemm_dtype, store_dtype=None):
     """One spectral pass along the LAST axis of (B, C, R, W) with the
     re/im parts packed into single GEMMs:
 
@@ -324,7 +324,14 @@ def _dft_pass_last_axis_v3(xc, weight, n_modes: int, fft_norm: str,
 
     3 MXU launches instead of 10 and contraction dims of 128/256 instead
     of 64 — same math as _dft_pass_last_axis (complex product expanded
-    into the 2x2 real block [[wr, wi], [-wi, wr]])."""
+    into the 2x2 real block [[wr, wi], [-wi, wr]]).
+
+    store_dtype: when set (bf16 training path), intermediate GEMM outputs
+    are cast AT THE PRODUCER so the HBM-resident spectrum buffers (and
+    their backward cotangents) are bf16 rather than f32 — the forward
+    numerics are bitwise identical to the consumer-side cast (the next
+    GEMM read the same bf16 values either way); only the buffer dtype —
+    and therefore HBM traffic on a bandwidth-bound stage — changes."""
     b, c, r, w_sz = xc.shape
     m = min(n_modes, w_sz // 2 + 1)
     fc, fs, ic, is_ = (jnp.asarray(a) for a in
@@ -334,11 +341,15 @@ def _dft_pass_last_axis_v3(xc, weight, n_modes: int, fft_norm: str,
     def cast(a):
         return a.astype(gemm_dtype) if gemm_dtype is not None else a
 
+    def store(a):
+        return a.astype(store_dtype) if store_dtype is not None else a
+
     f2 = jnp.concatenate([fc, fs], axis=1)        # (W, 2m): [re | im]
     i2 = jnp.concatenate([ic, is_], axis=0)       # (2m, W): [re ; im]
 
-    z = jnp.matmul(cast(xc), cast(f2), preferred_element_type=jnp.float32,
-                   precision=prec)                # (B, C, R, 2m)
+    z = store(jnp.matmul(cast(xc), cast(f2),
+                         preferred_element_type=jnp.float32,
+                         precision=prec))         # (B, C, R, 2m)
     z = z.reshape(b, c, r, 2, m)                  # s in {re, im}
 
     wr, wi = weight[:, :, :m, 0], weight[:, :, :m, 1]
@@ -346,8 +357,9 @@ def _dft_pass_last_axis_v3(xc, weight, n_modes: int, fft_norm: str,
     w5 = jnp.stack([jnp.stack([wr, wi], axis=2),
                     jnp.stack([-wi, wr], axis=2)], axis=2)
     # (C, O, s, t, m)
-    out = jnp.einsum("bihsm,iostm->bohtm", cast(z), cast(w5),
-                     preferred_element_type=jnp.float32, precision=prec)
+    out = store(jnp.einsum("bihsm,iostm->bohtm", cast(z), cast(w5),
+                           preferred_element_type=jnp.float32,
+                           precision=prec))
     out = out.reshape(b, wr.shape[1], r, 2 * m)
     return jnp.matmul(cast(out), cast(i2),
                       preferred_element_type=jnp.float32, precision=prec)
@@ -355,13 +367,17 @@ def _dft_pass_last_axis_v3(xc, weight, n_modes: int, fft_norm: str,
 
 def factorized_spectral_conv_2d_dft_v3(x, weight_y, weight_x, n_modes: int,
                                        fft_norm: str = "ortho",
-                                       gemm_dtype=None):
+                                       gemm_dtype=None, store_dtype=None):
     """Packed-complex variant of the truncated-DFT factorized conv
-    (see _dft_pass_last_axis_v3). Numerics match the fft/dft paths."""
+    (see _dft_pass_last_axis_v3). Numerics match the fft/dft paths.
+    store_dtype=bf16 ('dft_v3s' in FFNO) keeps the HBM-resident spectrum
+    intermediates bf16 — forward-identical to gemm_dtype=bf16 alone."""
     xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
-    yy = _dft_pass_last_axis_v3(xc, weight_y, n_modes, fft_norm, gemm_dtype)
+    yy = _dft_pass_last_axis_v3(xc, weight_y, n_modes, fft_norm, gemm_dtype,
+                                store_dtype)
     xt = jnp.swapaxes(xc, -1, -2)
-    xx = _dft_pass_last_axis_v3(xt, weight_x, n_modes, fft_norm, gemm_dtype)
+    xx = _dft_pass_last_axis_v3(xt, weight_x, n_modes, fft_norm, gemm_dtype,
+                                store_dtype)
     xx = jnp.swapaxes(xx, -1, -2)
     return jnp.moveaxis(xx + yy, 1, -1)
 

@@ -2,8 +2,8 @@
 /tmp/probe11_results.txt — cold compiles on this backend can exceed a
 single command timeout, so each stage gets its own process.
 
-Stages: step8 | step16 | step8_pallas2 | step8_ffsaved | fwd8 | grad8 |
-spec | spec2 | ff | ff_saved
+Stages: step8 | step16 | step8_pallas2 | step8_ffsaved | step8_v3s |
+step8_best | fwd8 | grad8 | spec | spec_s | spec2 | ff | ff_saved
 """
 
 import os
@@ -49,7 +49,8 @@ def main(stage):
     RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS = 256, 64, 4, 64, 4, 3
     rng = np.random.default_rng(0)
 
-    if stage in ("step8", "step16", "step8_pallas2", "step8_ffsaved"):
+    if stage in ("step8", "step16", "step8_pallas2", "step8_ffsaved",
+                 "step8_v3s", "step8_best"):
         from resolution_pde_tpu.models import FFNO2D
         from resolution_pde_tpu.train import Trainer
 
@@ -63,9 +64,12 @@ def main(stage):
             n_ff_layers=FF_LAYERS, layer_norm=True, dropout=0.0,
             remat=False, compute_dtype=jnp.bfloat16,
             spectral_impl=("pallas2" if stage == "step8_pallas2"
+                           else "dft_v3s" if stage in ("step8_v3s",
+                                                       "step8_best")
                            else "dft_v3"),
             approx_gelu=True,
-            ff_impl=("fused_saved" if stage == "step8_ffsaved"
+            ff_impl=("fused_saved" if stage in ("step8_ffsaved",
+                                                "step8_best")
                      else "fused"))
         trainer = Trainer(model, learning_rate=1e-3)
         holder = {"s": trainer.init(x[:1])}
@@ -133,24 +137,26 @@ def main(stage):
         report(f"spec2 (pallas v2) stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
         return
 
-    if stage == "spec":
+    if stage in ("spec", "spec_s"):
         from resolution_pde_tpu.ops.spectral import (
             factorized_spectral_conv_2d_dft_v3)
 
         ws = [jnp.asarray(
             rng.standard_normal((WIDTH, WIDTH, MODES, 2)) * 0.1,
             jnp.float32) for _ in range(2 * LAYERS)]
+        sd = jnp.bfloat16 if stage == "spec_s" else None
 
         def spec_loss(ws):
             h = xcl
             for i in range(LAYERS):
                 h = factorized_spectral_conv_2d_dft_v3(
                     h, ws[2 * i], ws[2 * i + 1], MODES,
-                    gemm_dtype=jnp.bfloat16).astype(jnp.bfloat16)
+                    gemm_dtype=jnp.bfloat16,
+                    store_dtype=sd).astype(jnp.bfloat16)
             return jnp.sum(h.astype(jnp.float32) ** 2)
 
         g = jax.jit(jax.grad(spec_loss))
-        report(f"spec stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
+        report(f"{stage} stack fwd+bwd: {timeit(lambda: g(ws)):.2f} ms")
         return
 
     if stage in ("ff", "ff_saved"):

@@ -14,13 +14,25 @@ EPOCHS="${EPOCHS:-50}"
 # Quick perf A/B first (minutes, informs the bench default): fused FF
 # recompute backward vs saved-pre-activation backward, isolated stack and
 # full train step. One process per stage (cold compiles can be long).
-for st in ff ff_saved step8 step8_ffsaved; do
+for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
     python scripts/probes/probe11_stage.py "$st" || true
 done
 
 # headline family first — ladder data generation can wait
 python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
     training.epochs=$EPOCHS training.t_max=$EPOCHS
+
+# BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
+# standalone eval drivers (reference autoregressive_eval.py +
+# frequency_evaluation.py) — the canonical config is "S4/S4D on KS +
+# rollout + frequency sweep", not just the training run.
+S4CKPT=$(ls -d checkpoints/s4model/ks_local 2>/dev/null | head -1)
+if [ -n "$S4CKPT" ]; then
+    python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+    python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+fi
 
 if [ ! -f data/pino/ks/ks_pino.h5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \

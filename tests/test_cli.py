@@ -304,6 +304,47 @@ def test_eval_drivers_end_to_end(tmp_path, monkeypatch):
     assert err.shape == (32 // 2 + 1,) and np.isfinite(err).all()
 
 
+def test_eval_drivers_s4_window(tmp_path, monkeypatch):
+    """BASELINE config 5's full surface: S4 on the KS window dataset, then
+    the standalone rollout and frequency drivers re-load its checkpoint
+    (reference run1.sh + autoregressive_eval.py + frequency_evaluation.py).
+    Mirrors the exact model=s4_1d dataset=ks_s4 invocation
+    scripts/run_baseline_and_ladders.sh uses on TPU."""
+    _make_ks_dir(tmp_path, s=32, n=8, t=8)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_1d import main as train_main
+
+    common_args = [
+        "model=s4_1d", "dataset=ks_s4",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.window_size=4",
+        "dataset.window_size=4", "model.d_input=4",
+        "dataset.original_res=32", "dataset.max_test_resolution=32",
+        "model.d_model=16", "model.n_layers=1", "model.dropout=0.0",
+        "training.batch_size=8",
+    ]
+    out = train_main(common_args + ["training.epochs=1",
+                                    "dataset.rollout_steps=0"])
+    ckpt = out["checkpoint"]
+
+    from resolution_pde_tpu.cli.autoregressive_eval import main as ar_main
+
+    res = ar_main(common_args + [
+        f"dataset.saved_checkpoint_path={ckpt}",
+        "dataset.rollout_steps=2",
+    ])
+    assert res["rollout"] and all(
+        np.isfinite(v) for v in res["rollout"].values())
+
+    from resolution_pde_tpu.cli.frequency_evaluation import main as fq_main
+
+    res = fq_main(common_args + [
+        f"dataset.saved_checkpoint_path={ckpt}",
+    ])
+    err = res["default"]["error_per_mode"]
+    assert err.shape == (32 // 2 + 1,) and np.isfinite(err).all()
+
+
 def test_main_2d_cno_resize_training(tmp_path, monkeypatch):
     """BASELINE config 4 through the driver: CNO2d with
     training.cno_resize_training — batches antialias-resized from the data

@@ -207,6 +207,34 @@ def test_dft_v3_matches_fft_path():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_dft_v3_store_dtype_close():
+    """dft_v3 with producer-side bf16 stores (spectral_impl='dft_v3s') must
+    stay within bf16 rounding of the exact path — the cast only changes
+    WHERE the intermediate spectrum buffers round, not the GEMM operands
+    (on the bf16 TPU path the consumer cast already rounded them; here we
+    drive store_dtype with f32 GEMMs so the check runs on CPU)."""
+    import numpy as np
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d, factorized_spectral_conv_2d_dft_v3)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 6)), jnp.float32)
+    wy = jnp.asarray(rng.standard_normal((6, 6, 5, 2)) * 0.3, jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((6, 6, 5, 2)) * 0.3, jnp.float32)
+    ref = factorized_spectral_conv_2d(x, wy, wx, 5)
+    out = factorized_spectral_conv_2d_dft_v3(
+        x, wy, wx, 5, gemm_dtype=jnp.float32, store_dtype=jnp.bfloat16)
+    rel = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.05  # bf16 rounding of the stored spectrum
+    # and it must be differentiable (the bench trains through it)
+    import jax
+
+    g = jax.grad(lambda w: jnp.sum(factorized_spectral_conv_2d_dft_v3(
+        x, w, wx, 5, gemm_dtype=jnp.float32,
+        store_dtype=jnp.bfloat16) ** 2))(wy)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_dft_v4_matches_fft_path():
     """Folded-symmetry DFT (half-MAC transforms) must match the FFT path,
     including the full-spectrum case m == n//2+1 (Nyquist weights) and
