@@ -76,8 +76,10 @@ def main():
         # 2.7x over the f32+FFT baseline on v5e.
         compute_dtype=jnp.bfloat16,
         # packed-complex truncated-DFT: re/im packed into single GEMMs
-        # (K,N = 128/256 instead of 64) — 40% faster than 'dft' on TPU
-        spectral_impl="dft_v3",
+        # (K,N = 128/256 instead of 64) — 40% faster than 'dft' on TPU.
+        # RPDE_SPECTRAL_IMPL=dft_v3s stores the HBM-resident spectrum
+        # intermediates bf16 (producer-side casts) for A/B on hardware.
+        spectral_impl=os.environ.get("RPDE_SPECTRAL_IMPL", "dft_v3"),
         # tanh-approx GELU: the exact-erf GELU costs ~1/3 of the step on
         # the VPU; the tanh form is the standard training substitution
         # (max deviation ~1e-3 relative). Exact GELU stays the default
