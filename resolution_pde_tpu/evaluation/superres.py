@@ -134,7 +134,9 @@ def evaluate_all_resolutions(
                     # transfer of full prediction tensors (r1 weak #5)
                     sums = (_spectrum_sums_1d if spatial_ndim == 1
                             else _spectrum_sums_2d)(pred, by)
-                    spatial_shape = by.shape[2:]
+                    # last spatial_ndim dims — window (S4) targets carry
+                    # no channel dim, so a fixed [2:] slice comes up empty
+                    spatial_shape = by.shape[by.ndim - spatial_ndim:]
                     if err_acc is None:
                         err_acc, mag_acc = sums
                     else:

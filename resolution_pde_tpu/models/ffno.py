@@ -276,7 +276,8 @@ class FFNO2D(nn.Module):
             if self.remat
             else FSpectralConv2d
         )
-        fuse_res = self.ff_impl.startswith("fused") and self.dropout == 0.0
+        # FeedForward validates ff_impl; anything non-dense is a fused kernel
+        fuse_res = self.ff_impl != "dense" and self.dropout == 0.0
         for _ in range(self.n_layers):
             layer = layer_cls(
                 self.width,

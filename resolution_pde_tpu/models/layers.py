@@ -190,7 +190,10 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True, residual=None):
         """residual: optional tensor added to the output (the FFNO skip);
         the fused path folds the add into the kernel."""
-        if self.ff_impl.startswith("fused") and self.dropout == 0.0:
+        if self.ff_impl not in ("dense", "fused", "fused_saved"):
+            raise ValueError(f"unknown ff_impl {self.ff_impl!r}; expected "
+                             "'dense', 'fused', or 'fused_saved'")
+        if self.ff_impl != "dense" and self.dropout == 0.0:
             return self._fused(x, residual)
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor

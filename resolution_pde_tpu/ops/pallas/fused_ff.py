@@ -91,6 +91,10 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
     n, _ = x.shape
     tile = _pick_tile(n, _FWD_TILES)
     c_out = kernels[-1].shape[1]
+    # without LayerNorm the backward never reads the LAST layer's
+    # pre-activations (dz starts from the cotangent; hs reconstruction
+    # needs only z_0..z_{L-2}) — don't round-trip them through HBM
+    n_save = n_layers if has_ln else n_layers - 1
 
     args = [x.astype(cd)]
     in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
@@ -116,7 +120,7 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
     sub = tile // nsplit
 
     def kernel(*refs):
-        n_out = 1 + (n_layers if save_zs else 0)
+        n_out = 1 + (n_save if save_zs else 0)
         out_ref = refs[-n_out]
         z_refs = refs[len(refs) - n_out + 1:]
         ks = [refs[base + 2 * i][:] for i in range(n_layers)]
@@ -128,7 +132,7 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
         for i in range(n_layers):
             zs = [jnp.dot(h, ks[i], preferred_element_type=jnp.float32)
                   + bs[i] for h in chunks]
-            if save_zs:
+            if save_zs and i < n_save:
                 for j, z in enumerate(zs):
                     z_refs[i][j * sub:(j + 1) * sub] = z.astype(cd)
             if i < n_layers - 1:
@@ -150,7 +154,7 @@ def _fwd_pallas(x, kernels, biases, ln, residual, *, n_layers, has_ln,
     out_specs = [pl.BlockSpec((tile, c_out), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if save_zs:
-        for k in kernels:
+        for k in kernels[:n_save]:
             d = k.shape[1]
             out_shapes.append(jax.ShapeDtypeStruct((n, d), cd))
             out_specs.append(pl.BlockSpec((tile, d), lambda i: (i, 0),
@@ -229,9 +233,11 @@ def _bwd_pallas(x, g, kernels, biases, ln, *, n_layers, has_ln, approx_gelu,
         bs = [ins[3 + 2 * i][:] for i in range(n_layers)]
 
         if zs_saved is not None:
-            # saved pre-activations: reconstruct layer inputs VPU-only
+            # saved pre-activations: reconstruct layer inputs VPU-only.
+            # Without LN the forward saved only z_0..z_{L-2} (the last z
+            # is never read here — dz starts from the cotangent).
             zs = [ins[n_fixed_refs + i][:].astype(jnp.float32)
-                  for i in range(n_layers)]
+                  for i in range(len(zs_saved))]
             hs = [ins[0][:]]
             for i in range(n_layers - 1):
                 hs.append(_gelu(zs[i], approx_gelu).astype(cd))

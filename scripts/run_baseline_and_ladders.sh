@@ -26,7 +26,8 @@ python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
 # standalone eval drivers (reference autoregressive_eval.py +
 # frequency_evaluation.py) — the canonical config is "S4/S4D on KS +
 # rollout + frequency sweep", not just the training run.
-S4CKPT=$(ls -d checkpoints/s4model/ks_local 2>/dev/null | head -1)
+# glob: save_run_checkpoint names the file ks_${SLURM_JOB_ID:-local}
+S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
 if [ -n "$S4CKPT" ]; then
     python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
