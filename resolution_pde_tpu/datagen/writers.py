@@ -37,7 +37,7 @@ def write_ks_multires_tree(base_folder: str, data_by_res: dict,
                            viscosity: float = 0.075, L: float = 64.0,
                            lmax: int = 8, et: float = 5.0, nte: int = 51,
                            nt: int = 51, train_s: int = 2048,
-                           split_counts=None):
+                           split_counts=None, dt: float | None = None):
     """res_{R}/visc_{v}_L{L}_lmax{l}_et{e}_nte{n}_nt{n}/ tree
     (ks_naive_true_multires.py:255-261). Each res dir carries the THREE
     split files the eval swap reads (`ks_markov_dataset` with
@@ -62,7 +62,8 @@ def write_ks_multires_tree(base_folder: str, data_by_res: dict,
                 "KS_test.h5": (u[n_tr + n_va:n_tr + n_va + n_te], "test"),
             }
         for fname, (part, split) in parts.items():
-            write_ks_file(os.path.join(d, fname), part, L=L, split=split)
+            write_ks_file(os.path.join(d, fname), part, L=L, dt=dt,
+                          split=split)
 
 
 def write_pdebench_file(path: str, u: np.ndarray):

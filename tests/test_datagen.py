@@ -189,8 +189,11 @@ def test_generate_data_cli_ks_feeds_factories(tmp_path):
     assert len(train) > 0 and train.x.shape[-1] == 32
     assert np.isfinite(train.x).all()
 
+    # the tree dir name records the TRUE generation params (nte/nt from
+    # n_snapshots) — the factory must be pointed at the same values
     out2 = ks_true_multires_markov_dataset(
-        out, viscosity=0.05, data_mres_size={32: -1, 16: -1},
+        out, viscosity=0.05, nte=4, nt=4,
+        data_mres_size={32: -1, 16: -1},
         downsample_from_res=32)
     mres_train = out2[0]
     assert sorted(mres_train.resolutions) == [16, 32]
@@ -202,7 +205,7 @@ def test_generate_data_cli_ks_feeds_factories(tmp_path):
     # KS_valid.h5/KS_test.h5 THERE, not just the train file (caught live:
     # the eval sweep 404'd on KS_valid.h5 before the tree wrote splits).
     res_dir = os.path.join(out, "res_32",
-                           "visc_0.05_L64.0_lmax8_et5.0_nte51_nt51")
+                           "visc_0.05_L64.0_lmax8_et5.0_nte4_nt4")
     ev_train, _, ev_test, ev_roll, _, _ = ks_markov_dataset(
         "KS_train_2048.h5", res_dir)
     assert len(ev_test) > 0 and len(ev_roll) > 0
@@ -308,6 +311,35 @@ def test_generate_data_ks_viscosity_and_splits(tmp_path):
     assert n_traj(out_a, "KS_train_2048.h5", "train") == 4
     assert n_traj(out_a, "KS_valid.h5", "valid") == 2
     assert n_traj(out_a, "KS_test.h5", "test") == 2
+
+
+def test_generate_data_ks_markov_pairs_are_learnable(tmp_path):
+    """Regression for the decorrelated-snapshot bug: generate_data must
+    follow the reference's LPSDA convention (run1.sh:146-163 — smooth
+    sum-of-sines ICs from t=0, NO burn-in, snapshots every et/(nt-1) time
+    units). The old attractor-sampled 2.0-unit spacing produced
+    consecutive frames with corr ~0.01 at visc=0.075, an unlearnable
+    Markov task (observed: FFNO plateaued at rel-L2 ~0.7 on TPU)."""
+    import h5py
+    from resolution_pde_tpu.cli.generate_data import main as gen_main
+
+    out = str(tmp_path / "ks")
+    gen_main(["pde=ks", f"out={out}", "n=6", "resolutions=[64]",
+              "n_snapshots=11", "et=1.0", "seed=3"])
+    with h5py.File(os.path.join(out, "KS_train_2048.h5"), "r") as f:
+        g = f["train"]
+        key = next(k for k in g.keys() if k.startswith("pde"))
+        u = np.asarray(g[key])
+        dt = float(np.asarray(g["dt"]))
+    assert abs(dt - 0.1) < 1e-6  # et/(nt-1) snapshot spacing recorded
+    a, b = u[:, :-1], u[:, 1:]
+    corr = ((a * b).sum(-1)
+            / np.sqrt((a * a).sum(-1) * (b * b).sum(-1) + 1e-12))
+    assert corr.mean() > 0.8, f"consecutive snapshots decorrelated: " \
+                              f"{corr.mean():.3f}"
+    ident = (np.linalg.norm(b - a, axis=-1)
+             / (np.linalg.norm(b, axis=-1) + 1e-12))
+    assert ident.mean() < 0.7, f"identity-map rel-L2 {ident.mean():.3f}"
 
 
 def test_ks_long_run_stays_on_attractor():
