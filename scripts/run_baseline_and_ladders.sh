@@ -14,9 +14,29 @@ EPOCHS="${EPOCHS:-50}"
 # Quick perf A/B first (minutes, informs the bench default): fused FF
 # recompute backward vs saved-pre-activation backward, isolated stack and
 # full train step. One process per stage (cold compiles can be long).
-for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
-    python scripts/probes/probe11_stage.py "$st" || true
-done
+# RUN_PROBES=0 skips (e.g. when the stages already ran this session).
+if [ "${RUN_PROBES:-1}" != "0" ]; then
+    for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
+        python scripts/probes/probe11_stage.py "$st" || true
+    done
+fi
+
+# Baseline-family data prerequisites (idempotent: a fresh VM loses the
+# untracked data/ tree — regenerate whatever is missing, solves on-device).
+if [ ! -f data/ks/KS_train_2048.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/ks \
+        n=512 resolutions=[512,256,128,64,32] n_snapshots=51 \
+        viscosity=0.075 seed=11
+fi
+if [ ! -f data/burgers/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=burgers \
+        out=data/burgers n=512 resolutions=[1024] n_snapshots=51 \
+        viscosity=0.001 seed=12
+fi
+if [ ! -f data/ns/ns_256_1e-03.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=ns out=data/ns \
+        n=128 resolutions=[256] n_snapshots=26 viscosity=1e-03 seed=13
+fi
 
 # headline family first — ladder data generation can wait
 python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
