@@ -39,6 +39,16 @@ def model_flops_per_sample(res: int, width: int, n_layers: int, n_modes: int,
 
 
 def main():
+    from resolution_pde_tpu.utils.tpu_lock import tpu_lock
+
+    # Queue behind any running TPU driver (sweep leg, data generation):
+    # the chip serves one process at a time, and a late benchmark beats
+    # two wedged processes.
+    with tpu_lock("bench"):
+        _bench()
+
+
+def _bench():
     # Flap-tolerant probe shared with cli/sweep.py (bounded child-process
     # retries; a failed in-process init is cached for the process lifetime)
     from resolution_pde_tpu.utils.backend_probe import wait_for_backend

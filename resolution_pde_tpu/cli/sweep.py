@@ -92,6 +92,7 @@ from resolution_pde_tpu.utils.backend_probe import (  # noqa: E402
     pin_platform as _pin_platform,
     wait_for_backend as _wait_for_backend,
 )
+from resolution_pde_tpu.utils.tpu_lock import tpu_lock  # noqa: E402
 
 
 def _run_one_isolated(driver: str, overrides):
@@ -191,11 +192,15 @@ def main(argv=None):
         print(f"=== sweep[{family}] run {name}: "
               f"{' '.join(overrides + extras)}", flush=True)
         try:
-            if isolate:
-                _wait_for_backend()
-                out = _run_one_isolated(driver, overrides + extras)
-            else:
-                out = _run_one(driver, overrides + extras)
+            # serialize chip access per LEG (not per family) so an
+            # independently launched TPU process (bench.py) queued on the
+            # advisory lock gets a slot at the next leg boundary
+            with tpu_lock(f"sweep:{family}:{name}"):
+                if isolate:
+                    _wait_for_backend()
+                    out = _run_one_isolated(driver, overrides + extras)
+                else:
+                    out = _run_one(driver, overrides + extras)
             rows.append((name, out, None))
         except Exception as e:  # defensive per-run guard: one failing run
             traceback.print_exc()  # must not kill the family sweep

@@ -1,0 +1,94 @@
+"""Advisory inter-process lock serializing TPU access on this host.
+
+The attached backend exposes ONE chip through a tunnel, and two concurrent
+TPU processes wedge each other (see CLAUDE.md). Long-running TPU drivers
+(sweep legs, data generation) and the benchmark can overlap in wall time
+when launched independently; an `fcntl.flock` on a well-known path
+serializes them. The lock is advisory: processes that never take it (the
+CPU test suite, host-only tools) are unaffected. Lock scope is kept as
+narrow as the caller can manage — the sweep runner takes it per LEG, not
+per family, so a waiter is unblocked at the next leg boundary.
+
+The flock is tied to the file handle's lifetime, so a killed holder
+releases it immediately (no stale-lockfile problem).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import os
+import sys
+import time
+
+LOCK_PATH = os.environ.get("RPDE_TPU_LOCK", "/tmp/rpde_tpu.lock")
+
+
+def _cpu_pinned() -> bool:
+    """True when this process targets the CPU backend (tests, CPU tools) —
+    no chip contention is possible, so the lock is skipped: a CPU run must
+    never queue behind a multi-minute TPU leg."""
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        try:
+            plats = jax_mod.config.jax_platforms or ""
+            return plats.split(",")[0] == "cpu"
+        except Exception:  # pragma: no cover
+            pass
+    return os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+
+
+@contextlib.contextmanager
+def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
+             poll_s: float = 5.0):
+    """Hold the host-wide TPU lock for the duration of the context.
+
+    Blocks (polling, so a waiting message can be emitted) until the lock
+    is free. `timeout_s=None` waits forever — a benchmark queued behind a
+    training leg should run late rather than crash both processes.
+    No-op when the process is pinned to CPU. NOT reentrant (flock on a
+    second fd in one process blocks): take it at the outermost driver
+    layer only.
+    """
+    if _cpu_pinned():
+        yield
+        return
+    f = open(LOCK_PATH, "a+")
+    try:
+        t0 = time.monotonic()
+        warned = False
+        while True:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                waited = time.monotonic() - t0
+                if timeout_s is not None and waited > timeout_s:
+                    raise TimeoutError(
+                        f"TPU lock {LOCK_PATH} still held after "
+                        f"{waited:.0f}s (wanted for: {what})")
+                if not warned:
+                    try:
+                        f.seek(0)
+                        holder = f.read(256).strip()
+                    except OSError:  # pragma: no cover
+                        holder = "?"
+                    print(f"[tpu_lock] waiting for {LOCK_PATH} "
+                          f"(held by: {holder or '?'}; wanted for: {what})",
+                          file=sys.stderr, flush=True)
+                    warned = True
+                time.sleep(poll_s)
+        if warned:
+            print(f"[tpu_lock] acquired after "
+                  f"{time.monotonic() - t0:.0f}s ({what})",
+                  file=sys.stderr, flush=True)
+        try:  # best-effort holder tag for the waiting message
+            f.seek(0)
+            f.truncate()
+            f.write(f"pid {os.getpid()}: {what}\n")
+            f.flush()
+        except OSError:  # pragma: no cover
+            pass
+        yield
+    finally:
+        f.close()  # closing the fd releases the flock

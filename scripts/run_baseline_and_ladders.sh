@@ -49,9 +49,9 @@ python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
 # glob: save_run_checkpoint names the file ks_${SLURM_JOB_ID:-local}
 S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
 if [ -n "$S4CKPT" ]; then
-    python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
+    flock /tmp/rpde_tpu.lock python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
-    python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
+    flock /tmp/rpde_tpu.lock python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
 fi
 

@@ -1,0 +1,88 @@
+"""The advisory TPU lock (utils/tpu_lock.py) serializes independently
+launched TPU processes (sweep legs vs bench.py) on the single-chip host.
+CLAUDE.md: two concurrent TPU processes wedge the tunneled backend."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+from resolution_pde_tpu.utils.tpu_lock import _cpu_pinned, tpu_lock
+
+CHILD = textwrap.dedent("""
+    import os, sys, time
+    sys.path.insert(0, {repo!r})
+    from resolution_pde_tpu.utils.tpu_lock import tpu_lock
+    with tpu_lock("test-child"):
+        with open(sys.argv[1], "a") as f:
+            f.write(f"enter {{os.getpid()}}\\n")
+        time.sleep(0.3)
+        with open(sys.argv[1], "a") as f:
+            f.write(f"exit {{os.getpid()}}\\n")
+""").format(repo="/root/repo")
+
+
+def test_tpu_lock_serializes_processes(tmp_path):
+    log = str(tmp_path / "order.log")
+    env = dict(os.environ,
+               RPDE_TPU_LOCK=str(tmp_path / "lock"),
+               JAX_PLATFORMS="tpu")  # NOT cpu: the lock must engage
+    procs = [subprocess.Popen([sys.executable, "-c", CHILD, log], env=env)
+             for _ in range(3)]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    lines = open(log).read().splitlines()
+    assert len(lines) == 6
+    # critical sections never interleave: every enter is immediately
+    # followed by the same pid's exit
+    for i in range(0, 6, 2):
+        ev_a, pid_a = lines[i].split()
+        ev_b, pid_b = lines[i + 1].split()
+        assert (ev_a, ev_b) == ("enter", "exit")
+        assert pid_a == pid_b
+
+
+def test_tpu_lock_noop_when_cpu_pinned():
+    # the test process is CPU-pinned by conftest -> the lock must be a
+    # no-op (a CPU test must never queue behind a long TPU leg), which
+    # also makes it safely nestable here
+    assert _cpu_pinned()
+    with tpu_lock("outer"):
+        with tpu_lock("inner"):
+            pass
+
+
+def test_tpu_lock_timeout(tmp_path):
+    import time
+
+    import pytest
+
+    import resolution_pde_tpu.utils.tpu_lock as tl
+
+    lock_path = str(tmp_path / "lock")
+    env = dict(os.environ, RPDE_TPU_LOCK=lock_path, JAX_PLATFORMS="tpu")
+    holder = textwrap.dedent("""
+        import sys, time
+        sys.path.insert(0, "/root/repo")
+        from resolution_pde_tpu.utils.tpu_lock import tpu_lock
+        with tpu_lock("holder"):
+            print("held", flush=True)
+            time.sleep(5)
+    """)
+    p = subprocess.Popen([sys.executable, "-c", holder], env=env,
+                         stdout=subprocess.PIPE, text=True)
+    try:
+        assert p.stdout.readline().strip() == "held"
+        orig_path, orig_pin = tl.LOCK_PATH, tl._cpu_pinned
+        tl.LOCK_PATH, tl._cpu_pinned = lock_path, lambda: False
+        try:
+            t0 = time.monotonic()
+            with pytest.raises(TimeoutError):
+                with tl.tpu_lock("waiter", timeout_s=0.5, poll_s=0.1):
+                    pass
+            assert time.monotonic() - t0 < 4
+        finally:
+            tl.LOCK_PATH, tl._cpu_pinned = orig_path, orig_pin
+    finally:
+        p.kill()
+        p.wait()
