@@ -77,6 +77,14 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
                           f"(held by: {holder or '?'}; wanted for: {what})",
                           file=sys.stderr, flush=True)
                     warned = True
+                if timeout_s is None:
+                    # Block in the kernel: a sweep releases and re-takes
+                    # the lock within milliseconds at a leg boundary, so a
+                    # poll-every-5s waiter would starve for the whole
+                    # family; a blocked flock waiter is woken on release
+                    # and actually wins the handoff.
+                    fcntl.flock(f, fcntl.LOCK_EX)
+                    break
                 time.sleep(poll_s)
         if warned:
             print(f"[tpu_lock] acquired after "
@@ -91,4 +99,9 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
             pass
         yield
     finally:
+        try:  # clear the tag while still holding the lock, so waiters
+            f.seek(0)  # never report a stale (released) holder
+            f.truncate()
+        except OSError:  # pragma: no cover
+            pass
         f.close()  # closing the fd releases the flock

@@ -10,6 +10,8 @@ set -e
 cd /root/repo
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 EPOCHS="${EPOCHS:-50}"
+# same lock file the Python drivers honor (utils/tpu_lock.py)
+LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 
 # Quick perf A/B first (minutes, informs the bench default): fused FF
 # recompute backward vs saved-pre-activation backward, isolated stack and
@@ -17,7 +19,7 @@ EPOCHS="${EPOCHS:-50}"
 # RUN_PROBES=0 skips (e.g. when the stages already ran this session).
 if [ "${RUN_PROBES:-1}" != "0" ]; then
     for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
-        python scripts/probes/probe11_stage.py "$st" || true
+        flock "$LOCK" python scripts/probes/probe11_stage.py "$st" || true
     done
 fi
 
@@ -49,9 +51,9 @@ python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
 # glob: save_run_checkpoint names the file ks_${SLURM_JOB_ID:-local}
 S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
 if [ -n "$S4CKPT" ]; then
-    flock /tmp/rpde_tpu.lock python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
+    flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
-    flock /tmp/rpde_tpu.lock python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
+    flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
 fi
 

@@ -313,6 +313,22 @@ def test_generate_data_ks_viscosity_and_splits(tmp_path):
     assert n_traj(out_a, "KS_test.h5", "test") == 2
 
 
+def test_generate_data_rejects_ks_only_options_for_other_pdes():
+    """splits/et/lmax only reach the KS generator; passing them with
+    pde=burgers must refuse rather than silently generate with defaults."""
+    import pytest
+
+    from resolution_pde_tpu.cli.generate_data import _parse
+
+    with pytest.raises(SystemExit, match="only apply"):
+        _parse(["pde=burgers", "et=5.0"])
+    with pytest.raises(SystemExit, match="only apply"):
+        _parse(["pde=ns", "splits=[0.5,0.25,0.25]"])
+    # ks keeps accepting them
+    opts = _parse(["pde=ks", "et=7.0", "lmax=4"])
+    assert opts["et"] == 7.0 and opts["lmax"] == 4
+
+
 def test_generate_data_ks_markov_pairs_are_learnable(tmp_path):
     """Regression for the decorrelated-snapshot bug: generate_data must
     follow the reference's LPSDA convention (run1.sh:146-163 — smooth
