@@ -1,0 +1,49 @@
+#!/bin/bash
+# Tail of the family reproduction (run after the baseline family): the
+# BASELINE #5 standalone eval drivers, then the four ladder families.
+# Ladders run at EPOCHS (default 20) — enough for the strategy ordering
+# the reference's ladders demonstrate, sized so all four families fit in
+# one session alongside the 50-epoch baseline family.
+set -e
+cd /root/repo
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
+EPOCHS="${EPOCHS:-20}"
+LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
+
+# BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
+# standalone eval drivers (reference autoregressive_eval.py +
+# frequency_evaluation.py).
+S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
+if [ -n "$S4CKPT" ]; then
+    flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+    flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+fi
+
+# Ladder data prerequisites (idempotent; solves on-device behind the lock).
+if [ ! -f data/pino/ks/ks_pino.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \
+        n=256 resolutions=[1024] n_snapshots=51 seed=21
+    cp data/pino/ks/KS_train_2048.h5 data/pino/ks/ks_pino.h5
+fi
+if [ ! -d data/pdebench_gen/burgers_1024_0.001 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=burgers \
+        out=data/pdebench_gen n=256 resolutions=[1024,512,256,128] \
+        n_snapshots=51 viscosity=0.001 seed=22
+fi
+mkdir -p data/pdebench
+if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
+    cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
+fi
+if [ ! -f data/well/active_matter/train/active_matter_0.hdf5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=active \
+        out=data/well/active_matter/train n=24 resolutions=[256] \
+        n_snapshots=49 seed=23
+fi
+
+for fam in ks_ladder burger_ladder ks_models ns_active_ladder; do
+    python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS
+done
+echo "ALL LADDER FAMILIES DONE"
