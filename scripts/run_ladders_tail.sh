@@ -10,15 +10,20 @@ export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 EPOCHS="${EPOCHS:-20}"
 LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 
+# Stamps make the whole tail resumable across relaunches.
+STAMPS=/tmp/ladders_stamps
+mkdir -p "$STAMPS"
+
 # BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
 # standalone eval drivers (reference autoregressive_eval.py +
 # frequency_evaluation.py).
 S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
-if [ -n "$S4CKPT" ]; then
+if [ -n "$S4CKPT" ] && [ ! -f "$STAMPS/s4_evals" ]; then
     flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
     flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
         dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+    touch "$STAMPS/s4_evals"
 fi
 
 # Ladder data prerequisites (idempotent; solves on-device behind the lock).
@@ -43,7 +48,9 @@ if [ ! -f data/well/active_matter/train/active_matter_0.hdf5 ]; then
 fi
 
 for fam in ks_ladder burger_ladder ks_models ns_active_ladder; do
+    [ -f "$STAMPS/fam_$fam" ] && continue
     python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS
+    touch "$STAMPS/fam_$fam"
 done
 echo "ALL LADDER FAMILIES DONE"
