@@ -221,4 +221,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # Nonzero exit when any leg failed, so launchers (e.g. the resumable
+    # ladder tail's stamp files) can distinguish a clean family from one
+    # that needs a retry; tables are still written either way.
+    results = main()
+    sys.exit(0 if all(v is not None for v in results.values()) else 1)

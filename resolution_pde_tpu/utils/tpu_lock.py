@@ -54,19 +54,22 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
         yield
         return
     f = open(LOCK_PATH, "a+")
+    acquired = False
     try:
         t0 = time.monotonic()
+        deadline = None if timeout_s is None else t0 + timeout_s
         warned = False
         while True:
             try:
                 fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                acquired = True
                 break
             except OSError:
-                waited = time.monotonic() - t0
-                if timeout_s is not None and waited > timeout_s:
+                now = time.monotonic()
+                if deadline is not None and now >= deadline:
                     raise TimeoutError(
                         f"TPU lock {LOCK_PATH} still held after "
-                        f"{waited:.0f}s (wanted for: {what})")
+                        f"{now - t0:.0f}s (wanted for: {what})")
                 if not warned:
                     try:
                         f.seek(0)
@@ -77,15 +80,18 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
                           f"(held by: {holder or '?'}; wanted for: {what})",
                           file=sys.stderr, flush=True)
                     warned = True
-                if timeout_s is None:
+                if deadline is None:
                     # Block in the kernel: a sweep releases and re-takes
                     # the lock within milliseconds at a leg boundary, so a
                     # poll-every-5s waiter would starve for the whole
                     # family; a blocked flock waiter is woken on release
                     # and actually wins the handoff.
                     fcntl.flock(f, fcntl.LOCK_EX)
+                    acquired = True
                     break
-                time.sleep(poll_s)
+                # never oversleep the deadline (a sub-poll timeout must
+                # raise at ~timeout_s, not at poll_s)
+                time.sleep(min(poll_s, max(deadline - now, 0.01)))
         if warned:
             print(f"[tpu_lock] acquired after "
                   f"{time.monotonic() - t0:.0f}s ({what})",
@@ -99,9 +105,10 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
             pass
         yield
     finally:
-        try:  # clear the tag while still holding the lock, so waiters
-            f.seek(0)  # never report a stale (released) holder
-            f.truncate()
-        except OSError:  # pragma: no cover
-            pass
+        if acquired:  # on the timeout path we never held the lock, and
+            try:  # truncating would erase the LIVE holder's tag.
+                f.seek(0)  # Clear the tag while still holding the lock,
+                f.truncate()  # so waiters never report a released holder.
+            except OSError:  # pragma: no cover
+                pass
         f.close()  # closing the fd releases the flock

@@ -44,46 +44,7 @@ fi
 python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
     training.epochs=$EPOCHS training.t_max=$EPOCHS
 
-# BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
-# standalone eval drivers (reference autoregressive_eval.py +
-# frequency_evaluation.py) — the canonical config is "S4/S4D on KS +
-# rollout + frequency sweep", not just the training run.
-# glob: save_run_checkpoint names the file ks_${SLURM_JOB_ID:-local}
-S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
-if [ -n "$S4CKPT" ]; then
-    flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
-    flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
-fi
-
-if [ ! -f data/pino/ks/ks_pino.h5 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \
-        n=256 resolutions=[1024] n_snapshots=51 seed=21
-    cp data/pino/ks/KS_train_2048.h5 data/pino/ks/ks_pino.h5
-fi
-if [ ! -d data/pdebench_gen/burgers_1024_0.001 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=burgers \
-        out=data/pdebench_gen n=256 resolutions=[1024,512,256,128] \
-        n_snapshots=51 viscosity=0.001 seed=22
-fi
-mkdir -p data/pdebench
-if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
-    cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
-fi
-
-for fam in ks_ladder burger_ladder ks_models; do
-    python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
-        training.epochs=$EPOCHS training.t_max=$EPOCHS
-done
-
-# Active-matter ladder: The Well needs egress, so synthesize the exact
-# multi-file ingestion layout with NS solves (see generate_data pde=active).
-if [ ! -f data/well/active_matter/train/active_matter_0.hdf5 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=active \
-        out=data/well/active_matter/train n=24 resolutions=[256] \
-        n_snapshots=49 seed=23
-fi
-python -m resolution_pde_tpu.cli.sweep family=ns_active_ladder isolate=true \
-    training.epochs=$EPOCHS training.t_max=$EPOCHS
-echo "ALL FAMILIES DONE"
+# Everything after the baseline family (BASELINE #5 eval drivers, ladder
+# data prerequisites, four ladder-family sweeps) lives in ONE place — the
+# resumable tail script. EPOCHS passes through.
+exec env EPOCHS="$EPOCHS" bash "$(dirname "$0")/run_ladders_tail.sh"

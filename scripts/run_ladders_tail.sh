@@ -10,8 +10,11 @@ export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 EPOCHS="${EPOCHS:-20}"
 LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 
-# Stamps make the whole tail resumable across relaunches.
-STAMPS=/tmp/ladders_stamps
+# Stamps make the whole tail resumable across relaunches; keyed by EPOCHS
+# so a smoke run at a different epoch count never masks the real one.
+# Stamps are written ONLY on success (sweep exits nonzero when any leg
+# failed), so a transiently failed family is retried on relaunch.
+STAMPS=/tmp/ladders_stamps_e$EPOCHS
 mkdir -p "$STAMPS"
 
 # BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
@@ -19,20 +22,23 @@ mkdir -p "$STAMPS"
 # frequency_evaluation.py).
 S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
 if [ -n "$S4CKPT" ] && [ ! -f "$STAMPS/s4_evals" ]; then
+    ok=1
     flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
     flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || true
-    touch "$STAMPS/s4_evals"
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
+    if [ "$ok" = 1 ]; then touch "$STAMPS/s4_evals"; fi
 fi
 
 # Ladder data prerequisites (idempotent; solves on-device behind the lock).
+# Guards test the LAST artifact each generator writes, so an interrupted
+# generation is redone rather than shipped partial.
 if [ ! -f data/pino/ks/ks_pino.h5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/pino/ks \
         n=256 resolutions=[1024] n_snapshots=51 seed=21
     cp data/pino/ks/KS_train_2048.h5 data/pino/ks/ks_pino.h5
 fi
-if [ ! -d data/pdebench_gen/burgers_1024_0.001 ]; then
+if [ ! -d data/pdebench_gen/burgers_128_0.001 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=burgers \
         out=data/pdebench_gen n=256 resolutions=[1024,512,256,128] \
         n_snapshots=51 viscosity=0.001 seed=22
@@ -41,7 +47,7 @@ mkdir -p data/pdebench
 if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
     cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
 fi
-if [ ! -f data/well/active_matter/train/active_matter_0.hdf5 ]; then
+if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=active \
         out=data/well/active_matter/train n=24 resolutions=[256] \
         n_snapshots=49 seed=23
@@ -49,8 +55,11 @@ fi
 
 for fam in ks_ladder burger_ladder ks_models ns_active_ladder; do
     [ -f "$STAMPS/fam_$fam" ] && continue
-    python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
-        training.epochs=$EPOCHS training.t_max=$EPOCHS
-    touch "$STAMPS/fam_$fam"
+    if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+        touch "$STAMPS/fam_$fam"
+    else
+        echo "family $fam had failed legs; leaving unstamped for retry"
+    fi
 done
 echo "ALL LADDER FAMILIES DONE"

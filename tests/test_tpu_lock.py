@@ -81,6 +81,16 @@ def test_tpu_lock_timeout(tmp_path):
                 with tl.tpu_lock("waiter", timeout_s=0.5, poll_s=0.1):
                     pass
             assert time.monotonic() - t0 < 4
+            # a sub-poll timeout raises near timeout_s, not at poll_s
+            t0 = time.monotonic()
+            with pytest.raises(TimeoutError):
+                with tl.tpu_lock("waiter2", timeout_s=0.3, poll_s=30.0):
+                    pass
+            assert time.monotonic() - t0 < 2
+            # the timed-out waiter never held the lock, so it must NOT
+            # have erased the live holder's tag
+            tag = open(lock_path).read().strip()
+            assert tag.endswith("holder"), tag
         finally:
             tl.LOCK_PATH, tl._cpu_pinned = orig_path, orig_pin
     finally:
