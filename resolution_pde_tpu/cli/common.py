@@ -222,6 +222,12 @@ def _make_eval_builder(cfg: Config, index: int):
             params["reduced_resolution"] = 1
         else:
             params["reduced_resolution"] = max(original_res // res, 1)
+            if "s" in params:
+                # naive eval loads by striding; a train-time FFT-resize
+                # target (e.g. ks_pino's s=32) must not leak into the
+                # sweep or every "resolution" evaluates at the train size
+                # (naive_utils.py:90-91 nulls 's' for exactly this reason)
+                params["s"] = None
         out = instantiate_dataset(params)
         return out[index]
 

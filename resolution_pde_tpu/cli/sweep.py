@@ -69,7 +69,15 @@ FAMILIES = {
     # Model ladder on one dataset (the reference's model=<x> sweeps,
     # run1.sh:49-51,87-88 — ffno/unet/s4 over one dataset).
     "ks_models": [
-        (f"{m}_ks_naive", "1d", [f"model={m}", "dataset=ks_naive"])
+        # CNO is a fixed-size model: the reference always pairs it with
+        # use_resize evaluation (every conf/dataset/ks yaml that declares
+        # cno_train_size also sets evaluation_type: use_resize) — naive
+        # superres would feed it non-train resolutions and crash. The
+        # other models keep the plain naive sweep.
+        (f"{m}_ks_naive", "1d",
+         [f"model={m}", "dataset=ks_naive"] + (
+             ["dataset.evaluation_type=use_resize",
+              "dataset.resize_to_train=true"] if m == "cno_1d" else []))
         for m in ("fno_1d", "ffno_1d", "cno_1d", "unet_1d")
     ],
 }

@@ -501,3 +501,59 @@ def test_frequency_evaluation_2d_autodetect(tmp_path, monkeypatch):
     err = res["default"]["error_per_mode"]
     assert err.shape == (64,)  # radial bins, not (32//2+1,) 1D modes
     assert np.isfinite(err).all()
+
+
+def test_superres_builder_nulls_train_resize_target(tmp_path, monkeypatch):
+    """A train-time FFT-resize target (s=32, the ks_pino/ks_resize style)
+    must NOT leak into the naive super-res sweep — the reference nulls
+    's' when rebuilding the eval dataset (naive_utils.py:90-91);
+    otherwise every "resolution" evaluates at the train size and the
+    sweep is vacuously flat."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli import common
+
+    cfg = load_config(model="ffno_1d", dataset="ks_naive", overrides=[
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.s=32",      # resize-to-32 training
+        "dataset.original_res=64",
+        "dataset.max_test_resolution=64",
+    ])
+    builder = common.make_superres_builder(cfg)
+    for res in (32, 64):
+        ds = builder(res)
+        assert ds.x.shape[-1] == res, (res, ds.x.shape)
+
+
+def test_main_1d_cno_use_resize_eval(tmp_path, monkeypatch):
+    """CNO is fixed-size: the sweep pairs it with use_resize evaluation
+    (the reference's pairing — every CNO-bearing yaml sets
+    evaluation_type: use_resize). Super-res at non-train resolutions
+    must round-trip through the train size and come back finite, not be
+    swallowed by the defensive guard as NaN."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli.main_1d import main
+
+    out = main([
+        "model=cno_1d",
+        "dataset=ks_naive",
+        "dataset.evaluation_type=use_resize",
+        "dataset.resize_to_train=true",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=64",
+        "dataset.max_test_resolution=64",
+        "dataset.rollout_steps=0",
+        "model.N_layers=2",
+        "model.N_res=1",
+        "model.N_res_neck=1",
+        "model.channel_multiplier=4",
+        "training.epochs=1",
+        "training.batch_size=16",
+    ])
+    assert np.isfinite(out["test_loss"])
+    assert set(out["super_resolution"]) == {32, 64}
+    assert all(np.isfinite(v) for v in out["super_resolution"].values()), \
+        out["super_resolution"]
