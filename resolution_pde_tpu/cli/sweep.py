@@ -180,23 +180,36 @@ def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     family = "baseline"
     isolate = False
+    only = None
     extras = []
     for a in argv:
         if a.startswith("family="):
             family = a.split("=", 1)[1]
         elif a.startswith("isolate="):
             isolate = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        elif a.startswith("only="):
+            # comma-separated leg names: re-run a subset of a family
+            # (e.g. after a fix) without repeating the whole sweep
+            only = set(a.split("=", 1)[1].split(","))
         else:
             extras.append(a)
     if family not in FAMILIES:
         raise SystemExit(
             f"unknown family {family!r}; available: {sorted(FAMILIES)}")
+    legs = FAMILIES[family]
+    if only is not None:
+        unknown = only - {name for name, _, _ in legs}
+        if unknown:
+            raise SystemExit(
+                f"unknown legs {sorted(unknown)} for family {family!r}; "
+                f"available: {[n for n, _, _ in legs]}")
+        legs = [leg for leg in legs if leg[0] in only]
 
     out_dir = os.path.join("runs", "sweeps", f"{family}_{int(time.time())}")
     os.makedirs(out_dir, exist_ok=True)
 
     rows = []
-    for name, driver, overrides in FAMILIES[family]:
+    for name, driver, overrides in legs:
         print(f"=== sweep[{family}] run {name}: "
               f"{' '.join(overrides + extras)}", flush=True)
         try:

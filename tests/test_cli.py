@@ -557,3 +557,31 @@ def test_main_1d_cno_use_resize_eval(tmp_path, monkeypatch):
     assert set(out["super_resolution"]) == {32, 64}
     assert all(np.isfinite(v) for v in out["super_resolution"].values()), \
         out["super_resolution"]
+
+
+def test_sweep_only_filter(tmp_path, monkeypatch):
+    """only=<legs> re-runs a subset of a family; unknown legs fail fast."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli import sweep
+
+    tiny = {
+        "tiny": [
+            ("fno_ks", "1d",
+             ["model=fno_1d", "dataset=ks_naive", "model.width=8",
+              "model.modes=8", "model.n_blocks=1",
+              f"dataset.dataset_params.saved_folder={tmp_path}",
+              "dataset.original_res=64", "dataset.max_test_resolution=64",
+              "dataset.rollout_steps=0", "training.epochs=1",
+              "training.batch_size=16"]),
+            ("never_runs", "1d", ["model=fno_1d", "dataset=does_not_exist"]),
+        ],
+    }
+    monkeypatch.setattr(sweep, "FAMILIES", tiny)
+    out = sweep.main(["family=tiny", "only=fno_ks"])
+    assert set(out) == {"fno_ks"}
+    assert np.isfinite(out["fno_ks"]["test_loss"])
+
+    with pytest.raises(SystemExit, match="unknown legs"):
+        sweep.main(["family=tiny", "only=bogus_leg"])
