@@ -22,6 +22,7 @@ Extra `key=value` args apply to EVERY run in the family.
 
 from __future__ import annotations
 
+import contextlib
 import csv
 import json
 import os
@@ -209,23 +210,34 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     rows = []
-    for name, driver, overrides in legs:
-        print(f"=== sweep[{family}] run {name}: "
-              f"{' '.join(overrides + extras)}", flush=True)
-        try:
-            # serialize chip access per LEG (not per family) so an
-            # independently launched TPU process (bench.py) queued on the
-            # advisory lock gets a slot at the next leg boundary
-            with tpu_lock(f"sweep:{family}:{name}"):
+    with contextlib.ExitStack() as stack:
+        if not isolate:
+            # In-process legs initialize JAX in THIS interpreter, and the
+            # TPU client stays attached for the process lifetime — so a
+            # per-leg lock release would hand the chip to a queued waiter
+            # (which tpu_lock's blocked-flock handoff guarantees wins)
+            # while our client is still live: two concurrent TPU
+            # processes, the exact wedge the lock exists to prevent.
+            # Non-isolate holds ONE lock for the whole family.
+            stack.enter_context(tpu_lock(f"sweep:{family}"))
+        for name, driver, overrides in legs:
+            print(f"=== sweep[{family}] run {name}: "
+                  f"{' '.join(overrides + extras)}", flush=True)
+            try:
                 if isolate:
-                    _wait_for_backend()
-                    out = _run_one_isolated(driver, overrides + extras)
+                    # each leg is a subprocess with its own client, so
+                    # chip access CAN be serialized per leg — a queued
+                    # independent TPU process (bench.py) gets a slot at
+                    # the next leg boundary
+                    with tpu_lock(f"sweep:{family}:{name}"):
+                        _wait_for_backend()
+                        out = _run_one_isolated(driver, overrides + extras)
                 else:
                     out = _run_one(driver, overrides + extras)
-            rows.append((name, out, None))
-        except Exception as e:  # defensive per-run guard: one failing run
-            traceback.print_exc()  # must not kill the family sweep
-            rows.append((name, None, f"{type(e).__name__}: {e}"))
+                rows.append((name, out, None))
+            except Exception as e:  # defensive per-run guard: one failing
+                traceback.print_exc()  # run must not kill the family sweep
+                rows.append((name, None, f"{type(e).__name__}: {e}"))
 
     header, table = _write_tables(out_dir, family, rows)
     print(f"\nsweep results -> {out_dir}/sweep.csv")

@@ -9,6 +9,10 @@
 set -e
 cd /root/repo
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
+# Remember whether the caller pinned EPOCHS: the baseline family defaults
+# to 50 but the ladder tail is sized for its own default (20) — only an
+# explicit caller override should force both to the same count.
+EPOCHS_SET="${EPOCHS+y}"
 EPOCHS="${EPOCHS:-50}"
 # same lock file the Python drivers honor (utils/tpu_lock.py)
 LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
@@ -25,7 +29,11 @@ fi
 
 # Baseline-family data prerequisites (idempotent: a fresh VM loses the
 # untracked data/ tree — regenerate whatever is missing, solves on-device).
-if [ ! -f data/ks/KS_train_2048.h5 ]; then
+# Guard on the LAST artifact generate_ks writes (the res_32 tree files
+# come after the naive train/valid/test triple), so an interrupted
+# generation is redone rather than shipped partial.
+KS_LAST="data/ks/res_32/visc_0.075_L64.0_lmax8_et5.0_nte51_nt51/KS_test.h5"
+if [ ! -f "$KS_LAST" ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=ks out=data/ks \
         n=512 resolutions=[512,256,128,64,32] n_snapshots=51 \
         viscosity=0.075 seed=11
@@ -40,11 +48,19 @@ if [ ! -f data/ns/ns_256_1e-03.h5 ]; then
         n=128 resolutions=[256] n_snapshots=26 viscosity=1e-03 seed=13
 fi
 
-# headline family first — ladder data generation can wait
-python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
-    training.epochs=$EPOCHS training.t_max=$EPOCHS
+# headline family first — ladder data generation can wait. sweep exits
+# nonzero when ANY leg failed (tables are still written); under set -e
+# that must not abort the whole pipeline before the ladders run.
+if ! python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
+    training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+    echo "baseline family had failed legs; continuing to the ladder tail"
+fi
 
 # Everything after the baseline family (BASELINE #5 eval drivers, ladder
 # data prerequisites, four ladder-family sweeps) lives in ONE place — the
-# resumable tail script. EPOCHS passes through.
-exec env EPOCHS="$EPOCHS" bash "$(dirname "$0")/run_ladders_tail.sh"
+# resumable tail script. EPOCHS passes through only when the caller
+# pinned it; otherwise the tail keeps its own sizing default (20).
+if [ -n "$EPOCHS_SET" ]; then
+    exec env EPOCHS="$EPOCHS" bash "$(dirname "$0")/run_ladders_tail.sh"
+fi
+exec bash "$(dirname "$0")/run_ladders_tail.sh"

@@ -585,3 +585,37 @@ def test_sweep_only_filter(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit, match="unknown legs"):
         sweep.main(["family=tiny", "only=bogus_leg"])
+
+
+def test_sweep_nonisolate_holds_one_family_lock(tmp_path, monkeypatch):
+    """Non-isolate legs run in THIS interpreter, whose TPU client stays
+    attached across leg boundaries — so the advisory lock must span the
+    whole family (one acquisition), not release per leg and hand the
+    chip to a queued waiter while our client is live."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    import contextlib as _ctx
+
+    from resolution_pde_tpu.cli import sweep
+
+    acquisitions = []
+
+    @_ctx.contextmanager
+    def recording_lock(what, **kw):
+        acquisitions.append(what)
+        yield
+
+    monkeypatch.setattr(sweep, "tpu_lock", recording_lock)
+    leg = ["dataset=ks_naive", "model.width=8", "model.modes=8",
+           "model.n_blocks=1",
+           f"dataset.dataset_params.saved_folder={tmp_path}",
+           "dataset.original_res=64", "dataset.max_test_resolution=64",
+           "dataset.rollout_steps=0", "training.epochs=1",
+           "training.batch_size=16"]
+    tiny = {"tiny": [("a", "1d", ["model=fno_1d"] + leg),
+                     ("b", "1d", ["model=fno_1d"] + leg)]}
+    monkeypatch.setattr(sweep, "FAMILIES", tiny)
+    out = sweep.main(["family=tiny"])
+    assert set(out) == {"a", "b"}
+    assert acquisitions == ["sweep:tiny"]
