@@ -290,6 +290,16 @@ def maybe_warm_start(cfg: Config, trainer, state):
     return state
 
 
+def rollout_resize_to_train(cfg: Config) -> bool:
+    """The rollout per-step resize round-trip is for FIXED-SIZE models
+    only (CNO, which cannot run off-train-res at all). Resolution-flexible
+    models trained with the resize strategy (FFNO on ks_resize etc.) keep
+    the reference's naive rollout feedback — autoregressive_step.py:101
+    strips resize params for every model, so naive IS the reference
+    behavior wherever it is possible."""
+    return "CNO" in cfg.model.get("_target_", "") and resize_trained(cfg)
+
+
 def resize_trained(cfg: Config) -> bool:
     """True when the model trained at a fixed resize target — either the
     dataset declares use_resize eval (resize_to_train) or the training

@@ -180,6 +180,10 @@ def main(argv=None, spatial_ndim: int = 1):
             # Markov configs' vestigial window_size key must not trigger it
             window_size=common.rollout_window_size(cfg),
             per_step_out=rollout_per_step,
+            # fixed-size (CNO) models roll out off-train-res via the
+            # per-step resize round-trip (rollout.py perform_rollout);
+            # resolution-flexible models keep naive feedback (reference)
+            resize_to_train=common.rollout_resize_to_train(cfg),
         )
         logger.log_table(
             "rollout", ["resolution", "rollout_rel_l2"],

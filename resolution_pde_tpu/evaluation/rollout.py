@@ -39,15 +39,37 @@ def _per_step_rel_l2(preds, gt, eps: float = 1e-8):
 
 
 def perform_rollout(model, params, initial_condition, rollout_steps: int,
-                    x_normalizer=None, y_normalizer=None):
+                    x_normalizer=None, y_normalizer=None,
+                    resize_to: Optional[int] = None):
     """Roll the model forward `rollout_steps` steps via lax.scan.
 
     initial_condition: NORMALIZED state (B, C, *spatial).
     Returns NORMALIZED predictions (B, rollout_steps, C, *spatial).
+
+    resize_to: for fixed-size models (CNO) rolled out at a different
+    resolution — each step spectrally resizes the state to the model's
+    training size, applies the model, and resizes the prediction back,
+    so the feedback state stays at the TEST resolution (the rollout
+    analogue of the use_resize super-res forward; the reference's
+    rollout strips resize params entirely, autoregressive_step.py:101,
+    and simply cannot roll out its CNO models off-train-res).
     """
 
+    def apply_model(state):
+        test_size = state.shape[-1]
+        if resize_to is not None and test_size != resize_to:
+            from resolution_pde_tpu.evaluation.superres import \
+                _resize_spatial
+
+            ndim = state.ndim - 2
+            pred = unwrap_output(model.apply(
+                params, _resize_spatial(state, resize_to, ndim),
+                deterministic=True))
+            return _resize_spatial(pred, test_size, ndim)
+        return unwrap_output(model.apply(params, state, deterministic=True))
+
     def step(state, _):
-        pred = unwrap_output(model.apply(params, state, deterministic=True))
+        pred = apply_model(state)
         if y_normalizer is not None and x_normalizer is not None:
             nxt = x_normalizer.encode(y_normalizer.decode(pred))
         else:
@@ -63,7 +85,8 @@ def perform_rollout(model, params, initial_condition, rollout_steps: int,
 def rollout_loss(model, params, trajectories, rollout_steps: int,
                  x_normalizer=None, y_normalizer=None,
                  batch_size: int = 16,
-                 per_step_losses: Optional[list] = None) -> float:
+                 per_step_losses: Optional[list] = None,
+                 resize_to: Optional[int] = None) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2
     (autoregressive_step.py:190-197).
 
@@ -100,7 +123,7 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
         if x_normalizer is not None:
             ic = x_normalizer.encode(ic)
         preds_norm = perform_rollout(model, p, ic, steps, x_normalizer,
-                                     y_normalizer)
+                                     y_normalizer, resize_to=resize_to)
         preds = (y_normalizer.decode(preds_norm)
                  if y_normalizer is not None else preds_norm)
         gt = traj[:, 1:steps + 1]  # (b, steps, *spatial)
@@ -132,12 +155,15 @@ def evaluate_rollout_all_resolutions(
     strict: bool = False,
     window_size: int = 1,
     per_step_out: Optional[Dict[int, list]] = None,
+    resize_to_train: bool = False,
 ) -> Dict[int, float]:
     """Rollout loss at every resolution. `rollout_builder(res)` returns raw
     trajectories (N, T, *spatial) at that resolution. window_size > 1
     selects the sliding-window rollout (S4-style models). per_step_out:
     optional dict, filled {res: [per-step losses]} for the CSV/plot writers
-    (the reference's per-step rollout curves)."""
+    (the reference's per-step rollout curves). resize_to_train: fixed-size
+    (CNO) models round-trip each step through `current_res` (see
+    perform_rollout)."""
     from resolution_pde_tpu.evaluation.superres import get_lower_resolutions
 
     if test_resolutions is None:
@@ -158,7 +184,9 @@ def evaluate_rollout_all_resolutions(
             else:
                 results[res] = rollout_loss(
                     model, params, u, rollout_steps, x_normalizer,
-                    y_normalizer, batch_size, per_step_losses=per_step)
+                    y_normalizer, batch_size, per_step_losses=per_step,
+                    resize_to=(current_res if resize_to_train
+                               and res != current_res else None))
             if per_step_out is not None:
                 per_step_out[res] = per_step
         except Exception as e:

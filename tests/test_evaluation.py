@@ -316,3 +316,57 @@ def test_rollout_loss_empty_trajectory_set():
     with pytest.warns(UserWarning, match="empty trajectory"):
         assert np.isnan(window_rollout_loss(RollModel(), None, traj,
                                             rollout_steps=2, window_size=3))
+
+
+def test_rollout_resize_roundtrip_fixed_size_model(rng):
+    """A fixed-size model (CNO-style: asserts its input size) rolls out at
+    a DIFFERENT resolution via the per-step resize round-trip; the
+    feedback state stays at the test resolution. A band-limited shift
+    dynamic survives the spectral resize exactly, so the round-trip
+    rollout of a perfect model is still ~0 loss."""
+
+    class FixedSizeRollModel:
+        """Only accepts size-32 inputs (like CNO1d); predicts next state."""
+
+        def apply(self, params, x, deterministic=True):
+            assert x.shape[-1] == 32, x.shape
+            return jnp.roll(x, 1, axis=-1)
+
+    # band-limited (modes < 16) so 64 -> 32 -> 64 resize is lossless, and
+    # shift-by-1 at 32 == shift-by-2 at 64 (same physical translation)
+    n, t, s = 3, 5, 64
+    xs = np.arange(s) * (2 * np.pi / s)
+    u0 = np.stack([np.sin((i % 5 + 1) * xs + 0.3 * i)
+                   for i in range(n)]).astype(np.float32)
+    traj = np.stack([np.roll(u0, 2 * i, axis=-1) for i in range(t)], axis=1)
+
+    # without the round-trip the model's size assert fires
+    with pytest.raises(AssertionError):
+        rollout_loss(FixedSizeRollModel(), None, traj, rollout_steps=3)
+
+    loss = rollout_loss(FixedSizeRollModel(), None, traj, rollout_steps=3,
+                        resize_to=32)
+    assert loss < 1e-4, loss
+
+
+def test_rollout_all_resolutions_resize_to_train(rng):
+    """evaluate_rollout_all_resolutions(resize_to_train=True) round-trips
+    only the off-train resolutions; the train resolution runs direct."""
+
+    class FixedSizeRollModel:
+        def apply(self, params, x, deterministic=True):
+            assert x.shape[-1] == 32, x.shape
+            return jnp.roll(x, 1, axis=-1)
+
+    def builder(res):
+        xs = np.arange(res) * (2 * np.pi / res)
+        u0 = np.stack([np.sin((i % 5 + 1) * xs) for i in range(3)])
+        step = res // 32
+        return np.stack([np.roll(u0, step * i, axis=-1) for i in range(5)],
+                        axis=1).astype(np.float32)
+
+    out = evaluate_rollout_all_resolutions(
+        FixedSizeRollModel(), None, builder, current_res=32,
+        max_test_resolution=64, rollout_steps=3, resize_to_train=True)
+    assert set(out) == {32, 64}
+    assert all(np.isfinite(v) and v < 1e-4 for v in out.values()), out
