@@ -56,6 +56,9 @@ def main(argv=None):
         batch_size=batch_size,
         window_size=common.rollout_window_size(cfg),
         per_step_out=per_step,
+        # fixed-size (CNO) models roll out off-train-res via the per-step
+        # resize round-trip (rollout.py perform_rollout)
+        resize_to_train=common.rollout_resize_to_train(cfg),
     )
     logger.log_table("teacher_forcing", ["resolution", "rel_l2"],
                      sorted(sweep["results"].items()))
