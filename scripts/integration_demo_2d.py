@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--out", default="runs/integration_demo_2d")
     ap.add_argument("--fast", action="store_true",
                     help="bf16 + dft_v3 + fused-FF training fast path")
-    ap.add_argument("--model", choices=("ffno", "cno"), default="ffno",
+    ap.add_argument("--model", choices=("ffno", "cno", "scot"),
+                    default="ffno",
                     help="ffno: FFNO2D naive; cno: CNO2d resize training "
                          "(BASELINE config 4 — batches antialias-resized "
                          "to cno_train_size, use_resize evaluation)")
@@ -99,6 +100,20 @@ def main():
             "model.N_res=2",
             "model.N_res_neck=2",
             "model.channel_multiplier=16",
+        ]
+    elif args.model == "scot":
+        # Poseidon architecture (ScOT2d, conf/model/pos surface) scaled to
+        # demo size: 2 stages, 1 vorticity channel. window_size must
+        # divide the stage-0 token grid (res/patch_size).
+        overrides = common_overrides + [
+            "model=pos",
+            "model.num_channels=1",
+            "model.num_out_channels=1",
+            "model.embed_dim=48",
+            "model.depths=[2,2]",
+            "model.num_heads=[3,6]",
+            "model.skip_connections=[2,0]",
+            "model.window_size=8",
         ]
     else:
         overrides = common_overrides + [
