@@ -103,3 +103,13 @@ def write_well_file(path: str, fields: dict):
         grp = f.create_group("t0_fields")
         for name, arr in fields.items():
             grp.create_dataset(name, data=np.asarray(arr, np.float32))
+
+
+def write_darcy_file(path: str, a: np.ndarray, u: np.ndarray):
+    """PDEBench DarcyFlow format the darcy factory reads
+    (data/io.py read_darcy_h5): coefficient 'nu' (n, h, w), solution
+    'tensor' (n, 1, h, w)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("nu", data=a.astype(np.float32))
+        f.create_dataset("tensor", data=u.astype(np.float32)[:, None])

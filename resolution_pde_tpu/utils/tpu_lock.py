@@ -38,6 +38,42 @@ def _cpu_pinned() -> bool:
     return os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
 
 
+def _ancestor_with_lock_open() -> int | None:
+    """PID of an ancestor process that has LOCK_PATH open, else None.
+
+    If an ancestor holds the flock (e.g. the caller wrapped a CLI that
+    takes the lock itself in `flock /tmp/rpde_tpu.lock ...`), waiting can
+    NEVER succeed — the ancestor won't release until we exit. Detecting
+    this turns a silent forever-hang into an immediate, explained error.
+    Linux-only (/proc); returns None anywhere it can't tell."""
+    try:
+        target = os.path.realpath(LOCK_PATH)
+        pid = os.getppid()
+        for _ in range(32):  # bounded ancestor walk
+            if pid <= 1:
+                return None
+            fd_dir = f"/proc/{pid}/fd"
+            try:
+                for fd in os.listdir(fd_dir):
+                    try:
+                        if os.path.realpath(
+                                os.path.join(fd_dir, fd)) == target:
+                            return pid
+                    except OSError:
+                        continue
+            except OSError:
+                return None
+            with open(f"/proc/{pid}/status") as st:
+                ppid = next((int(ln.split()[1]) for ln in st
+                             if ln.startswith("PPid:")), None)
+            if ppid is None:
+                return None
+            pid = ppid
+    except Exception:  # pragma: no cover - diagnostics must never crash
+        return None
+    return None
+
+
 @contextlib.contextmanager
 def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
              poll_s: float = 5.0):
@@ -71,6 +107,15 @@ def tpu_lock(what: str = "tpu", timeout_s: float | None = None,
                         f"TPU lock {LOCK_PATH} still held after "
                         f"{now - t0:.0f}s (wanted for: {what})")
                 if not warned:
+                    anc = _ancestor_with_lock_open()
+                    if anc is not None:
+                        raise RuntimeError(
+                            f"TPU lock {LOCK_PATH} is held by ancestor "
+                            f"process {anc} (e.g. an outer `flock` wrapper "
+                            f"around a CLI that takes the lock itself) — "
+                            f"waiting would deadlock. Drop the wrapper: "
+                            f"bench.py, cli.sweep and cli.generate_data "
+                            f"serialize themselves (wanted for: {what}).")
                     try:
                         f.seek(0)
                         holder = f.read(256).strip()

@@ -96,3 +96,36 @@ def test_tpu_lock_timeout(tmp_path):
     finally:
         p.kill()
         p.wait()
+
+
+def test_tpu_lock_detects_ancestor_holder(tmp_path):
+    """A CLI that takes the lock itself, wrapped in an outer `flock`
+    (an ancestor holding the lock), must fail loudly instead of
+    deadlocking forever (the ancestor cannot release until we exit)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    lock_path = str(tmp_path / "lock")
+    child = textwrap.dedent(f"""
+        import os, sys
+        os.environ.pop("JAX_PLATFORMS", None)
+        sys.path.insert(0, {repr(os.getcwd())})
+        import resolution_pde_tpu.utils.tpu_lock as tl
+        tl.LOCK_PATH = {repr(lock_path)}
+        tl._cpu_pinned = lambda: False
+        try:
+            with tl.tpu_lock("inner", timeout_s=30, poll_s=0.1):
+                pass
+        except RuntimeError as e:
+            assert "ancestor" in str(e), e
+            print("ANCESTOR_DETECTED")
+            sys.exit(0)
+        print("NO_DETECTION")
+        sys.exit(1)
+    """)
+    out = subprocess.run(
+        ["flock", lock_path, sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": os.getcwd()})
+    assert "ANCESTOR_DETECTED" in out.stdout, (out.stdout, out.stderr)
