@@ -67,6 +67,12 @@ FAMILIES = {
         for ds in ("ns_active_t2", "ns_active_t4", "ns_active_t8",
                    "ns_active_t16")
     ],
+    # Darcy steady-state exemplar (run1.sh:34 `# darcy_fno2d`); data via
+    # `cli.generate_data pde=darcy out=data/darcy n=256 resolutions=[128]`.
+    "darcy": [
+        ("fno2d_darcy", "2d", ["model=fno_2d", "dataset=darcy"]),
+        ("ffno2d_darcy", "2d", ["model=ffno_2d", "dataset=darcy"]),
+    ],
     # Model ladder on one dataset (the reference's model=<x> sweeps,
     # run1.sh:49-51,87-88 — ffno/unet/s4 over one dataset).
     "ks_models": [

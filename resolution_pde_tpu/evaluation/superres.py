@@ -88,13 +88,22 @@ def evaluate_all_resolutions(
         base = max_test_resolution or current_res
         test_resolutions = get_lower_resolutions(base)
 
+    def _adapt(norm, bx):
+        # per-location (unit_gaussian) stats live on the TRAIN grid;
+        # adapt them to the eval grid (shape is static under jit, so this
+        # specializes per resolution bucket like everything else)
+        if norm is not None and hasattr(norm, "at_resolution"):
+            return norm.at_resolution(bx.shape[-spatial_ndim:])
+        return norm
+
     @jax.jit
     def forward(p, bx):
-        if x_normalizer is not None:
-            bx = x_normalizer.encode(bx)
+        xn, yn = _adapt(x_normalizer, bx), _adapt(y_normalizer, bx)
+        if xn is not None:
+            bx = xn.encode(bx)
         pred = unwrap_output(model.apply(p, bx, deterministic=True))
-        if y_normalizer is not None:
-            pred = y_normalizer.decode(pred)
+        if yn is not None:
+            pred = yn.decode(pred)
         return pred
 
     @jax.jit

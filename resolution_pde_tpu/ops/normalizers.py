@@ -77,6 +77,31 @@ class UnitGaussianNormalizer:
     def decode(self, x):
         return x * (self.std + self.eps) + self.mean
 
+    def at_resolution(self, spatial_shape) -> "UnitGaussianNormalizer":
+        """Stats adapted to a different spatial grid, for cross-resolution
+        evaluation (the per-location mean/std are grid samples of smooth
+        fields). Downsampling by an integer factor strides — matching how
+        naive eval data is reduced — otherwise bilinear-resizes. No-op
+        (self) when the shape already matches. The reference cannot do
+        this at all: its darcy family (the unit_gaussian user) predates
+        the resolution sweep and evaluates at the train grid only."""
+        spatial_shape = tuple(int(s) for s in spatial_shape)
+        nsp = len(spatial_shape)
+        if self.mean.ndim < nsp or self.mean.shape[-nsp:] == spatial_shape:
+            return self
+        cur = self.mean.shape[-nsp:]
+        if all(c % t == 0 for c, t in zip(cur, spatial_shape)):
+            idx = (Ellipsis,) + tuple(slice(None, None, c // t)
+                                      for c, t in zip(cur, spatial_shape))
+            return UnitGaussianNormalizer(self.mean[idx], self.std[idx],
+                                          eps=self.eps)
+        import jax
+
+        shape = self.mean.shape[:-nsp] + spatial_shape
+        return UnitGaussianNormalizer(
+            jax.image.resize(self.mean, shape, "linear"),
+            jax.image.resize(self.std, shape, "linear"), eps=self.eps)
+
     def tree_flatten(self):
         return (self.mean, self.std), (self.eps,)
 

@@ -41,3 +41,25 @@ def test_normalizers_are_pytrees():
 
     out = encode(norm, jnp.full((2, 2), 3.0))
     np.testing.assert_allclose(np.asarray(out), (3.0 - 1.0) / (2.0 + 1e-8))
+
+
+def test_unit_gaussian_at_resolution(rng):
+    """Per-location stats adapt to a different eval grid: integer-factor
+    downsampling strides (matching naive eval data reduction), identity
+    returns self, non-divisible shapes resize."""
+    from resolution_pde_tpu.ops.normalizers import UnitGaussianNormalizer
+
+    x = rng.standard_normal((16, 1, 8, 8)).astype(np.float32)
+    n = UnitGaussianNormalizer.fit(x)
+    assert n.at_resolution((8, 8)) is n
+    n4 = n.at_resolution((4, 4))
+    assert n4.mean.shape == (1, 4, 4)
+    np.testing.assert_allclose(np.asarray(n4.mean),
+                               np.asarray(n.mean)[:, ::2, ::2])
+    # round-trip still exact at the adapted resolution
+    sub = x[:, :, ::2, ::2]
+    np.testing.assert_allclose(
+        np.asarray(n4.decode(n4.encode(sub))), sub, rtol=1e-5, atol=1e-5)
+    n6 = n.at_resolution((6, 6))  # non-divisible -> resize
+    assert n6.mean.shape == (1, 6, 6)
+    assert np.isfinite(np.asarray(n6.std)).all()
