@@ -53,7 +53,12 @@ if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
         n_snapshots=49 seed=23
 fi
 
-for fam in ks_ladder burger_ladder ks_models ns_active_ladder; do
+if [ ! -f data/darcy/darcy_flow.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=darcy \
+        out=data/darcy n=256 resolutions=[128] seed=31
+fi
+
+for fam in ks_ladder burger_ladder ks_models ns_active_ladder darcy; do
     [ -f "$STAMPS/fam_$fam" ] && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
