@@ -163,8 +163,13 @@ def main(argv=None, spatial_ndim: int = 1):
         print(f"Figures written to {fig_dir}")
 
     # --- autoregressive rollout (autoregressive_step) ---
+    # The reference's rollout is 1D-only (main_2d.py has none; its
+    # evaluate_1d_rollout_all_resolution is wired to main_1d only); ours
+    # runs wherever the dataset carries rollout trajectories — the 2D
+    # factories do (ns_markov_dataset rollout slot), so NS configs with
+    # rollout_steps > 0 get the same lax.scan rollout sweep.
     rollout_results = {}
-    if (spatial_ndim == 1 and bundle["rollout"] is not None
+    if (bundle["rollout"] is not None
             and cfg.dataset.get("rollout_steps", 0) > 0):
         rollout_per_step = {}
         rollout_results = evaluate_rollout_all_resolutions(

@@ -26,6 +26,15 @@ import jax.numpy as jnp
 from resolution_pde_tpu.models.registry import unwrap_output
 
 
+def _adapt_norm(norm, spatial_shape):
+    """Per-location (unit_gaussian) stats live on the TRAIN grid; adapt
+    them to the rollout grid (see UnitGaussianNormalizer.at_resolution).
+    Scalar normalizers pass through."""
+    if norm is not None and hasattr(norm, "at_resolution"):
+        return norm.at_resolution(spatial_shape)
+    return norm
+
+
 def _per_step_rel_l2(preds, gt, eps: float = 1e-8):
     """Per-step batch-mean rel-L2 (steps,) computed in one shot: preds/gt
     are (B, steps, *spatial); each (sample, step) is flattened and reduced
@@ -110,6 +119,9 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
         if per_step_losses is not None:
             per_step_losses[:] = [float("nan")] * steps
         return float("nan")
+
+    x_normalizer = _adapt_norm(x_normalizer, trajectories.shape[2:])
+    y_normalizer = _adapt_norm(y_normalizer, trajectories.shape[2:])
 
     # The whole batch — rollout, decode, per-step losses — is ONE jitted
     # program returning the (steps,) loss vector; batches accumulate
@@ -244,6 +256,9 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
         if per_step_losses is not None:
             per_step_losses[:] = [float("nan")] * steps
         return float("nan")
+
+    x_normalizer = _adapt_norm(x_normalizer, trajectories.shape[2:])
+    y_normalizer = _adapt_norm(y_normalizer, trajectories.shape[2:])
 
     # one jitted program per batch + device-side accumulation, single host
     # fetch per resolution (see rollout_loss)

@@ -619,3 +619,37 @@ def test_sweep_nonisolate_holds_one_family_lock(tmp_path, monkeypatch):
     out = sweep.main(["family=tiny"])
     assert set(out) == {"a", "b"}
     assert acquisitions == ["sweep:tiny"]
+
+
+def test_main_2d_ns_rollout(tmp_path, monkeypatch):
+    """2D autoregressive rollout through the driver (capability the
+    reference lacks — its main_2d has no rollout): the NS factory's
+    rollout slot feeds the lax.scan rollout at every resolution, with
+    the per-location unit_gaussian stats adapted to each grid."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 16, 16)).astype(np.float32)
+    # smooth + shift dynamic so rollout is learnable/finite
+    f = np.fft.rfft2(base)
+    f[:, 4:, :] = 0
+    f[:, :, 4:] = 0
+    base = np.fft.irfft2(f, s=(16, 16)).astype(np.float32)
+    u = np.stack([np.roll(base, i, axis=-1) for i in range(5)], axis=1)
+    with h5py.File(str(tmp_path / "ns_roll.h5"), "w") as fh:
+        fh.create_dataset("u", data=u)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli.main_2d import main
+
+    out = main([
+        "model=ffno_2d", "dataset=ns_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.dataset_params.filename=ns_roll.h5",
+        "dataset.original_res=16", "dataset.max_test_resolution=16",
+        "dataset.rollout_steps=3",
+        "model.width=8", "model.n_modes=4", "model.n_layers=1",
+        "training.epochs=2", "training.batch_size=4",
+    ])
+    assert np.isfinite(out["test_loss"])
+    assert set(out["rollout"]) == {16}
+    assert all(np.isfinite(v) for v in out["rollout"].values()), \
+        out["rollout"]

@@ -370,3 +370,36 @@ def test_rollout_all_resolutions_resize_to_train(rng):
         max_test_resolution=64, rollout_steps=3, resize_to_train=True)
     assert set(out) == {32, 64}
     assert all(np.isfinite(v) and v < 1e-4 for v in out.values()), out
+
+
+def test_rollout_2d_perfect_model_and_unit_gaussian_adapt(rng):
+    """2D rollout: perform_rollout is shape-generic ((B, C, H, W) state),
+    and per-location unit_gaussian stats adapt to the rollout grid (the
+    NS family's normalizer). A perfect roll model scores ~0 at the train
+    grid AND at a strided grid."""
+    from resolution_pde_tpu.ops.normalizers import UnitGaussianNormalizer
+
+    class Roll2D:
+        def apply(self, params, x, deterministic=True):
+            return jnp.roll(x, 1, axis=-1)
+
+    n, t, s = 3, 5, 16
+    u0 = rng.standard_normal((n, s, s)).astype(np.float32)
+    traj = np.stack([np.roll(u0, i, axis=-1) for i in range(t)], axis=1)
+
+    # normalizer fitted at the train grid (1, 16, 16) per-location stats;
+    # constant-offset stats so encode/decode commute with jnp.roll and
+    # the roll model stays exact through the round-trip
+    xn = UnitGaussianNormalizer(np.full((1, s, s), 0.3, np.float32),
+                                np.full((1, s, s), 2.0, np.float32))
+    loss = rollout_loss(Roll2D(), None, traj, rollout_steps=3,
+                        x_normalizer=xn, y_normalizer=xn)
+    assert loss < 1e-5, loss
+
+    # strided rollout grid: stats adapt (8, 8), rolling by 1 on the
+    # coarse grid == rolling by 2 on the fine grid
+    traj8 = np.stack([np.roll(u0[:, ::2, ::2], i, axis=-1)
+                      for i in range(t)], axis=1)
+    loss8 = rollout_loss(Roll2D(), None, traj8, rollout_steps=3,
+                         x_normalizer=xn, y_normalizer=xn)
+    assert loss8 < 1e-5, loss8
