@@ -189,6 +189,7 @@ def main(argv=None, spatial_ndim: int = 1):
             # per-step resize round-trip (rollout.py perform_rollout);
             # resolution-flexible models keep naive feedback (reference)
             resize_to_train=common.rollout_resize_to_train(cfg),
+            spatial_ndim=spatial_ndim,
         )
         logger.log_table(
             "rollout", ["resolution", "rollout_rel_l2"],

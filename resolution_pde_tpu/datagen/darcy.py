@@ -65,17 +65,14 @@ def _apply_operator(a, u):
     return -(lap - wall) / h2
 
 
-def solve_darcy(a, beta: float = 1.0, tol: float = 1e-6,
-                maxiter: int | None = None):
-    """Solve -div(a grad u) = beta for a batch of coefficient fields.
+from functools import partial
 
-    a: (n, s, s) positive coefficients. Returns u (n, s, s), f64 solve in
-    f32 output (CG on ill-conditioned stencils drifts in f32)."""
-    a = jnp.asarray(a, jnp.float64 if jax.config.jax_enable_x64
-                    else jnp.float32)
+
+@partial(jax.jit, static_argnames=("beta", "tol", "maxiter"))
+def _solve_darcy_batch(a, beta: float, tol: float, maxiter: int):
+    """Batched CG solve — module-level jit so repeated per-chunk calls in
+    the generation loop reuse ONE compiled program per (shape, args)."""
     s = a.shape[-1]
-    if maxiter is None:
-        maxiter = 40 * s
     f = jnp.full((s, s), float(beta), a.dtype)
 
     def solve_one(ai):
@@ -93,9 +90,36 @@ def solve_darcy(a, beta: float = 1.0, tol: float = 1e-6,
         diag = diag / (1.0 / s) ** 2
         u, _ = jax.scipy.sparse.linalg.cg(op, f, tol=tol, maxiter=maxiter,
                                           M=lambda r: r / diag)
-        return u
+        # relative residual of the returned iterate, so callers can
+        # REJECT unconverged/NaN solves instead of shipping them
+        res = jnp.linalg.norm(op(u) - f) / jnp.linalg.norm(f)
+        return u, res
 
-    return jax.jit(jax.vmap(solve_one))(a)
+    return jax.vmap(solve_one)(a)
+
+
+def solve_darcy(a, beta: float = 1.0, tol: float = 1e-6,
+                maxiter: int | None = None, max_residual: float = 1e-2):
+    """Solve -div(a grad u) = beta for a batch of coefficient fields.
+
+    a: (n, s, s) positive coefficients. Solves in f32 (f64 when the
+    caller enables jax_enable_x64; nothing in-repo does — the Jacobi-CG
+    iterate at tol=1e-6 lands well under the max_residual gate in f32
+    for the shipped 12/3 contrast). Raises if any solve's relative
+    residual ||Au - f||/||f|| exceeds `max_residual` or is non-finite —
+    an unconverged solve must never be written to a dataset."""
+    a = jnp.asarray(a, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32)
+    if maxiter is None:
+        maxiter = 40 * a.shape[-1]
+    u, res = _solve_darcy_batch(a, float(beta), float(tol), int(maxiter))
+    res = np.asarray(res)
+    if not np.isfinite(res).all() or res.max() > max_residual:
+        raise RuntimeError(
+            f"Darcy CG failed to converge: relative residuals "
+            f"{res.tolist()} (gate {max_residual}); raise maxiter "
+            f"({maxiter}) or loosen the gate")
+    return u
 
 
 def generate_darcy_dataset(key, n_samples: int, s: int = 128,

@@ -26,13 +26,7 @@ import jax.numpy as jnp
 from resolution_pde_tpu.models.registry import unwrap_output
 
 
-def _adapt_norm(norm, spatial_shape):
-    """Per-location (unit_gaussian) stats live on the TRAIN grid; adapt
-    them to the rollout grid (see UnitGaussianNormalizer.at_resolution).
-    Scalar normalizers pass through."""
-    if norm is not None and hasattr(norm, "at_resolution"):
-        return norm.at_resolution(spatial_shape)
-    return norm
+from resolution_pde_tpu.ops.normalizers import adapt_normalizer
 
 
 def _per_step_rel_l2(preds, gt, eps: float = 1e-8):
@@ -95,16 +89,19 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
                  x_normalizer=None, y_normalizer=None,
                  batch_size: int = 16,
                  per_step_losses: Optional[list] = None,
-                 resize_to: Optional[int] = None) -> float:
+                 resize_to: Optional[int] = None,
+                 spatial_ndim: int = 1) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2
     (autoregressive_step.py:190-197).
 
-    trajectories: raw (N, T, *spatial) ground truth; channel dim added
-    internally. per_step_losses: optional list, filled IN PLACE with the
-    (steps,) per-step loss curve (the reference's rollout CSV content,
-    autoregressive_step.py:415).
+    trajectories: raw (N, T, *spatial) ground truth (channel dim added
+    internally) OR (N, T, C, *spatial) for channel-bearing datasets
+    (active matter) — distinguished via `spatial_ndim`. per_step_losses:
+    optional list, filled IN PLACE with the (steps,) per-step loss curve
+    (the reference's rollout CSV content, autoregressive_step.py:415).
     """
     n, t = trajectories.shape[0], trajectories.shape[1]
+    has_channel = trajectories.ndim == 3 + spatial_ndim
     steps = min(rollout_steps, t - 1)
     if steps <= 0:
         raise ValueError(
@@ -120,8 +117,9 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
             per_step_losses[:] = [float("nan")] * steps
         return float("nan")
 
-    x_normalizer = _adapt_norm(x_normalizer, trajectories.shape[2:])
-    y_normalizer = _adapt_norm(y_normalizer, trajectories.shape[2:])
+    sp_shape = trajectories.shape[-spatial_ndim:]
+    x_normalizer = adapt_normalizer(x_normalizer, sp_shape)
+    y_normalizer = adapt_normalizer(y_normalizer, sp_shape)
 
     # The whole batch — rollout, decode, per-step losses — is ONE jitted
     # program returning the (steps,) loss vector; batches accumulate
@@ -131,15 +129,18 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
     # Measured 3.9x on a 3-resolution sweep, RESULTS.md.)
     @jax.jit
     def batch_step_losses(p, traj):
-        ic = traj[:, 0][:, None]  # (b, 1, *spatial) channel dim
+        # (b, C, *spatial) state: the dataset's own channels, or a
+        # singleton channel added here for channel-less trajectories
+        ic = traj[:, 0] if has_channel else traj[:, 0][:, None]
         if x_normalizer is not None:
             ic = x_normalizer.encode(ic)
         preds_norm = perform_rollout(model, p, ic, steps, x_normalizer,
                                      y_normalizer, resize_to=resize_to)
         preds = (y_normalizer.decode(preds_norm)
                  if y_normalizer is not None else preds_norm)
-        gt = traj[:, 1:steps + 1]  # (b, steps, *spatial)
-        return _per_step_rel_l2(preds[:, :, 0], gt)  # (steps,)
+        gt = traj[:, 1:steps + 1]  # (b, steps[, C], *spatial)
+        return _per_step_rel_l2(preds if has_channel else preds[:, :, 0],
+                                gt)  # (steps,)
 
     total, batches = None, 0
     for i in range(0, n, batch_size):
@@ -168,6 +169,7 @@ def evaluate_rollout_all_resolutions(
     window_size: int = 1,
     per_step_out: Optional[Dict[int, list]] = None,
     resize_to_train: bool = False,
+    spatial_ndim: int = 1,
 ) -> Dict[int, float]:
     """Rollout loss at every resolution. `rollout_builder(res)` returns raw
     trajectories (N, T, *spatial) at that resolution. window_size > 1
@@ -198,7 +200,8 @@ def evaluate_rollout_all_resolutions(
                     model, params, u, rollout_steps, x_normalizer,
                     y_normalizer, batch_size, per_step_losses=per_step,
                     resize_to=(current_res if resize_to_train
-                               and res != current_res else None))
+                               and res != current_res else None),
+                    spatial_ndim=spatial_ndim)
             if per_step_out is not None:
                 per_step_out[res] = per_step
         except Exception as e:
@@ -257,8 +260,8 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
             per_step_losses[:] = [float("nan")] * steps
         return float("nan")
 
-    x_normalizer = _adapt_norm(x_normalizer, trajectories.shape[2:])
-    y_normalizer = _adapt_norm(y_normalizer, trajectories.shape[2:])
+    x_normalizer = adapt_normalizer(x_normalizer, trajectories.shape[2:])
+    y_normalizer = adapt_normalizer(y_normalizer, trajectories.shape[2:])
 
     # one jitted program per batch + device-side accumulation, single host
     # fetch per resolution (see rollout_loss)

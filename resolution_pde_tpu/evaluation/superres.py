@@ -88,13 +88,13 @@ def evaluate_all_resolutions(
         base = max_test_resolution or current_res
         test_resolutions = get_lower_resolutions(base)
 
+    # per-location (unit_gaussian) stats live on the TRAIN grid; adapt
+    # them to the eval grid (shape is static under jit, so this
+    # specializes per resolution bucket like everything else)
+    from resolution_pde_tpu.ops.normalizers import adapt_normalizer
+
     def _adapt(norm, bx):
-        # per-location (unit_gaussian) stats live on the TRAIN grid;
-        # adapt them to the eval grid (shape is static under jit, so this
-        # specializes per resolution bucket like everything else)
-        if norm is not None and hasattr(norm, "at_resolution"):
-            return norm.at_resolution(bx.shape[-spatial_ndim:])
-        return norm
+        return adapt_normalizer(norm, bx.shape[-spatial_ndim:])
 
     @jax.jit
     def forward(p, bx):

@@ -123,3 +123,13 @@ class UnitGaussianNormalizer:
 def minmax_denormalize(x, min_val, max_val):
     """Min-max denormalization (reference train/training.py:90-91)."""
     return x * (max_val - min_val) + min_val
+
+
+def adapt_normalizer(norm, spatial_shape):
+    """Adapt a normalizer to an eval grid: per-location (unit_gaussian)
+    stats go through ``at_resolution``; scalar normalizers (Simple/MinMax)
+    pass through unchanged. Shared by the super-res and rollout
+    evaluators so cross-resolution handling cannot drift between them."""
+    if norm is not None and hasattr(norm, "at_resolution"):
+        return norm.at_resolution(spatial_shape)
+    return norm

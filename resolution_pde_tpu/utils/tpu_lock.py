@@ -38,31 +38,49 @@ def _cpu_pinned() -> bool:
     return os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
 
 
-def _ancestor_with_lock_open() -> int | None:
-    """PID of an ancestor process that has LOCK_PATH open, else None.
+def _flock_holder_pids() -> set[int]:
+    """PIDs /proc/locks reports as holding a FLOCK on LOCK_PATH's inode.
 
-    If an ancestor holds the flock (e.g. the caller wrapped a CLI that
-    takes the lock itself in `flock /tmp/rpde_tpu.lock ...`), waiting can
+    Merely having the file OPEN is not holding the lock (a wrapper that
+    tried `flock -n` and continued, or a tag reader), so the ancestor
+    check below must consult the kernel's lock table, not fd listings.
+    Empty set when /proc/locks can't be read or parsed (non-Linux)."""
+    pids: set[int] = set()
+    try:
+        st = os.stat(LOCK_PATH)
+        want = f"{os.major(st.st_dev):02x}:{os.minor(st.st_dev):02x}:" \
+               f"{st.st_ino}"
+        with open("/proc/locks") as f:
+            for ln in f:
+                parts = ln.split()
+                # "1: FLOCK ADVISORY WRITE <pid> <maj:min:inode> ..."
+                if len(parts) >= 6 and parts[1] == "FLOCK" \
+                        and parts[5] == want:
+                    pids.add(int(parts[4]))
+    except Exception:  # pragma: no cover - diagnostics must never crash
+        return set()
+    return pids
+
+
+def _ancestor_with_lock_open() -> int | None:
+    """PID of an ancestor process that HOLDS the flock on LOCK_PATH,
+    else None.
+
+    If an ancestor holds it (e.g. the caller wrapped a CLI that takes
+    the lock itself in `flock /tmp/rpde_tpu.lock ...`), waiting can
     NEVER succeed — the ancestor won't release until we exit. Detecting
     this turns a silent forever-hang into an immediate, explained error.
     Linux-only (/proc); returns None anywhere it can't tell."""
+    holders = _flock_holder_pids()
+    if not holders:
+        return None
     try:
-        target = os.path.realpath(LOCK_PATH)
         pid = os.getppid()
         for _ in range(32):  # bounded ancestor walk
             if pid <= 1:
                 return None
-            fd_dir = f"/proc/{pid}/fd"
-            try:
-                for fd in os.listdir(fd_dir):
-                    try:
-                        if os.path.realpath(
-                                os.path.join(fd_dir, fd)) == target:
-                            return pid
-                    except OSError:
-                        continue
-            except OSError:
-                return None
+            if pid in holders:
+                return pid
             with open(f"/proc/{pid}/status") as st:
                 ppid = next((int(ln.split()[1]) for ln in st
                              if ln.startswith("PPid:")), None)

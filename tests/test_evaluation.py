@@ -393,7 +393,7 @@ def test_rollout_2d_perfect_model_and_unit_gaussian_adapt(rng):
     xn = UnitGaussianNormalizer(np.full((1, s, s), 0.3, np.float32),
                                 np.full((1, s, s), 2.0, np.float32))
     loss = rollout_loss(Roll2D(), None, traj, rollout_steps=3,
-                        x_normalizer=xn, y_normalizer=xn)
+                        x_normalizer=xn, y_normalizer=xn, spatial_ndim=2)
     assert loss < 1e-5, loss
 
     # strided rollout grid: stats adapt (8, 8), rolling by 1 on the
@@ -401,5 +401,24 @@ def test_rollout_2d_perfect_model_and_unit_gaussian_adapt(rng):
     traj8 = np.stack([np.roll(u0[:, ::2, ::2], i, axis=-1)
                       for i in range(t)], axis=1)
     loss8 = rollout_loss(Roll2D(), None, traj8, rollout_steps=3,
-                         x_normalizer=xn, y_normalizer=xn)
+                         x_normalizer=xn, y_normalizer=xn,
+                         spatial_ndim=2)
     assert loss8 < 1e-5, loss8
+
+
+def test_rollout_channel_bearing_2d(rng):
+    """Channel-bearing rollout trajectories ((N, T, C, H, W), the active
+    matter layout) roll out with the dataset's own channels — no
+    spurious singleton channel insertion."""
+
+    class RollC2D:
+        def apply(self, params, x, deterministic=True):
+            assert x.ndim == 4 and x.shape[1] == 2, x.shape
+            return jnp.roll(x, 1, axis=-1)
+
+    n, t, c, s = 3, 5, 2, 12
+    u0 = rng.standard_normal((n, c, s, s)).astype(np.float32)
+    traj = np.stack([np.roll(u0, i, axis=-1) for i in range(t)], axis=1)
+    loss = rollout_loss(RollC2D(), None, traj, rollout_steps=3,
+                        spatial_ndim=2)
+    assert loss < 1e-5, loss

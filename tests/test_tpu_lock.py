@@ -129,3 +129,33 @@ def test_tpu_lock_detects_ancestor_holder(tmp_path):
         capture_output=True, text=True, timeout=60,
         env={**os.environ, "PYTHONPATH": os.getcwd()})
     assert "ANCESTOR_DETECTED" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_tpu_lock_open_but_unlocked_ancestor_not_flagged(tmp_path):
+    """An ancestor that merely has the lock FILE open (without holding
+    the flock) must not trigger the deadlock error — only the kernel's
+    lock table identifies a true holder."""
+    import subprocess
+    import textwrap
+
+    lock_path = str(tmp_path / "lock")
+    open(lock_path, "w").close()
+    child = textwrap.dedent(f"""
+        import os, sys
+        sys.path.insert(0, {repr(os.getcwd())})
+        import resolution_pde_tpu.utils.tpu_lock as tl
+        tl.LOCK_PATH = {repr(lock_path)}
+        tl._cpu_pinned = lambda: False
+        # lock is FREE (parent only holds an open fd): acquisition
+        # succeeds immediately, no ancestor error
+        with tl.tpu_lock("inner", timeout_s=5, poll_s=0.1):
+            print("ACQUIRED_OK")
+    """)
+    script = tmp_path / "child.py"
+    script.write_text(child)
+    # parent shell keeps fd 9 open on the lock file WITHOUT flock-ing it
+    out = subprocess.run(
+        ["bash", "-c", f"exec 9>{lock_path}; {sys.executable} {script}"],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": os.getcwd()})
+    assert "ACQUIRED_OK" in out.stdout, (out.stdout, out.stderr)
