@@ -67,6 +67,37 @@ FAMILIES = {
         for ds in ("ns_active_t2", "ns_active_t4", "ns_active_t8",
                    "ns_active_t16")
     ],
+    # 2D model sweep on NS (run1.sh:62-70 cno_original_main exemplars:
+    # cno_2d_original / ffno_2d / pos over one NS dataset). Trains at
+    # 128^2 (the 256^2 file strided by 2), evaluates 32..256; fixed-size
+    # CNO variants pair with resize training/eval as the reference does,
+    # pos runs at demo scale (the full Poseidon-B config is a pretrained
+    # checkpoint surface, not a from-scratch 20-epoch one).
+    "ns_models": [
+        ("ffno2d_ns", "2d", ["model=ffno_2d", "dataset=ns_naive",
+                             "dataset.dataset_params.reduced_resolution=2",
+                             "dataset.rollout_steps=8"]),
+        ("cno2d_ns_resize", "2d",
+         ["model=cno_2d", "dataset=ns_naive",
+          "dataset.dataset_params.reduced_resolution=2",
+          "dataset.cno_train_size=128", "training.cno_resize_training=true",
+          "dataset.evaluation_type=use_resize",
+          "dataset.resize_to_train=true", "dataset.rollout_steps=8"]),
+        ("cno2d_original_ns", "2d",
+         ["model=cno_2d_original", "dataset=ns_naive",
+          "dataset.dataset_params.reduced_resolution=2",
+          "dataset.cno_train_size=128",
+          "dataset.evaluation_type=use_resize",
+          "dataset.resize_to_train=true", "dataset.rollout_steps=8"]),
+        ("pos_ns", "2d",
+         ["model=pos", "dataset=ns_naive",
+          "dataset.dataset_params.reduced_resolution=2",
+          "dataset.rollout_steps=8",
+          "model.num_channels=1", "model.num_out_channels=1",
+          "model.embed_dim=48", "model.depths=[2,2]",
+          "model.num_heads=[3,6]", "model.skip_connections=[2,0]",
+          "model.window_size=8"]),
+    ],
     # Darcy steady-state exemplar (run1.sh:34 `# darcy_fno2d`); data via
     # `cli.generate_data pde=darcy out=data/darcy n=256 resolutions=[128]`.
     "darcy": [

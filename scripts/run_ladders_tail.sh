@@ -58,7 +58,7 @@ if [ ! -f data/darcy/darcy_flow.h5 ]; then
         out=data/darcy n=256 resolutions=[128] seed=31
 fi
 
-for fam in ks_ladder burger_ladder ks_models ns_active_ladder darcy; do
+for fam in ks_ladder burger_ladder ks_models ns_active_ladder darcy ns_models; do
     [ -f "$STAMPS/fam_$fam" ] && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
