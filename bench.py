@@ -129,17 +129,100 @@ def _bench():
 
     n_chips = max(jax.device_count(), 1)
     samples_per_sec_per_chip = BATCH * n_steps / dt / n_chips
+    step_ms = dt / n_steps * 1e3
 
     fwd = model_flops_per_sample(RES, WIDTH, LAYERS, MODES, FACTOR, FF_LAYERS)
     train_flops = 3.0 * fwd
     a100_est = 0.25 * 312e12 / train_flops  # samples/sec at 25% MFU
+    vs_baseline = samples_per_sec_per_chip / a100_est
 
-    print(json.dumps({
+    # Step decomposition (VERDICT r3 weak #1): time the two compute stacks
+    # as isolated fwd+bwd programs at the model's shapes so a regression is
+    # diagnosable from the JSON line alone. Compiles come from the
+    # persistent cache after the first run.
+    ff_ms, spectral_ms = _stack_times(BATCH, RES, WIDTH, LAYERS, MODES,
+                                      FACTOR)
+    out = {
         "metric": "ffno2d_ns256_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
-        "vs_baseline": round(samples_per_sec_per_chip / a100_est, 3),
-    }))
+        "vs_baseline": round(vs_baseline, 3),
+        "step_ms": round(step_ms, 2),
+        "ff_ms": round(ff_ms, 2),
+        "spectral_ms": round(spectral_ms, 2),
+        "other_ms": round(step_ms - ff_ms - spectral_ms, 2),
+    }
+    print(json.dumps(out))
+
+    # Regression floor: rounds 2-3 measured 0.52 with a per-millisecond
+    # accounting against this chip's roofline; a drop below 0.45 is a real
+    # regression (or a sick tunnel), not noise — fail loudly.
+    if vs_baseline < 0.45:
+        raise SystemExit(
+            f"BENCH REGRESSION: vs_baseline {vs_baseline:.3f} < 0.45 floor "
+            f"(step {step_ms:.1f} ms: ff {ff_ms:.1f} + spectral "
+            f"{spectral_ms:.1f} + other {step_ms - ff_ms - spectral_ms:.1f})")
+
+
+def _stack_times(batch: int, res: int, width: int, n_layers: int,
+                 n_modes: int, factor: int):
+    """(ff_ms, spectral_ms): isolated jitted fwd+bwd of the two hot stacks
+    at the bench model's shapes (the probe11_stage 'ff' / 'spec' programs,
+    inlined so bench.py stays self-contained)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from resolution_pde_tpu.ops.pallas.fused_ff import fused_feedforward
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d_dft_v3)
+
+    rng = np.random.default_rng(1)
+    xcl = jnp.asarray(rng.standard_normal((batch, res, res, width)),
+                      jnp.bfloat16)
+
+    def timeit(fn, *args, n=10, reps=2):
+        fn(*args)  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+            best = min(best, (_time.perf_counter() - t0) / n)
+        return best * 1e3
+
+    F = width * factor
+    ffw = [(tuple(jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+                  for s in ((width, F), (F, F), (F, width))),
+            tuple(jnp.zeros(s, jnp.float32) for s in (F, F, width)),
+            (jnp.ones((width,), jnp.float32),
+             jnp.zeros((width,), jnp.float32)))
+           for _ in range(n_layers)]
+
+    def ff_loss(ffw):
+        h = xcl
+        for kern, bias, ln in ffw:
+            h = fused_feedforward(h, kern, bias, ln, residual=h,
+                                  approx_gelu=True,
+                                  compute_dtype=jnp.bfloat16)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    ws = [jnp.asarray(rng.standard_normal((width, width, n_modes, 2)) * 0.1,
+                      jnp.float32) for _ in range(2 * n_layers)]
+
+    def spec_loss(ws):
+        h = xcl
+        for i in range(n_layers):
+            h = factorized_spectral_conv_2d_dft_v3(
+                h, ws[2 * i], ws[2 * i + 1], n_modes,
+                gemm_dtype=jnp.bfloat16).astype(jnp.bfloat16)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    ff_ms = timeit(jax.jit(jax.grad(ff_loss)), ffw)
+    spectral_ms = timeit(jax.jit(jax.grad(spec_loss)), ws)
+    return ff_ms, spectral_ms
 
 
 if __name__ == "__main__":

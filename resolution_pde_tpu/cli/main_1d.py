@@ -204,6 +204,8 @@ def main(argv=None, spatial_ndim: int = 1):
             print(f"Rollout @ {r:4d}: rel-L2 {v:.6f}")
 
     logger.finish()
+    dp = cfg.dataset.dataset_params
+    devs = jax.devices()
     return {
         "test_loss": test_loss,
         "super_resolution": results,
@@ -212,6 +214,17 @@ def main(argv=None, spatial_ndim: int = 1):
         "history": history,
         "n_params": int(n_params),
         "train_seconds": train_seconds,
+        # run provenance for the sweep tables (VERDICT r3 weak #2): a
+        # 1-epoch CPU rehearsal must be distinguishable from a chip result
+        "provenance": {
+            "platform": f"{jax.default_backend()}"
+                        f"({devs[0].device_kind})" if devs
+                        else jax.default_backend(),
+            "epochs": int(cfg.training.get("epochs", 0)),
+            "dataset": str(dp.get("filename")
+                           or dp.get("filename_pattern")
+                           or dp.get("saved_folder") or ""),
+        },
     }
 
 

@@ -170,9 +170,28 @@ def _run_one_isolated(driver: str, overrides):
     return out
 
 
-def _write_tables(out_dir: str, family: str, rows):
+def _git_sha() -> str:
+    """Short sha of the checked-out framework (best-effort: empty outside
+    a git checkout). Stamped into every sweep table so a number in
+    RESULTS.md maps to the code that produced it."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        r = subprocess.run(["git", "-C", repo, "rev-parse", "--short",
+                            "HEAD"], capture_output=True, timeout=10)
+        return r.stdout.decode().strip() if r.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
+def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
     """rows: [(name, out_dict | None, error | None)]. Produces sweep.csv +
-    sweep.md with one row per run and one column per eval resolution."""
+    sweep.md with one row per run and one column per eval resolution.
+
+    Provenance (VERDICT r3 weak #2): per-row platform/epochs/dataset
+    columns (from the driver's provenance dict) plus git sha and a
+    rehearsal flag, in BOTH files — a 1-epoch CPU rehearsal table must be
+    visually distinguishable from a chip reproduction."""
     resolutions = sorted({r for _, out, _ in rows if out
                           for r in out.get("super_resolution", {})})
     roll_res = sorted({r for _, out, _ in rows if out
@@ -180,13 +199,16 @@ def _write_tables(out_dir: str, family: str, rows):
     header = (["run", "test_rel_l2"]
               + [f"superres@{r}" for r in resolutions]
               + [f"rollout@{r}" for r in roll_res]
-              + ["params_m", "train_s", "checkpoint", "error"])
+              + ["params_m", "train_s", "platform", "epochs", "dataset",
+                 "checkpoint", "error"])
+    sha = _git_sha()
 
     def cells(name, out, err):
         if out is None:
             return [name] + [""] * (len(header) - 3) + ["", err or ""]
         sr = out.get("super_resolution", {})
         ro = out.get("rollout") or {}
+        prov = out.get("provenance") or {}
         fmt = lambda v: f"{v:.6f}" if v == v else "nan"  # noqa: E731
         return ([name, fmt(out["test_loss"])]
                 + [fmt(sr[r]) if r in sr else "" for r in resolutions]
@@ -195,17 +217,22 @@ def _write_tables(out_dir: str, family: str, rows):
                    if out.get("n_params") else "",
                    f"{out['train_seconds']:.0f}"
                    if out.get("train_seconds") else "",
+                   str(prov.get("platform", "")),
+                   str(prov.get("epochs", "")),
+                   str(prov.get("dataset", "")),
                    str(out.get("checkpoint") or ""), ""])
 
     table = [cells(*row) for row in rows]
     with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(header)
-        w.writerows(table)
+        w.writerow(header + ["git_sha", "rehearsal"])
+        w.writerows([row + [sha, str(rehearsal).lower()] for row in table])
     with open(os.path.join(out_dir, "sweep.md"), "w") as f:
         # drop only the checkpoint-path column; the error column stays so
         # a failed run is distinguishable from "metric not applicable"
         f.write(f"# Sweep: {family}\n\n")
+        f.write(f"provenance: git={sha or 'unknown'} "
+                f"rehearsal={str(rehearsal).lower()}\n\n")
         md_header = header[:-2] + [header[-1]]
         f.write("| " + " | ".join(md_header) + " |\n")
         f.write("|" + "---|" * len(md_header) + "\n")
@@ -218,6 +245,7 @@ def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     family = "baseline"
     isolate = False
+    rehearsal = False
     only = None
     extras = []
     for a in argv:
@@ -225,6 +253,10 @@ def main(argv=None):
             family = a.split("=", 1)[1]
         elif a.startswith("isolate="):
             isolate = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        elif a.startswith("rehearsal="):
+            # set by scripts/rehearse_family.py: stamps the tables so a
+            # tiny-scale rehearsal is never mistaken for a chip result
+            rehearsal = a.split("=", 1)[1].lower() in ("1", "true", "yes")
         elif a.startswith("only="):
             # comma-separated leg names: re-run a subset of a family
             # (e.g. after a fix) without repeating the whole sweep
@@ -276,7 +308,8 @@ def main(argv=None):
                 traceback.print_exc()  # run must not kill the family sweep
                 rows.append((name, None, f"{type(e).__name__}: {e}"))
 
-    header, table = _write_tables(out_dir, family, rows)
+    header, table = _write_tables(out_dir, family, rows,
+                                  rehearsal=rehearsal)
     print(f"\nsweep results -> {out_dir}/sweep.csv")
     cols = list(range(len(header) - 2)) + [len(header) - 1]  # skip ckpt path
     widths = [max(len(header[i]), max((len(r[i]) for r in table), default=0))

@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# isolate=true legs run in CHILD processes where the sitecustomize re-pins
+# JAX_PLATFORMS=axon; backend_probe.pin_platform only honors $RPDE_PLATFORM,
+# so without this a "CPU rehearsal" would run isolated legs on the real TPU
+# — unserialized, because this CPU-pinned parent skips tpu_lock.
+os.environ["RPDE_PLATFORM"] = "cpu"
 
 # family -> (pde, generate_data args beyond out=, per-leg extra overrides)
 # The overrides point every leg of the family at the miniature dataset and
@@ -71,19 +76,32 @@ def main(argv):
     pde, gen_args, leg_extras = _REHEARSALS[family]
     out = f"/tmp/rehearse_{pde}_{res}"
     fmt = dict(out=out, res=res, half=max(res // 2, 16))
+    # The marker records the EXACT generation arg list: rerunning with a
+    # different n= (or after editing _REHEARSALS gen args) must regenerate
+    # the miniature dataset, not silently reuse a stale one.
+    gen_argv = ([f"pde={pde}", f"out={out}"]
+                + [a.format(**fmt) for a in gen_args]
+                + [a for a in passthrough if a.startswith("n=")])
     marker = os.path.join(out, ".generated")
-    if not os.path.exists(marker):
+    stamp = " ".join(gen_argv)
+    prev = open(marker).read() if os.path.exists(marker) else None
+    if prev != stamp:
         from resolution_pde_tpu.cli.generate_data import main as gen
-        gen([f"pde={pde}", f"out={out}"]
-            + [a.format(**fmt) for a in gen_args]
-            + [a for a in passthrough if a.startswith("n=")])
-        open(marker, "w").close()
+        gen(gen_argv)
+        with open(marker, "w") as f:
+            f.write(stamp)
 
     from resolution_pde_tpu.cli.sweep import main as sweep
-    sweep([f"family={family}"]
-          + [a for a in passthrough if not a.startswith("n=")]
-          + [a.format(**fmt) for a in leg_extras]
-          + ["training.epochs=1", "training.t_max=1", "save_figures=false"])
+    results = sweep([f"family={family}", "rehearsal=true"]
+                    + [a for a in passthrough if not a.startswith("n=")]
+                    + [a.format(**fmt) for a in leg_extras]
+                    + ["training.epochs=1", "training.t_max=1",
+                       "save_figures=false"])
+    # Nonzero exit when any leg failed, so `rehearse_family.py <fam> &&
+    # <real sweep>` works as a scripted pre-TPU gate (sweep.main records
+    # per-leg failures in the table instead of raising).
+    raise SystemExit(0 if all(v is not None for v in results.values())
+                     else 1)
 
 
 if __name__ == "__main__":

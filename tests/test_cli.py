@@ -419,11 +419,20 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
         lines = f.read().strip().split("\n")
     assert len(lines) == 4  # header + 3 runs
     assert "superres@32" in lines[0] and "rollout@64" in lines[0]
+    # provenance columns (VERDICT r3 weak #2): platform/epochs/dataset per
+    # row + git sha + rehearsal flag — a CPU rehearsal table must be
+    # distinguishable from a chip result
+    for col in ("platform", "epochs", "dataset", "git_sha", "rehearsal"):
+        assert col in lines[0]
+    assert lines[1].rstrip().endswith(",false")  # not a rehearsal
+    assert ",cpu(" in lines[1] and ",2," in lines[1]  # platform + epochs
     # sweep.md keeps the error column so a failed run is distinguishable
     # from "metric not applicable" (it drops only the checkpoint path)
     with open(os.path.join(sweeps[0], "sweep.md")) as f:
         md = f.read().split("\n")
-    assert md[2].rstrip().endswith("| error |")
+    assert md[2].startswith("provenance: git=")
+    assert "rehearsal=false" in md[2]
+    assert md[4].rstrip().endswith("| error |")
     broken_row = next(ln for ln in md if ln.startswith("| broken"))
     assert "Error" in broken_row  # the exception text made it to the table
 
