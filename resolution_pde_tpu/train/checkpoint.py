@@ -118,10 +118,13 @@ def save_checkpoint(path: str, state, history: Optional[dict] = None,
         _PENDING_MANIFESTS.append((path, manifest))
 
 
-def restore_checkpoint(path: str, state):
+def restore_checkpoint(path: str, state, with_extra: bool = False):
     """Restore into the structure of `state` (a template TrainState).
 
-    Returns (state, history_dict_or_None).
+    Returns (state, history_dict_or_None), or with `with_extra=True`
+    (state, history, extra_dict_or_None) — `extra` is the free-form
+    payload save_checkpoint accepts (e.g. ReduceLROnPlateau.state_dict()
+    for mid-training resume).
     """
     path = os.path.abspath(path)
     template = {
@@ -167,6 +170,8 @@ def restore_checkpoint(path: str, state):
             state.model_state
         ),
     )
+    if with_extra:
+        return new_state, restored.get("history"), restored.get("extra")
     return new_state, restored.get("history")
 
 

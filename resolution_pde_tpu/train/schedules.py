@@ -68,6 +68,18 @@ class ReduceLROnPlateau:
                 self.num_bad = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        """Checkpointable scheduler state (mid-training resume: the plateau
+        counters live host-side, outside the TrainState, so they must ride
+        the checkpoint's `extra` payload — the reference never checkpoints
+        optimizer OR scheduler state at all, SURVEY §5.4)."""
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.lr = float(sd["lr"])
+        self.best = float(sd["best"])
+        self.num_bad = int(sd["num_bad"])
+
 
 def get_schedule(name: str, base_lr: float, epochs: int, **kw):
     """Schedule registry keyed by reference scheduler names."""
