@@ -1320,3 +1320,53 @@ def test_dplr_hippo_combination_init_structure():
     np.testing.assert_allclose(lam[1].imag, four.imag, atol=1e-5)
     np.testing.assert_allclose(lam[1].real,
                                np.minimum(four.real, -1e-4), atol=1e-5)
+
+
+def test_ffno2d_parity_across_resolutions_32_to_256(ref_modules, rng):
+    """The 2D mirror of the north-star sweep (BASELINE.json:5 names FFNO2D
+    on NS): rel-L2 parity within 1e-4 at EVERY eval resolution in
+    [32..256] with ONE transplanted weight set — the 2D effective-mode
+    slicing must track the reference's per-axis truncation
+    (models/spectral_convolution.py:269-305) at each grid size.
+    n_modes=20 > 32//2+1 so the coarsest grid exercises the slicing."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from resolution_pde_tpu.models import FFNO2D
+
+    kw = dict(width=8, n_layers=2, n_modes=20, factor=2,
+              ff_weight_norm=False, n_ff_layers=2, layer_norm=False,
+              dropout=0.0, mode="full")
+    ref = ref_modules["ffno"].FFNO2D(in_channels=1, out_channels=1,
+                                     use_grid=True, **kw)
+    ref.eval()
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    mine = FFNO2D(in_channels=1, out_channels=1, use_grid=True, **kw)
+    x0 = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    p = mine.init(jax.random.key(0), jnp.asarray(x0))["params"]
+    p["WNDense_0"]["TorchLinear_0"]["kernel"] = t2j(ref.in_proj.weight).T
+    p["WNDense_0"]["TorchLinear_0"]["bias"] = t2j(ref.in_proj.bias)
+    p["WNDense_1"]["TorchLinear_0"]["kernel"] = t2j(ref.out_proj.weight).T
+    p["WNDense_1"]["TorchLinear_0"]["bias"] = t2j(ref.out_proj.bias)
+    for i, layer in enumerate(ref.fourier_layers):
+        blk = p[f"FSpectralConv2d_{i}"]
+        blk["fourier_weight_y"] = t2j(layer.fourier_weight[0])
+        blk["fourier_weight_x"] = t2j(layer.fourier_weight[1])
+        ff = blk["FeedForward_0"]
+        for j in range(2):
+            lin = layer.backcast_ff.layers[j][0]
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["kernel"] = t2j(lin.weight).T
+            ff[f"WNDense_{j}"]["TorchLinear_0"]["bias"] = t2j(lin.bias)
+
+    fwd = jax.jit(lambda x: mine.apply({"params": p}, x))
+    for res in (32, 48, 64, 128, 256):
+        x = rng.standard_normal((2, 1, res, res)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(fwd(jnp.asarray(x)))
+        rel_l2 = (np.linalg.norm(got - expected)
+                  / (np.linalg.norm(expected) + 1e-8))
+        assert rel_l2 < 1e-4, f"res {res}: rel-L2 {rel_l2:.2e}"
