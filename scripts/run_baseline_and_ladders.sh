@@ -22,6 +22,9 @@ LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 # full train step. One process per stage (cold compiles can be long).
 # RUN_PROBES=0 skips (e.g. when the stages already ran this session).
 if [ "${RUN_PROBES:-1}" != "0" ]; then
+    # compiled-Mosaic correctness smoke for every Pallas kernel first
+    # (self-locking; one PASS/FAIL line per kernel, nonzero on any FAIL)
+    python scripts/pallas_smoke.py || echo "PALLAS SMOKE FAILED (continuing)"
     for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
         flock "$LOCK" python scripts/probes/probe11_stage.py "$st" || true
     done
