@@ -611,10 +611,13 @@ class S4Model(nn.Module):
         return jnp.swapaxes(x, -1, -2)
 
 
-class S4ND2dLayer(nn.Module):
-    """2D S4ND layer: one SSM kernel per spatial axis, combined as an outer
-    product in frequency space, then a 2D FFT convolution
-    (models/s4nd.py:1815-2100). Channels-last: x (B, H, W, C) -> same.
+class S4NDLayer(nn.Module):
+    """N-dim S4ND layer: one SSM kernel per spatial axis, combined as an
+    outer product in frequency space, then an N-dim FFT convolution —
+    the reference's arbitrary-`dim` surface (models/s4nd.py:1815-2100
+    sizes its kernel list by the input rank). Channels-last:
+    x (B, *spatial, C) -> same; the spatial rank is inferred from the
+    input, so one module covers 1D/2D/3D.
 
     mode: 'diag' (per-axis S4D kernels) or 'dplr' (per-axis full-S4 DPLR
     kernels — the reference S4ND's default, s4nd.py:1844 mode='dplr';
@@ -622,7 +625,11 @@ class S4ND2dLayer(nn.Module):
     linear: skip the GELU + GLU output transform, matching the reference's
     default `linear=True` (s4nd.py:1838) where S4ND is conv + D-skip only
     and nonlinearity lives in the surrounding model. Our historical default
-    keeps the nonlinear tail (PARITY.md #20)."""
+    keeps the nonlinear tail (PARITY.md #20).
+
+    Param naming: 2D inputs keep the historical kernel_x (axis 0) /
+    kernel_y (axis 1) scopes so existing checkpoints and the golden
+    transplant keep loading; other ranks use kernel_ax{i}."""
 
     d_model: int
     d_state: int = 64
@@ -634,15 +641,21 @@ class S4ND2dLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        b, hh, ww, c = x.shape
+        spatial = x.shape[1:-1]
+        ndim = len(spatial)
+        if ndim < 1:
+            raise ValueError(f"S4NDLayer needs (B, *spatial, C) input with "
+                             f"at least one spatial axis, got {x.shape}")
+        c = x.shape[-1]
         kc = 2 if self.bidirectional else 1
         kernel_cls = (DPLRKernelLayer if self.mode in ("dplr", "nplr")
                       else S4DKernelLayer)
         kargs = dict(self.kernel_args or {})
-        kx = kernel_cls(self.d_model, self.d_state, channels=kc,
-                        name="kernel_x", **kargs)(hh)  # (kc, C, H)
-        ky = kernel_cls(self.d_model, self.d_state, channels=kc,
-                        name="kernel_y", **kargs)(ww)  # (kc, C, W)
+        names = (["kernel_x", "kernel_y"] if ndim == 2
+                 else [f"kernel_ax{i}" for i in range(ndim)])
+        ks = [kernel_cls(self.d_model, self.d_state, channels=kc,
+                         name=names[i], **kargs)(spatial[i])  # (kc, C, L_i)
+              for i in range(ndim)]
         D = self.param("D", lambda rng, s: jax.random.normal(rng, s), (c,))
 
         def two_sided(k, L):
@@ -651,18 +664,27 @@ class S4ND2dLayer(nn.Module):
             return (jnp.pad(k[0], ((0, 0), (0, L)))
                     + jnp.pad(jnp.flip(k[1], -1), ((0, 0), (L, 0))))
 
-        kx2 = two_sided(kx, hh)  # (C, H or 2H)
-        ky2 = two_sided(ky, ww)
-        nx, ny = 2 * hh, 2 * ww
-
-        xt = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
-        xf = jnp.fft.rfft2(xt, s=(nx, ny), axes=(-2, -1))
-        kxf = jnp.fft.fft(kx2, n=nx, axis=-1)  # (C, nx) complex
-        kyf = jnp.fft.rfft(ky2, n=ny, axis=-1)  # (C, ny/2+1)
-        kf = kxf[:, :, None] * kyf[:, None, :]  # outer product (C, nx, nyf)
+        ns = [2 * L for L in spatial]
+        fft_axes = tuple(range(2, 2 + ndim))
+        xt = jnp.moveaxis(x, -1, 1)  # (B, C, *spatial)
+        xf = jnp.fft.rfftn(xt, s=ns, axes=fft_axes)
+        # frequency-domain outer product of the per-axis kernels: full fft
+        # on every axis except the last, rfft on the last (matching rfftn)
+        kf = None
+        for i in range(ndim):
+            k2 = two_sided(ks[i], spatial[i])  # (C, L_i or 2L_i)
+            if i == ndim - 1:
+                kfi = jnp.fft.rfft(k2, n=ns[i], axis=-1)
+            else:
+                kfi = jnp.fft.fft(k2, n=ns[i], axis=-1)
+            shape = [c] + [1] * ndim
+            shape[1 + i] = kfi.shape[-1]
+            kfi = kfi.reshape(shape)
+            kf = kfi if kf is None else kf * kfi
         yf = xf * kf[None]
-        y = jnp.fft.irfft2(yf, s=(nx, ny), axes=(-2, -1))[..., :hh, :ww]
-        y = y + xt * D[None, :, None, None]
+        y = jnp.fft.irfftn(yf, s=ns, axes=fft_axes)
+        y = y[(Ellipsis,) + tuple(slice(0, L) for L in spatial)]
+        y = y + xt * D.reshape((1, c) + (1,) * ndim)
         y = jnp.moveaxis(y, 1, -1)
         if self.linear:
             # reference default (s4nd.py:1838 linear=True): conv + D only
@@ -672,6 +694,11 @@ class S4ND2dLayer(nn.Module):
         y = gelu(y)
         y = nn.Dense(2 * self.d_model)(y)
         return y[..., : self.d_model] * jax.nn.sigmoid(y[..., self.d_model:])
+
+
+class S4ND2dLayer(S4NDLayer):
+    """2D instantiation of S4NDLayer (name kept for checkpoints, configs,
+    and the golden transplant; the generic layer accepts any rank)."""
 
 
 class S4NDModel(nn.Module):
