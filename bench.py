@@ -165,7 +165,7 @@ def _bench():
 
 
 def _stack_times(batch: int, res: int, width: int, n_layers: int,
-                 n_modes: int, factor: int):
+                 n_modes: int, factor: int, interpret: bool = False):
     """(ff_ms, spectral_ms): isolated jitted fwd+bwd of the two hot stacks
     at the bench model's shapes (the probe11_stage 'ff' / 'spec' programs,
     inlined so bench.py stays self-contained)."""
@@ -206,7 +206,8 @@ def _stack_times(batch: int, res: int, width: int, n_layers: int,
         for kern, bias, ln in ffw:
             h = fused_feedforward(h, kern, bias, ln, residual=h,
                                   approx_gelu=True,
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  interpret=interpret)
         return jnp.sum(h.astype(jnp.float32) ** 2)
 
     ws = [jnp.asarray(rng.standard_normal((width, width, n_modes, 2)) * 0.1,
