@@ -263,20 +263,77 @@ def make_rollout_builder(cfg: Config, primary_rollout=None):
     return builder
 
 
-def save_run_checkpoint(cfg: Config, state, history) -> str:
-    from resolution_pde_tpu.train.checkpoint import save_checkpoint
-
+def run_checkpoint_path(cfg: Config) -> str:
     model_type = cfg.model.get("_target_", "model").rsplit(".", 1)[-1].lower()
     job_id = os.environ.get("SLURM_JOB_ID", "local")
-    path = os.path.join(cfg.get("checkpoint_dir", "checkpoints"), model_type,
+    return os.path.join(cfg.get("checkpoint_dir", "checkpoints"), model_type,
                         f"{cfg.dataset.get('pde', 'pde')}_{job_id}")
+
+
+def _scheduler_extra(schedule) -> dict | None:
+    from resolution_pde_tpu.train.schedules import ReduceLROnPlateau
+
+    if isinstance(schedule, ReduceLROnPlateau):
+        return {"scheduler": schedule.state_dict()}
+    return None
+
+
+def save_run_checkpoint(cfg: Config, state, history, schedule=None,
+                        block: bool = True) -> str:
+    from resolution_pde_tpu.train.checkpoint import save_checkpoint
+
+    path = run_checkpoint_path(cfg)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     save_checkpoint(path, state, history={
         "train_loss": history.train_loss,
         "val_loss": history.val_loss,
         "lr": history.lr,
-    })
+    }, extra=_scheduler_extra(schedule), block=block)
     return path
+
+
+def periodic_checkpointer(cfg: Config, schedule):
+    """Epoch callback for Trainer.fit: every training.checkpoint_every
+    epochs, save the full resumable state (step + opt_state + dropout key
+    + history + scheduler counters) ASYNC to the run checkpoint path, so
+    a killed run resumes exactly with training.resume_from (mid-training
+    resume — a capability the reference lacks, SURVEY §5.4). None when
+    checkpoint_every is unset."""
+    every = int(cfg.training.get("checkpoint_every", 0) or 0)
+    if every <= 0:
+        return None
+
+    def callback(epoch, state, history):
+        if (epoch + 1) % every == 0:
+            save_run_checkpoint(cfg, state, history, schedule, block=False)
+
+    return callback
+
+
+def maybe_resume(cfg: Config, state, schedule):
+    """training.resume_from=<ckpt dir>: restore params/opt/step/dropout
+    key, prior history, and scheduler state, and offset stateless epoch
+    schedules so the LR curve continues where the killed run stopped.
+
+    Returns (state, prior_history_dict_or_None, epochs_done, schedule)."""
+    ckpt = cfg.training.get("resume_from")
+    if not ckpt:
+        return state, None, 0, schedule
+    from resolution_pde_tpu.train.checkpoint import restore_checkpoint
+    from resolution_pde_tpu.train.schedules import ReduceLROnPlateau
+
+    state, history, extra = restore_checkpoint(ckpt, state, with_extra=True)
+    done = (len(history["train_loss"])
+            if history and "train_loss" in history else 0)
+    if isinstance(schedule, ReduceLROnPlateau):
+        if extra and "scheduler" in extra:
+            schedule.load_state_dict(dict(extra["scheduler"]))
+    elif schedule is not None and done:
+        base = schedule
+        schedule = lambda e, _b=base: _b(e + done)  # noqa: E731
+    print(f"Resumed from {ckpt}: {done} epochs done, "
+          f"step {int(state.step)}")
+    return state, history, done, schedule
 
 
 def maybe_warm_start(cfg: Config, trainer, state):

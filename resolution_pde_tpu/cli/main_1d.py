@@ -69,6 +69,10 @@ def main(argv=None, spatial_ndim: int = 1):
                            use_wandb=cfg.get("log_to_wandb", False))
 
     schedule = common.build_schedule(cfg)
+    # training.resume_from: continue a killed run exactly (step counter,
+    # optimizer state, dropout-key phase, scheduler counters, LR curve)
+    state, prior_hist, epochs_done, schedule = common.maybe_resume(
+        cfg, state, schedule)
     import time as _t
 
     t_fit = _t.perf_counter()
@@ -76,10 +80,20 @@ def main(argv=None, spatial_ndim: int = 1):
         state,
         train_loader,
         val_loader,
-        epochs=cfg.training.get("epochs", 1),
+        epochs=max(cfg.training.get("epochs", 1) - epochs_done, 0),
         schedule=schedule,
         log_fn=logger.log,
+        # training.checkpoint_every=N: async resumable snapshot every N
+        # epochs to the run checkpoint path
+        epoch_callback=common.periodic_checkpointer(cfg, schedule),
     )
+    if prior_hist:
+        # stitch the restored epochs in front so the saved history (and
+        # plots) cover the whole run, not just the resumed tail
+        for k in ("train_loss", "val_loss", "lr"):
+            if k in prior_hist:
+                cur = getattr(history, k)
+                cur[:0] = [float(v) for v in prior_hist[k]]
 
     train_seconds = _t.perf_counter() - t_fit
 
@@ -87,7 +101,7 @@ def main(argv=None, spatial_ndim: int = 1):
     print(f"Test L2 loss: {test_loss:.6f}")
     logger.log({"test_loss": test_loss})
 
-    ckpt_path = common.save_run_checkpoint(cfg, state, history)
+    ckpt_path = common.save_run_checkpoint(cfg, state, history, schedule)
     print(f"Checkpoint saved: {ckpt_path}")
 
     variables = {"params": state.params, **state.model_state}

@@ -365,11 +365,17 @@ class Trainer:
         epochs: int = 1,
         schedule: Callable[[int], float] | ReduceLROnPlateau | None = None,
         log_fn: Callable[[dict], None] | None = None,
+        epoch_callback: Callable[[int, "TrainState", "History"], None]
+        | None = None,
     ) -> tuple:
         """Epoch loop with per-epoch scheduler step (train/training.py:26-88).
 
         Loaders may be passed as factories (called each epoch, so shuffling
         pipelines re-draw) or as re-iterable objects.
+
+        epoch_callback(epoch, state, history_so_far) runs after each
+        epoch's scheduler step and logging — the periodic-checkpoint hook
+        (cli/common.py periodic_checkpointer).
         """
         history = History()
         for epoch in range(epochs):
@@ -406,4 +412,6 @@ class Trainer:
                         "epoch_time_s": history.epoch_time_s[-1],
                     }
                 )
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, history)
         return state, history

@@ -684,3 +684,47 @@ def test_main_2d_ns_rollout(tmp_path, monkeypatch):
     assert set(out["rollout"]) == {16}
     assert all(np.isfinite(v) for v in out["rollout"].values()), \
         out["rollout"]
+
+
+def test_main_1d_cli_resume(tmp_path, monkeypatch):
+    """training.resume_from continues a finished-early run through the
+    driver: step counter advances, the prior epochs' history is stitched
+    in front, and periodic checkpoint_every snapshots make the killed-run
+    scenario resumable (capability the reference lacks, SURVEY §5.4)."""
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    from resolution_pde_tpu.cli.main_1d import main
+
+    common_args = [
+        "model=fno_1d",
+        "dataset=ks_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=64",
+        "dataset.max_test_resolution=64",
+        "dataset.rollout_steps=2",
+        "model.width=8",
+        "model.modes=8",
+        "model.n_blocks=1",
+        "training.batch_size=16",
+        "training.checkpoint_every=1",  # async resumable snapshots
+    ]
+    out_a = main(common_args + ["training.epochs=2"])
+    ckpt = out_a["checkpoint"]
+    assert os.path.isdir(ckpt)
+
+    out_b = main(common_args + ["training.epochs=5",
+                                f"training.resume_from={ckpt}"])
+    hist = out_b["history"]
+    assert len(hist.train_loss) == 5  # 2 restored + 3 new
+    # the stitched prefix is exactly run A's history
+    np.testing.assert_allclose(hist.train_loss[:2],
+                               out_a["history"].train_loss, rtol=1e-6)
+    # cosine schedule continued at the global epoch, not restarted
+    assert hist.lr[2] < hist.lr[0]
+    assert np.isfinite(out_b["test_loss"])
+
+    # fully-complete resume: nothing left to train, still evaluates
+    out_c = main(common_args + ["training.epochs=5",
+                                f"training.resume_from={ckpt}"])
+    assert len(out_c["history"].train_loss) == 5
