@@ -164,10 +164,13 @@ def main():
                 for a, b in zip(g2, g2r))
         check("spectral_mix2 grad", d, 0.0, 0.0, 1e-2)
 
-    # ---- cauchy (complex arrays must be jit ARGUMENTS on this backend)
+    # ---- cauchy (complex arrays built in NUMPY: eager complex arithmetic
+    # on device arrays is UNIMPLEMENTED on this backend; complex values
+    # enter only as jit arguments)
     h, n, L = 16, 64, 512
-    lam = (-(0.1 + jnp.asarray(rng.uniform(0, 1, (h, n)), jnp.float32))
-           + 1j * jnp.asarray(rng.standard_normal((h, n)), jnp.float32))
+    lam = jnp.asarray(
+        (-(0.1 + rng.uniform(0, 1, (h, n)))
+         + 1j * rng.standard_normal((h, n))).astype(np.complex64))
     v = jnp.asarray(rng.standard_normal((4, h, n))
                     + 1j * rng.standard_normal((4, h, n)), jnp.complex64)
     g = jnp.asarray(rng.standard_normal((h, L))
@@ -195,7 +198,8 @@ def main():
 
     # ---- vandermonde (S4D)
     la, ai = ssm_ops.s4d_lin_init(h, n)
-    A = -jnp.exp(jnp.asarray(la)) + 1j * jnp.asarray(ai)
+    A = jnp.asarray((-np.exp(np.asarray(la))
+                     + 1j * np.asarray(ai)).astype(np.complex64))
     C = jnp.asarray(rng.standard_normal((h, n))
                     + 1j * rng.standard_normal((h, n)), jnp.complex64)
     got = jax.jit(lambda C, A, d: ssm_ops_pallas_vandermonde(
