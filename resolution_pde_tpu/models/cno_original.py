@@ -85,6 +85,33 @@ class _Block(nn.Module):
                             self.radial)(x)
 
 
+class _LiftProject(nn.Module):
+    """Lift / projection head: conv -> filtered act -> conv, with NO
+    BatchNorm and NO output activation (cno_2d_original.yaml:16-17: "We do
+    not add BN in lifting/projection layer", latent_lift_proj_dim is the
+    intermediate width). The projection being activation-free matters: a
+    signed-output regression head ending in a LReLU can only reach
+    negative targets scaled by the leak (observed live as an NS training
+    stall at rel-L2 ~0.70 = predicting the mean)."""
+
+    out_channels: int
+    latent_dim: int
+    size: int
+    lrelu_upsampling: int = 2
+    cutoff_den: float = 2.0001
+    filter_size: int = 6
+    half_width_mult: float = 0.8
+    radial: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.latent_dim, (3, 3), padding="SAME")(x)
+        x = _FilteredAct(self.size, self.size, self.lrelu_upsampling,
+                         self.cutoff_den, self.filter_size,
+                         self.half_width_mult, self.radial)(x)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(x)
+
+
 class _ResBlock(nn.Module):
     channels: int
     size: int
@@ -124,6 +151,7 @@ class CNO2dOriginal(nn.Module):
     lrelu_upsampling: int = 2
     half_width_mult: float = 0.8
     radial: bool = False
+    latent_lift_proj_dim: int = 64  # lift/projection intermediate width
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -143,9 +171,10 @@ class CNO2dOriginal(nn.Module):
         enc_sizes = [self.size // 2 ** i for i in range(nl + 1)]
         dec_sizes = [self.size // 2 ** (nl - i) for i in range(nl + 1)]
 
+        pkw = {k: v for k, v in fkw.items() if k != "use_bn"}
         x = jnp.moveaxis(x, 1, -1)
-        x = _Block(enc_feats[0], self.size, self.size, **fkw)(
-            x, deterministic)
+        x = _LiftProject(enc_feats[0], self.latent_lift_proj_dim,
+                         self.size, **pkw)(x)
 
         skips = []
         for i in range(nl):
@@ -175,6 +204,6 @@ class CNO2dOriginal(nn.Module):
                 x, deterministic)
 
         x = jnp.concatenate([x, ed_expand(skips[0], 0)], axis=-1)
-        x = _Block(self.out_dim, self.size, self.size, **fkw)(
-            x, deterministic)
+        x = _LiftProject(self.out_dim, self.latent_lift_proj_dim,
+                         self.size, **pkw)(x)
         return jnp.moveaxis(x, -1, 1)

@@ -167,14 +167,15 @@ def main():
     # ---- cauchy (complex arrays built in NUMPY: eager complex arithmetic
     # on device arrays is UNIMPLEMENTED on this backend; complex values
     # enter only as jit arguments)
+    # (kept as NUMPY: even the eager complex host->device transfer is
+    # UNIMPLEMENTED on this backend; jit argument transfers work)
     h, n, L = 16, 64, 512
-    lam = jnp.asarray(
-        (-(0.1 + rng.uniform(0, 1, (h, n)))
-         + 1j * rng.standard_normal((h, n))).astype(np.complex64))
-    v = jnp.asarray(rng.standard_normal((4, h, n))
-                    + 1j * rng.standard_normal((4, h, n)), jnp.complex64)
-    g = jnp.asarray(rng.standard_normal((h, L))
-                    + 1j * rng.standard_normal((h, L)), jnp.complex64)
+    lam = (-(0.1 + rng.uniform(0, 1, (h, n)))
+           + 1j * rng.standard_normal((h, n))).astype(np.complex64)
+    v = (rng.standard_normal((4, h, n))
+         + 1j * rng.standard_normal((4, h, n))).astype(np.complex64)
+    g = (rng.standard_normal((h, L))
+         + 1j * rng.standard_normal((h, L))).astype(np.complex64)
     got = jax.jit(lambda v, g, lam: cauchy_pallas(
         v, g, lam, interpret=interp))(v, g, lam)
     want = jax.jit(jax.vmap(jax.vmap(ssm_ops.cauchy, (0, 0, 0)),
@@ -183,12 +184,12 @@ def main():
 
     # ---- dplr kernel
     Lam0, P0, B0, _ = ssm_ops.make_dplr_hippo(n)
-    Lam = jnp.asarray(np.broadcast_to(Lam0, (h, n)), jnp.complex64)
-    P = jnp.asarray(np.broadcast_to(P0, (h, n)), jnp.complex64)
-    B = jnp.asarray(np.broadcast_to(B0, (h, n)), jnp.complex64)
-    C_t = jnp.asarray(rng.standard_normal((h, n))
-                      + 1j * rng.standard_normal((h, n)), jnp.complex64)
-    log_dt = jnp.asarray(np.log(rng.uniform(1e-3, 1e-1, h)), jnp.float32)
+    Lam = np.broadcast_to(np.asarray(Lam0), (h, n)).astype(np.complex64)
+    P = np.broadcast_to(np.asarray(P0), (h, n)).astype(np.complex64)
+    B = np.broadcast_to(np.asarray(B0), (h, n)).astype(np.complex64)
+    C_t = (rng.standard_normal((h, n))
+           + 1j * rng.standard_normal((h, n))).astype(np.complex64)
+    log_dt = np.log(rng.uniform(1e-3, 1e-1, h)).astype(np.float32)
     got = jax.jit(lambda *a: dplr_kernel_pallas(
         *a, L, interpret=interp))(Lam, P, B, C_t, log_dt)
     want = jax.jit(jax.vmap(
@@ -198,10 +199,10 @@ def main():
 
     # ---- vandermonde (S4D)
     la, ai = ssm_ops.s4d_lin_init(h, n)
-    A = jnp.asarray((-np.exp(np.asarray(la))
-                     + 1j * np.asarray(ai)).astype(np.complex64))
-    C = jnp.asarray(rng.standard_normal((h, n))
-                    + 1j * rng.standard_normal((h, n)), jnp.complex64)
+    A = (-np.exp(np.asarray(la))
+         + 1j * np.asarray(ai)).astype(np.complex64)
+    C = (rng.standard_normal((h, n))
+         + 1j * rng.standard_normal((h, n))).astype(np.complex64)
     got = jax.jit(lambda C, A, d: ssm_ops_pallas_vandermonde(
         C, A, d, L, interp))(C, A, log_dt)
     want = jax.jit(lambda C, A, d: ssm_ops.s4d_kernel_zoh(
