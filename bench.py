@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -139,18 +140,28 @@ def _bench():
     # Step decomposition (VERDICT r3 weak #1): time the two compute stacks
     # as isolated fwd+bwd programs at the model's shapes so a regression is
     # diagnosable from the JSON line alone. Compiles come from the
-    # persistent cache after the first run.
-    ff_ms, spectral_ms = _stack_times(BATCH, RES, WIDTH, LAYERS, MODES,
-                                      FACTOR)
+    # persistent cache after the first run. Best-effort: the headline
+    # throughput is already measured, so a failure here (the exact kind of
+    # kernel regression the bench should report) must not lose the primary
+    # metric — it degrades to null decomposition fields.
+    try:
+        ff_ms, spectral_ms = _stack_times(BATCH, RES, WIDTH, LAYERS, MODES,
+                                          FACTOR)
+    except Exception as e:  # noqa: BLE001
+        print(f"stack decomposition failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        ff_ms = spectral_ms = float("nan")
     out = {
         "metric": "ffno2d_ns256_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(step_ms, 2),
-        "ff_ms": round(ff_ms, 2),
-        "spectral_ms": round(spectral_ms, 2),
-        "other_ms": round(step_ms - ff_ms - spectral_ms, 2),
+        "ff_ms": round(ff_ms, 2) if ff_ms == ff_ms else None,
+        "spectral_ms": round(spectral_ms, 2) if spectral_ms == spectral_ms
+        else None,
+        "other_ms": round(step_ms - ff_ms - spectral_ms, 2)
+        if ff_ms == ff_ms and spectral_ms == spectral_ms else None,
     }
     print(json.dumps(out))
 

@@ -284,36 +284,49 @@ def save_run_checkpoint(cfg: Config, state, history, schedule=None,
 
     path = run_checkpoint_path(cfg)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    save_checkpoint(path, state, history={
+    hist = history if isinstance(history, dict) else {
         "train_loss": history.train_loss,
         "val_loss": history.val_loss,
         "lr": history.lr,
-    }, extra=_scheduler_extra(schedule), block=block)
+    }
+    save_checkpoint(path, state, history=hist,
+                    extra=_scheduler_extra(schedule), block=block)
     return path
 
 
-def periodic_checkpointer(cfg: Config, schedule):
+def periodic_checkpointer(cfg: Config, schedule, prior_hist=None):
     """Epoch callback for Trainer.fit: every training.checkpoint_every
     epochs, save the full resumable state (step + opt_state + dropout key
     + history + scheduler counters) ASYNC to the run checkpoint path, so
     a killed run resumes exactly with training.resume_from (mid-training
     resume — a capability the reference lacks, SURVEY §5.4). None when
-    checkpoint_every is unset."""
+    checkpoint_every is unset.
+
+    prior_hist: a resumed run's restored history. Trainer.fit's History
+    holds only the tail epochs, so periodic snapshots must stitch the
+    prior epochs in front — otherwise a SECOND resume would undercount
+    epochs_done and replay completed epochs at the wrong LR offset."""
     every = int(cfg.training.get("checkpoint_every", 0) or 0)
     if every <= 0:
         return None
+    prior = {k: [float(v) for v in (prior_hist or {}).get(k, [])]
+             for k in ("train_loss", "val_loss", "lr")}
 
     def callback(epoch, state, history):
         if (epoch + 1) % every == 0:
-            save_run_checkpoint(cfg, state, history, schedule, block=False)
+            stitched = {k: prior[k] + [float(v) for v in getattr(history, k)]
+                        for k in prior}
+            save_run_checkpoint(cfg, state, stitched, schedule, block=False)
 
     return callback
 
 
-def maybe_resume(cfg: Config, state, schedule):
+def maybe_resume(cfg: Config, state, schedule, train_loader=None):
     """training.resume_from=<ckpt dir>: restore params/opt/step/dropout
-    key, prior history, and scheduler state, and offset stateless epoch
-    schedules so the LR curve continues where the killed run stopped.
+    key, prior history, and scheduler state, offset stateless epoch
+    schedules so the LR curve continues where the killed run stopped, and
+    fast-forward the train loader's shuffle phase (set_epoch) so resumed
+    epochs see the batch order the uninterrupted run would have used.
 
     Returns (state, prior_history_dict_or_None, epochs_done, schedule)."""
     ckpt = cfg.training.get("resume_from")
@@ -328,9 +341,15 @@ def maybe_resume(cfg: Config, state, schedule):
     if isinstance(schedule, ReduceLROnPlateau):
         if extra and "scheduler" in extra:
             schedule.load_state_dict(dict(extra["scheduler"]))
+        elif done:
+            print("WARNING: checkpoint carries no scheduler state; "
+                  "ReduceLROnPlateau restarts from base_lr")
     elif schedule is not None and done:
         base = schedule
         schedule = lambda e, _b=base: _b(e + done)  # noqa: E731
+    if done and train_loader is not None and hasattr(train_loader,
+                                                     "set_epoch"):
+        train_loader.set_epoch(done)
     print(f"Resumed from {ckpt}: {done} epochs done, "
           f"step {int(state.step)}")
     return state, history, done, schedule

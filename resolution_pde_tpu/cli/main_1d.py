@@ -72,7 +72,7 @@ def main(argv=None, spatial_ndim: int = 1):
     # training.resume_from: continue a killed run exactly (step counter,
     # optimizer state, dropout-key phase, scheduler counters, LR curve)
     state, prior_hist, epochs_done, schedule = common.maybe_resume(
-        cfg, state, schedule)
+        cfg, state, schedule, train_loader=train_loader)
     import time as _t
 
     t_fit = _t.perf_counter()
@@ -85,7 +85,8 @@ def main(argv=None, spatial_ndim: int = 1):
         log_fn=logger.log,
         # training.checkpoint_every=N: async resumable snapshot every N
         # epochs to the run checkpoint path
-        epoch_callback=common.periodic_checkpointer(cfg, schedule),
+        epoch_callback=common.periodic_checkpointer(cfg, schedule,
+                                                    prior_hist=prior_hist),
     )
     if prior_hist:
         # stitch the restored epochs in front so the saved history (and

@@ -241,8 +241,70 @@ def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
     return header, table
 
 
+def merge_tables(argv):
+    """`sweep merge out=<dir> <dir1> <dir2> ...` — fold sweep tables into
+    one canonical table WITHOUT retraining: later dirs override earlier
+    ones per leg name (the `only=` refresh workflow: re-run one fixed leg,
+    then merge it over the family's original table). Per-row provenance
+    (platform/epochs/dataset/git_sha/rehearsal) is carried verbatim, so a
+    merged table shows exactly which code produced each row."""
+    out_dir = None
+    srcs = []
+    for a in argv:
+        if a.startswith("out="):
+            out_dir = a.split("=", 1)[1]
+        else:
+            srcs.append(a)
+    if out_dir is None or len(srcs) < 2:
+        raise SystemExit(
+            "usage: sweep merge out=<dir> <dir1> <dir2> ... "
+            "(later dirs override earlier per leg name)")
+
+    rows = {}  # leg name -> dict row, first-seen order (dict preserves it)
+    for src in srcs:
+        path = os.path.join(src, "sweep.csv")
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                # REPLACE the whole row (keeping its first-seen position),
+                # never field-merge: a metric the refreshed run did not
+                # measure must come out empty, not survive from the old run
+                # under the new row's git_sha
+                rows[r["run"]] = dict(r)
+
+    def _res_cols(prefix):
+        res = {int(k.split("@", 1)[1]) for r in rows.values() for k in r
+               if k.startswith(prefix) and r[k]}
+        return [f"{prefix}{n}" for n in sorted(res)]
+
+    header = (["run", "test_rel_l2"] + _res_cols("superres@")
+              + _res_cols("rollout@")
+              + ["params_m", "train_s", "platform", "epochs", "dataset",
+                 "checkpoint", "error", "git_sha", "rehearsal"])
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        for r in rows.values():
+            w.writerow([r.get(c) or "" for c in header])
+    with open(os.path.join(out_dir, "sweep.md"), "w") as f:
+        f.write("# Sweep: merged\n\n")
+        f.write("merged from: " + " ".join(srcs)
+                + " (later override earlier per leg)\n\n")
+        md_header = [c for c in header if c != "checkpoint"]
+        f.write("| " + " | ".join(md_header) + " |\n")
+        f.write("|" + "---|" * len(md_header) + "\n")
+        for r in rows.values():
+            f.write("| " + " | ".join(r.get(c) or "" for c in md_header)
+                    + " |\n")
+    print(f"merged {len(srcs)} tables ({len(rows)} legs) -> "
+          f"{out_dir}/sweep.csv")
+    return rows
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
+    if argv and argv[0] == "merge":
+        return merge_tables(argv[1:])
     family = "baseline"
     isolate = False
     rehearsal = False

@@ -42,30 +42,55 @@ def grid_to_point_cloud(u: np.ndarray):
     return feats, pos
 
 
+def _d2_block(pos: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Squared distances from rows [i0:i1) to ALL nodes, (i1-i0, n) —
+    x²+y²−2xy so only an (block, n) tensor materializes, never (n, n, d).
+    Self-distances are set to inf."""
+    sq = (pos ** 2).sum(-1)
+    blk = pos[i0:i1]
+    d2 = sq[i0:i1, None] + sq[None, :] - 2.0 * (blk @ pos.T)
+    np.maximum(d2, 0.0, out=d2)  # guard fp cancellation going negative
+    d2[np.arange(i1 - i0), np.arange(i0, i1)] = np.inf
+    return d2
+
+
+# rows per distance block: block * n float64 stays ~0.5 GB even at
+# n = 256*256 grid point clouds (the sizes build_graph_dataset produces)
+_EDGE_BLOCK = 1024
+
+
 def knn_edges(pos: np.ndarray, k: int) -> np.ndarray:
     """(2, n*k) int32 [src; dst] edge list connecting each node to its k
     nearest neighbours (self excluded), plain numpy — the dgl-free
     counterpart of the k-NN graph construction GNOT-style loaders use
-    (dgl_data.py's DGLDataset surface without the dgl/sklearn stack)."""
+    (dgl_data.py's DGLDataset surface without the dgl/sklearn stack).
+    Blocked over rows: memory is O(block * n), never O(n^2 * d)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    pos = np.asarray(pos, np.float64)
     n = pos.shape[0]
     if k >= n:
         raise ValueError(f"k={k} must be < n_nodes={n}")
-    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
-    np.fill_diagonal(d2, np.inf)
-    nbr = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    nbrs = []
+    for i0 in range(0, n, _EDGE_BLOCK):
+        d2 = _d2_block(pos, i0, min(i0 + _EDGE_BLOCK, n))
+        nbrs.append(np.argpartition(d2, k - 1, axis=1)[:, :k])
     src = np.repeat(np.arange(n, dtype=np.int32), k)
-    return np.stack([src, nbr.astype(np.int32).ravel()])
+    return np.stack([src, np.concatenate(nbrs).astype(np.int32).ravel()])
 
 
 def radius_edges(pos: np.ndarray, radius: float) -> np.ndarray:
     """(2, n_edges) int32 [src; dst] edge list connecting node pairs within
-    `radius` (self excluded), plain numpy."""
-    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
-    np.fill_diagonal(d2, np.inf)
-    src, dst = np.nonzero(d2 <= radius * radius)
-    return np.stack([src.astype(np.int32), dst.astype(np.int32)])
+    `radius` (self excluded), plain numpy, blocked like knn_edges."""
+    pos = np.asarray(pos, np.float64)
+    n = pos.shape[0]
+    srcs, dsts = [], []
+    for i0 in range(0, n, _EDGE_BLOCK):
+        d2 = _d2_block(pos, i0, min(i0 + _EDGE_BLOCK, n))
+        s, d = np.nonzero(d2 <= radius * radius)
+        srcs.append((s + i0).astype(np.int32))
+        dsts.append(d.astype(np.int32))
+    return np.stack([np.concatenate(srcs), np.concatenate(dsts)])
 
 
 class GraphDataset:
@@ -100,9 +125,17 @@ class GraphDataset:
             if self.y_normalizer is None:
                 from resolution_pde_tpu.utils.gnot import (
                     PointWiseUnitTransformer)
-                self.y_normalizer = PointWiseUnitTransformer.fit(self.y)
-            self.y = np.asarray(self.y_normalizer.encode(self.y),
-                                np.float32)
+                # host-side data prep stays numpy: eager jnp arithmetic is
+                # UNIMPLEMENTED in a TPU-attached process (CLAUDE.md), so
+                # fit the stats here and hand them to the transformer
+                mean = self.y.mean(axis=0)
+                std = self.y.std(axis=0)
+                self.y_normalizer = PointWiseUnitTransformer(mean, std)
+                self.y = ((self.y - mean)
+                          / (std + self.y_normalizer.eps)).astype(np.float32)
+            else:
+                self.y = np.asarray(self.y_normalizer.encode(self.y),
+                                    np.float32)
         self.edges = None
         if edges is not None:
             kind, arg = edges

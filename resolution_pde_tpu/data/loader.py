@@ -20,7 +20,12 @@ from resolution_pde_tpu.data import native
 
 class Loader:
     """Shuffling mini-batch iterator over an ArrayDataset. Re-iterable;
-    each __iter__ re-draws the permutation (like torch DataLoader)."""
+    each __iter__ re-draws the permutation (like torch DataLoader).
+
+    The permutation is a pure function of (seed, epoch counter), not of a
+    mutating RNG stream, so a resumed run can fast-forward the shuffle
+    phase with set_epoch(epochs_done) and see exactly the batch order the
+    uninterrupted run would have used (torch DistributedSampler-style)."""
 
     def __init__(self, dataset: ArrayDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0, drop_last: bool = False):
@@ -28,7 +33,13 @@ class Loader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Align the next __iter__'s permutation with epoch `epoch` of an
+        uninterrupted run (mid-training resume, cli/common.maybe_resume)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -42,7 +53,9 @@ class Loader:
 
     def __iter__(self) -> Iterator:
         n = len(self.dataset)
-        idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
         stop = n - n % self.batch_size if self.drop_last else n
         x, y = self.dataset.x, self.dataset.y
         if (self.use_pipeline and native._load()
@@ -67,7 +80,12 @@ class ResolutionBucketedLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """See Loader.set_epoch: resume-exact shuffle phase."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         total = 0
@@ -78,15 +96,17 @@ class ResolutionBucketedLoader:
         return total
 
     def __iter__(self) -> Iterator:
+        rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
         plans = []  # (resolution, sample-index-array) per batch
         for res, d in self.dataset.buckets.items():
             n = len(d)
-            idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            idx = rng.permutation(n) if self.shuffle else np.arange(n)
             stop = n - n % self.batch_size if self.drop_last else n
             for i in range(0, stop, self.batch_size):
                 plans.append((res, idx[i: i + self.batch_size]))
         if self.shuffle:
-            order = self._rng.permutation(len(plans))
+            order = rng.permutation(len(plans))
         else:
             order = np.arange(len(plans))
         for j in order:

@@ -59,6 +59,11 @@ class ResizingLoader:
     def __len__(self):
         return len(self.loader)
 
+    def set_epoch(self, epoch: int):
+        """Delegate resume shuffle-phase alignment to the wrapped loader."""
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
 
 def cno_train(trainer, state, train_loader, val_loader, train_size: int,
               spatial_ndim: int = 1, **fit_kwargs):

@@ -464,6 +464,76 @@ def test_sweep_rehearsal_flag_stamps_tables(tmp_path, monkeypatch):
         assert "rehearsal=true" in f.read()
 
 
+def test_sweep_merge_tables(tmp_path, monkeypatch):
+    """`sweep merge` folds a refreshed leg's table over the family's
+    original one WITHOUT retraining — later dirs override earlier per leg
+    name, per-row provenance (git_sha/platform/rehearsal) rides verbatim,
+    and the column set is the union of both tables' resolutions. This is
+    the durable-artifact path for the only=<leg> fix-and-refresh workflow
+    (VERDICT r3 missing #2)."""
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli import sweep
+
+    def _write(d, rows, cols):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "sweep.csv"), "w", newline="") as f:
+            import csv as _csv
+            w = _csv.writer(f)
+            w.writerow(cols)
+            w.writerows(rows)
+
+    cols = ["run", "test_rel_l2", "superres@32", "superres@64", "rollout@32",
+            "params_m", "train_s", "platform", "epochs", "dataset",
+            "checkpoint", "error", "git_sha", "rehearsal"]
+    _write("old", [
+        ["leg_a", "0.10", "0.11", "0.12", "0.50", "1.0", "30", "tpu", "20",
+         "d.h5", "", "", "aaaa111", "false"],
+        ["leg_b", "0.69", "0.69", "0.69", "0.76", "2.0", "60", "tpu", "20",
+         "d.h5", "", "", "aaaa111", "false"],
+    ], cols)
+    # the refreshed leg ran after a fix, at one extra superres resolution
+    # and WITHOUT the rollout eval (column order: run, test_rel_l2,
+    # superres@32, superres@128, superres@64, params_m, ...)
+    new_cols = ["run", "test_rel_l2", "superres@32", "superres@128",
+                "superres@64"] + cols[5:]
+    _write("new", [
+        ["leg_b", "0.13", "0.14", "0.15", "0.145", "2.0", "61", "tpu",
+         "20", "d.h5", "", "", "bbbb222", "false"],
+    ], new_cols)
+
+    out = sweep.main(["merge", "out=merged", "old", "new"])
+    assert list(out) == ["leg_a", "leg_b"]  # first-seen order kept
+
+    with open("merged/sweep.csv") as f:
+        lines = f.read().strip().split("\n")
+    header = lines[0].split(",")
+    # union of resolution columns, numerically ordered
+    assert [c for c in header if c.startswith("superres@")] == [
+        "superres@32", "superres@64", "superres@128"]
+    row_a = dict(zip(header, lines[1].split(",")))
+    row_b = dict(zip(header, lines[2].split(",")))
+    assert row_a["git_sha"] == "aaaa111" and row_a["test_rel_l2"] == "0.10"
+    assert row_a["superres@128"] == ""  # old table never measured it
+    # the refreshed row overrode the defect row, with ITS provenance
+    assert row_b["git_sha"] == "bbbb222" and row_b["test_rel_l2"] == "0.13"
+    assert row_b["superres@128"] == "0.15"
+    # whole-row replacement: a metric the refreshed run did NOT measure
+    # comes out empty — never the old run's value under the new git_sha
+    assert row_b["rollout@32"] == ""
+    assert row_a["rollout@32"] == "0.50"
+
+    with open("merged/sweep.md") as f:
+        md = f.read()
+    assert "merged from: old new" in md
+    assert "checkpoint" not in md.split("\n")[4]  # md drops only ckpt path
+    assert "bbbb222" in md  # per-row sha visible in the md table too
+
+    # bad usage fails loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        sweep.main(["merge", "out=x", "onlyone"])
+
+
 def test_sweep_isolated_legs(tmp_path, monkeypatch):
     """isolate=true runs each leg in a fresh interpreter (JAX caches a
     failed backend init for the process lifetime, so one transient device
@@ -728,3 +798,51 @@ def test_main_1d_cli_resume(tmp_path, monkeypatch):
     out_c = main(common_args + ["training.epochs=5",
                                 f"training.resume_from={ckpt}"])
     assert len(out_c["history"].train_loss) == 5
+
+
+def test_periodic_snapshots_stitch_prior_history(tmp_path, monkeypatch):
+    """Periodic snapshots taken DURING a resumed run must carry the full
+    stitched history, not just the fit-local tail: Trainer.fit's History
+    starts empty on resume, so without stitching a SECOND resume would
+    undercount epochs_done, replay completed epochs, and offset the LR
+    schedule wrongly."""
+    monkeypatch.chdir(tmp_path)
+    import jax as _jax
+    import numpy as _np
+
+    from resolution_pde_tpu.cli import common as cli_common
+    from resolution_pde_tpu.configs import parse_cli
+    from resolution_pde_tpu.models import FNO1d
+    from resolution_pde_tpu.train.checkpoint import restore_checkpoint
+    from resolution_pde_tpu.train.trainer import Trainer
+
+    cfg = parse_cli(["model=fno_1d", "dataset=ks_naive",
+                     "training.checkpoint_every=1"])
+
+    model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8,
+                  n_blocks=1)
+    trainer = Trainer(model, learning_rate=1e-3)
+    x = _np.zeros((4, 1, 32), _np.float32)
+    state = trainer.init(x[:2])
+    loader = [(x, _np.roll(x, 1, -1))]
+
+    # a resumed run: 2 prior epochs restored, 2 more trained with periodic
+    # snapshots; the callback must save 2 + k epochs of history at epoch k
+    prior = {"train_loss": [0.5, 0.4], "val_loss": [0.6, 0.5],
+             "lr": [1e-3, 1e-3]}
+    cb = cli_common.periodic_checkpointer(cfg, None, prior_hist=prior)
+    state, _hist = trainer.fit(state, loader, loader, epochs=2,
+                               epoch_callback=cb)
+
+    ckpt = cli_common.run_checkpoint_path(cfg)
+    template = trainer.init(x[:2])
+    _state, hist, _extra = restore_checkpoint(ckpt, template,
+                                              with_extra=True)
+    assert len(hist["train_loss"]) == 4  # 2 prior + 2 new, NOT 2
+    _np.testing.assert_allclose(hist["train_loss"][:2], prior["train_loss"])
+    # so a second resume counts every completed epoch
+    _, _, done, _ = cli_common.maybe_resume(
+        parse_cli(["model=fno_1d", "dataset=ks_naive",
+                   f"training.resume_from={ckpt}"]), _state, None)
+    assert done == 4
+    del _jax

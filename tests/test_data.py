@@ -413,6 +413,22 @@ def test_graph_edges_and_gnot_consumption(rng):
     with pytest.raises(ValueError):
         knn_edges(ds.x[0, :, 1:], 36)
 
+    # blocked distance computation (memory O(block*n), grid point clouds
+    # can be 256^2 nodes): crossing the block boundary must agree with the
+    # single-block result
+    from resolution_pde_tpu.data import graph as graph_mod
+
+    pos_many = rng.standard_normal((70, 2)).astype(np.float32)
+    whole_k = knn_edges(pos_many, 3)
+    whole_r = radius_edges(pos_many, 0.4)
+    old_block = graph_mod._EDGE_BLOCK
+    try:
+        graph_mod._EDGE_BLOCK = 32  # force 3 blocks
+        np.testing.assert_array_equal(knn_edges(pos_many, 3), whole_k)
+        np.testing.assert_array_equal(radius_edges(pos_many, 0.4), whole_r)
+    finally:
+        graph_mod._EDGE_BLOCK = old_block
+
     # the GNOT operator consumes GraphDataset rows directly
     import jax
     from resolution_pde_tpu.models import get_model

@@ -409,6 +409,57 @@ def test_midepoch_resume_equals_uninterrupted(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_resume_shuffle_phase_matches_uninterrupted(tmp_path, rng):
+    """A resumed run must see the SAME batch order the uninterrupted run
+    would have used each epoch: Loader permutations are a pure function of
+    (seed, epoch counter), and resume fast-forwards the phase with
+    set_epoch(epochs_done) (cli/common.maybe_resume). Without alignment
+    the resumed tail replays epoch-0 permutations and the trajectories
+    diverge — the 'continues a killed run exactly' guarantee would be
+    false for any shuffling loader."""
+    from resolution_pde_tpu.data.dataset import ArrayDataset
+    from resolution_pde_tpu.data.loader import Loader
+    from resolution_pde_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    x, y = _toy_data(rng, n=64)
+
+    def make():
+        model = FNO1d(in_channels=1, out_channels=1, modes=4, width=8,
+                      n_blocks=1)
+        return Trainer(model, learning_rate=2e-3)
+
+    def make_loader():
+        return Loader(ArrayDataset(x, y), 16, shuffle=True, seed=3)
+
+    trainer_a = make()
+    state_a = trainer_a.init(x[:2])
+    state_a, hist_a = trainer_a.fit(state_a, make_loader(), epochs=6)
+
+    trainer_b = make()
+    state_b = trainer_b.init(x[:2])
+    state_b, hist_b1 = trainer_b.fit(state_b, make_loader(), epochs=3)
+    save_checkpoint(str(tmp_path / "ep3"), state_b)
+    del state_b, trainer_b
+
+    # "fresh process": new trainer, new loader starting at phase 0 —
+    # fast-forwarded to the kill point like maybe_resume does
+    trainer_c = make()
+    template = trainer_c.init(x[:2])
+    state_c, _ = restore_checkpoint(str(tmp_path / "ep3"), template)
+    loader_c = make_loader()
+    loader_c.set_epoch(3)
+    state_c, hist_b2 = trainer_c.fit(state_c, loader_c, epochs=3)
+
+    np.testing.assert_allclose(hist_b1.train_loss + hist_b2.train_loss,
+                               hist_a.train_loss, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_fit_resume_with_plateau_scheduler(tmp_path, rng):
     """Epoch-level resume through Trainer.fit with a STATEFUL scheduler:
     ReduceLROnPlateau counters ride the checkpoint's `extra` payload
