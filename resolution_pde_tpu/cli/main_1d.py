@@ -239,8 +239,23 @@ def main(argv=None, spatial_ndim: int = 1):
             "dataset": str(dp.get("filename")
                            or dp.get("filename_pattern")
                            or dp.get("saved_folder") or ""),
+            # stamped at LEG RUN time, not table-write time: code can
+            # change between legs of a long family sweep
+            "git_sha": _leg_git_sha(),
         },
     }
+
+
+def _leg_git_sha() -> str:
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        r = subprocess.run(["git", "-C", repo, "rev-parse", "--short",
+                            "HEAD"], capture_output=True, timeout=10)
+        return r.stdout.decode().strip() if r.returncode == 0 else ""
+    except Exception:
+        return ""
 
 
 if __name__ == "__main__":

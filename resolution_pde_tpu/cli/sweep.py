@@ -223,10 +223,15 @@ def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
                    str(out.get("checkpoint") or ""), ""])
 
     table = [cells(*row) for row in rows]
+    # per-row sha when the leg self-stamped one (legs run code as-of THEIR
+    # start; a long family sweep can span commits), table-level otherwise
+    row_shas = [((out or {}).get("provenance") or {}).get("git_sha") or sha
+                for _, out, _ in rows]
     with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(header + ["git_sha", "rehearsal"])
-        w.writerows([row + [sha, str(rehearsal).lower()] for row in table])
+        w.writerows([row + [rsha, str(rehearsal).lower()]
+                     for row, rsha in zip(table, row_shas)])
     with open(os.path.join(out_dir, "sweep.md"), "w") as f:
         # drop only the checkpoint-path column; the error column stays so
         # a failed run is distinguishable from "metric not applicable"
