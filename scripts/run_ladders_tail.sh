@@ -1,9 +1,10 @@
 #!/bin/bash
 # Tail of the family reproduction (run after the baseline family): the
-# BASELINE #5 standalone eval drivers, then the four ladder families.
-# Ladders run at EPOCHS (default 20) — enough for the strategy ordering
-# the reference's ladders demonstrate, sized so all four families fit in
-# one session alongside the 50-epoch baseline family.
+# ns_models defect-fix refresh leg, then the ladder families ordered by
+# value/cost (data-present families first, generation-needing ones after),
+# then the BASELINE #5 standalone eval drivers. Ladders run at EPOCHS
+# (default 20) — enough for the strategy ordering the reference's ladders
+# demonstrate.
 set -e
 cd /root/repo
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
@@ -17,18 +18,30 @@ LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 STAMPS=/tmp/ladders_stamps_e$EPOCHS
 mkdir -p "$STAMPS"
 
-# BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
-# standalone eval drivers (reference autoregressive_eval.py +
-# frequency_evaluation.py).
-S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
-if [ -n "$S4CKPT" ] && [ ! -f "$STAMPS/s4_evals" ]; then
-    ok=1
-    flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
-    flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
-        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
-    if [ "$ok" = 1 ]; then touch "$STAMPS/s4_evals"; fi
+# Highest-value single leg first: re-run the CNO2dOriginal NS leg that the
+# committed ns_models table shows defective (rel-L2 0.692, pre-fix sha) —
+# validates the lift/projection fix on the chip; merged over the family
+# table afterward with `sweep merge`.
+if [ ! -f "$STAMPS/cno_original_refresh" ]; then
+    if python -m resolution_pde_tpu.cli.sweep family=ns_models \
+        only=cno2d_original_ns isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+        touch "$STAMPS/cno_original_refresh"
+    else
+        echo "cno_original refresh failed; leaving unstamped for retry"
+    fi
 fi
+
+# ks_models needs only the data/ks tree the baseline stage materialized.
+for fam in ks_models; do
+    [ -f "$STAMPS/fam_$fam" ] && continue
+    if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+        touch "$STAMPS/fam_$fam"
+    else
+        echo "family $fam had failed legs; leaving unstamped for retry"
+    fi
+done
 
 # Ladder data prerequisites (idempotent; solves on-device behind the lock).
 # Guards test the LAST artifact each generator writes, so an interrupted
@@ -47,18 +60,8 @@ mkdir -p data/pdebench
 if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
     cp data/pdebench_gen/1D_Burgers_Sols_Nu0.001.hdf5 data/pdebench/
 fi
-if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=active \
-        out=data/well/active_matter/train n=24 resolutions=[256] \
-        n_snapshots=49 seed=23
-fi
 
-if [ ! -f data/darcy/darcy_flow.h5 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=darcy \
-        out=data/darcy n=256 resolutions=[128] seed=31
-fi
-
-for fam in ks_ladder burger_ladder ks_models ns_active_ladder darcy ns_models; do
+for fam in ks_ladder burger_ladder; do
     [ -f "$STAMPS/fam_$fam" ] && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
@@ -67,4 +70,38 @@ for fam in ks_ladder burger_ladder ks_models ns_active_ladder darcy ns_models; d
         echo "family $fam had failed legs; leaving unstamped for retry"
     fi
 done
+
+if [ ! -f data/darcy/darcy_flow.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=darcy \
+        out=data/darcy n=256 resolutions=[128] seed=31
+fi
+if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=active \
+        out=data/well/active_matter/train n=24 resolutions=[256] \
+        n_snapshots=49 seed=23
+fi
+
+for fam in darcy ns_active_ladder ns_models; do
+    [ -f "$STAMPS/fam_$fam" ] && continue
+    if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+        touch "$STAMPS/fam_$fam"
+    else
+        echo "family $fam had failed legs; leaving unstamped for retry"
+    fi
+done
+
+# BASELINE #5 tail: re-load the S4 leg's checkpoint through the two
+# standalone eval drivers (reference autoregressive_eval.py +
+# frequency_evaluation.py). After the families: round 3 already proved
+# these drivers on-chip, so they are the cheapest thing to lose.
+S4CKPT=$(ls -d checkpoints/s4model/ks_* 2>/dev/null | head -1)
+if [ -n "$S4CKPT" ] && [ ! -f "$STAMPS/s4_evals" ]; then
+    ok=1
+    flock "$LOCK" python -m resolution_pde_tpu.cli.autoregressive_eval model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
+    flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation model=s4_1d \
+        dataset=ks_s4 "dataset.saved_checkpoint_path=$S4CKPT" || ok=0
+    if [ "$ok" = 1 ]; then touch "$STAMPS/s4_evals"; fi
+fi
 echo "ALL LADDER FAMILIES DONE"
