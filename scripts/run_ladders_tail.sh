@@ -32,8 +32,13 @@ if [ ! -f "$STAMPS/cno_original_refresh" ]; then
     fi
 fi
 
-# ks_models needs only the data/ks tree the baseline stage materialized.
-for fam in ks_models; do
+# ks_models needs only the data/ks tree the baseline stage materialized;
+# darcy's generator is ~2 min on-chip and the family is 2 short legs.
+if [ ! -f data/darcy/darcy_flow.h5 ]; then
+    python -m resolution_pde_tpu.cli.generate_data pde=darcy \
+        out=data/darcy n=256 resolutions=[128] seed=31
+fi
+for fam in ks_models darcy; do
     [ -f "$STAMPS/fam_$fam" ] && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
@@ -71,17 +76,13 @@ for fam in ks_ladder burger_ladder; do
     fi
 done
 
-if [ ! -f data/darcy/darcy_flow.h5 ]; then
-    python -m resolution_pde_tpu.cli.generate_data pde=darcy \
-        out=data/darcy n=256 resolutions=[128] seed=31
-fi
 if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=active \
         out=data/well/active_matter/train n=24 resolutions=[256] \
         n_snapshots=49 seed=23
 fi
 
-for fam in darcy ns_active_ladder ns_models; do
+for fam in ns_active_ladder ns_models; do
     [ -f "$STAMPS/fam_$fam" ] && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
