@@ -162,6 +162,9 @@ def _bench():
         else None,
         "other_ms": round(step_ms - ff_ms - spectral_ms, 2)
         if ff_ms == ff_ms and spectral_ms == spectral_ms else None,
+        # provenance: which code produced this number (same stamp the
+        # sweep tables carry per row)
+        "git_sha": _git_sha(),
     }
     print(json.dumps(out))
 
@@ -173,6 +176,17 @@ def _bench():
             f"BENCH REGRESSION: vs_baseline {vs_baseline:.3f} < 0.45 floor "
             f"(step {step_ms:.1f} ms: ff {ff_ms:.1f} + spectral "
             f"{spectral_ms:.1f} + other {step_ms - ff_ms - spectral_ms:.1f})")
+
+
+def _git_sha() -> str:
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(["git", "-C", repo, "rev-parse", "--short",
+                            "HEAD"], capture_output=True, timeout=10)
+        return r.stdout.decode().strip() if r.returncode == 0 else ""
+    except Exception:
+        return ""
 
 
 def _stack_times(batch: int, res: int, width: int, n_layers: int,
