@@ -377,6 +377,14 @@ def main(argv=None):
 
     header, table = _write_tables(out_dir, family, rows,
                                   rehearsal=rehearsal)
+    if only is None and not rehearsal and all(out is not None
+                                              for _, out, _ in rows):
+        # Durable all-legs-green marker: /tmp stamp files die with the VM,
+        # but this rides the committed run dir, so the shell launchers can
+        # skip an already-reproduced family across machine resets.
+        with open(os.path.join(out_dir, ".ok"), "w") as f:
+            f.write(f"family={family} legs={len(rows)} "
+                    f"sha={_git_sha()} extras={' '.join(extras)}\n")
     print(f"\nsweep results -> {out_dir}/sweep.csv")
     cols = list(range(len(header) - 2)) + [len(header) - 1]  # skip ckpt path
     widths = [max(len(header[i]), max((len(r[i]) for r in table), default=0))

@@ -62,10 +62,14 @@ fi
 
 # headline family first — ladder data generation can wait. sweep exits
 # nonzero when ANY leg failed (tables are still written); under set -e
-# that must not abort the whole pipeline before the ladders run.
-if ! python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
-    training.epochs=$EPOCHS training.t_max=$EPOCHS; then
-    echo "baseline family had failed legs; continuing to the ladder tail"
+# that must not abort the whole pipeline before the ladders run. A
+# committed all-legs-green `.ok` marker (written by cli/sweep.py into the
+# run dir) skips the family across machine resets.
+if ! ls runs/sweeps/baseline_*/.ok >/dev/null 2>&1; then
+    if ! python -m resolution_pde_tpu.cli.sweep family=baseline isolate=true \
+        training.epochs=$EPOCHS training.t_max=$EPOCHS; then
+        echo "baseline family had failed legs; continuing to the ladder tail"
+    fi
 fi
 
 # Everything after the baseline family (BASELINE #5 eval drivers, ladder

@@ -18,6 +18,14 @@ LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 STAMPS=/tmp/ladders_stamps_e$EPOCHS
 mkdir -p "$STAMPS"
 
+# /tmp stamps die with the VM; cli/sweep.py also writes a durable
+# all-legs-green `.ok` marker into the (committed) run dir, so a family
+# already reproduced on a previous machine is skipped here too.
+fam_done () {
+    [ -f "$STAMPS/fam_$1" ] && return 0
+    ls runs/sweeps/"$1"_*/.ok >/dev/null 2>&1
+}
+
 # Highest-value single leg first: re-run the CNO2dOriginal NS leg that the
 # committed ns_models table shows defective (rel-L2 0.692, pre-fix sha) —
 # validates the lift/projection fix on the chip; merged over the family
@@ -39,7 +47,7 @@ if [ ! -f data/darcy/darcy_flow.h5 ]; then
         out=data/darcy n=256 resolutions=[128] seed=31
 fi
 for fam in ks_models darcy; do
-    [ -f "$STAMPS/fam_$fam" ] && continue
+    fam_done "$fam" && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
         touch "$STAMPS/fam_$fam"
@@ -67,7 +75,7 @@ if [ ! -f data/pdebench/1D_Burgers_Sols_Nu0.001.hdf5 ]; then
 fi
 
 for fam in ks_ladder burger_ladder; do
-    [ -f "$STAMPS/fam_$fam" ] && continue
+    fam_done "$fam" && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
         touch "$STAMPS/fam_$fam"
@@ -83,7 +91,7 @@ if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
 fi
 
 for fam in ns_active_ladder ns_models; do
-    [ -f "$STAMPS/fam_$fam" ] && continue
+    fam_done "$fam" && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
         touch "$STAMPS/fam_$fam"

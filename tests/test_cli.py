@@ -414,6 +414,9 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
 
     sweeps = glob.glob(str(tmp_path / "runs" / "sweeps" / "tiny_*"))
     assert len(sweeps) == 1
+    # one leg failed -> no durable all-legs-green marker (the launchers'
+    # cross-VM fam_done check must retry this family)
+    assert not os.path.exists(os.path.join(sweeps[0], ".ok"))
     csv_path = os.path.join(sweeps[0], "sweep.csv")
     with open(csv_path) as f:
         lines = f.read().strip().split("\n")
@@ -462,6 +465,39 @@ def test_sweep_rehearsal_flag_stamps_tables(tmp_path, monkeypatch):
     assert lines[1].endswith(",true")
     with open(os.path.join(out_dir, "sweep.md")) as f:
         assert "rehearsal=true" in f.read()
+
+
+def test_sweep_ok_marker_on_full_green_family(tmp_path, monkeypatch):
+    """An all-legs-green full-family run writes a durable `.ok` marker into
+    the (committed) run dir so the shell launchers can skip the family
+    across machine resets — but a subset (only=) or rehearsal run must
+    NOT, since neither proves the whole family on the chip."""
+    import glob as _glob
+
+    _make_ks_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli import sweep
+
+    leg = ("fno_ks", "1d",
+           ["model=fno_1d", "dataset=ks_naive", "model.width=8",
+            "model.modes=8", "model.n_blocks=1",
+            f"dataset.dataset_params.saved_folder={tmp_path}",
+            "dataset.original_res=64", "dataset.max_test_resolution=64",
+            "dataset.rollout_steps=2", "training.epochs=1",
+            "training.batch_size=16"])
+    monkeypatch.setattr(sweep, "FAMILIES", {"tiny_ok": [leg]})
+
+    sweep.main(["family=tiny_ok", "only=fno_ks"])
+    subset_dirs = _glob.glob(str(tmp_path / "runs" / "sweeps" / "tiny_ok_*"))
+    assert all(not os.path.exists(os.path.join(d, ".ok"))
+               for d in subset_dirs)
+
+    sweep.main(["family=tiny_ok"])
+    ok_files = _glob.glob(
+        str(tmp_path / "runs" / "sweeps" / "tiny_ok_*" / ".ok"))
+    assert len(ok_files) == 1
+    content = open(ok_files[0]).read()
+    assert "family=tiny_ok" in content and "legs=1" in content
 
 
 def test_sweep_merge_tables(tmp_path, monkeypatch):
