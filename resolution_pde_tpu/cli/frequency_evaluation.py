@@ -24,6 +24,8 @@ from resolution_pde_tpu.utils.metrics import MetricsLogger
 
 
 def main(argv=None, spatial_ndim: int | None = None):
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+    enable_compile_cache()  # cold compiles can exceed 10 min on this backend
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
     norm_type = cfg.dataset.dataset_params.get("normalization_type", "simple")
 

@@ -22,6 +22,11 @@ from resolution_pde_tpu.utils.metrics import MetricsLogger
 
 
 def main(argv=None, spatial_ndim: int = 1):
+    # Persistent XLA compile cache: on this backend a cold FFNO2D compile
+    # can exceed 10 min; with the cache a retried/isolated sweep leg (each
+    # its own process) re-loads the program in seconds instead.
+    from resolution_pde_tpu.utils.jax_cache import enable_compile_cache
+    enable_compile_cache()
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
     norm_type = cfg.dataset.dataset_params.get("normalization_type", "simple")
 
