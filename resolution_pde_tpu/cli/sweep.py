@@ -223,27 +223,50 @@ def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
                    str(out.get("checkpoint") or ""), ""])
 
     table = [cells(*row) for row in rows]
+    # Family-level health stamp (VERDICT r4 weak #4): a killed/failed leg
+    # must be visible at a glance in the committed table, not only as an
+    # error cell buried in one row.
+    n_green = sum(1 for _, out, _ in rows if out is not None)
+    legs_green = f"{n_green}/{len(rows)}"
     # per-row sha when the leg self-stamped one (legs run code as-of THEIR
     # start; a long family sweep can span commits), table-level otherwise
     row_shas = [((out or {}).get("provenance") or {}).get("git_sha") or sha
                 for _, out, _ in rows]
     with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(header + ["git_sha", "rehearsal"])
-        w.writerows([row + [rsha, str(rehearsal).lower()]
+        w.writerow(header + ["git_sha", "rehearsal", "legs_green"])
+        w.writerows([row + [rsha, str(rehearsal).lower(), legs_green]
                      for row, rsha in zip(table, row_shas)])
     with open(os.path.join(out_dir, "sweep.md"), "w") as f:
         # drop only the checkpoint-path column; the error column stays so
         # a failed run is distinguishable from "metric not applicable"
         f.write(f"# Sweep: {family}\n\n")
         f.write(f"provenance: git={sha or 'unknown'} "
-                f"rehearsal={str(rehearsal).lower()}\n\n")
+                f"rehearsal={str(rehearsal).lower()} "
+                f"legs_green={legs_green}\n\n")
         md_header = header[:-2] + [header[-1]]
         f.write("| " + " | ".join(md_header) + " |\n")
         f.write("|" + "---|" * len(md_header) + "\n")
         for row in table:
             f.write("| " + " | ".join(row[:-2] + [row[-1]]) + " |\n")
     return header, table
+
+
+def _write_health_marker(out_dir: str, family: str, n_green: int,
+                         n_total: int, detail: str = ""):
+    """Drop a visible family-health marker into the run dir: a committed
+    table with a dead leg must be flaggable without opening the CSV
+    (VERDICT r4 weak #4 — the SIGTERM'd darcy FFNO leg was committed with
+    the error cell as its only trace). `.incomplete` lists the failure;
+    a later all-green re-run or merge in the same dir removes it."""
+    marker = os.path.join(out_dir, ".incomplete")
+    if n_green < n_total:
+        with open(marker, "w") as f:
+            f.write(f"family={family} legs_green={n_green}/{n_total}\n")
+            if detail:
+                f.write(detail + "\n")
+    elif os.path.exists(marker):
+        os.unlink(marker)
 
 
 def merge_tables(argv):
@@ -274,7 +297,14 @@ def merge_tables(argv):
                 # never field-merge: a metric the refreshed run did not
                 # measure must come out empty, not survive from the old run
                 # under the new row's git_sha
+                r.pop("legs_green", None)  # family-level; recomputed below
                 rows[r["run"]] = dict(r)
+    # Health of the MERGED table (a stale source row's legs_green would
+    # misreport the fold): green = the row has no error cell.
+    n_green = sum(1 for r in rows.values() if not r.get("error"))
+    legs_green = f"{n_green}/{len(rows)}"
+    for r in rows.values():
+        r["legs_green"] = legs_green
 
     def _res_cols(prefix):
         res = {int(k.split("@", 1)[1]) for r in rows.values() for k in r
@@ -284,15 +314,19 @@ def merge_tables(argv):
     header = (["run", "test_rel_l2"] + _res_cols("superres@")
               + _res_cols("rollout@")
               + ["params_m", "train_s", "platform", "epochs", "dataset",
-                 "checkpoint", "error", "git_sha", "rehearsal"])
+                 "checkpoint", "error", "git_sha", "rehearsal",
+                 "legs_green"])
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "sweep.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(header)
         for r in rows.values():
             w.writerow([r.get(c) or "" for c in header])
+    _write_health_marker(out_dir, "merged", n_green, len(rows),
+                         detail="merged from: " + " ".join(srcs))
     with open(os.path.join(out_dir, "sweep.md"), "w") as f:
         f.write("# Sweep: merged\n\n")
+        f.write(f"legs_green: {legs_green}\n\n")
         f.write("merged from: " + " ".join(srcs)
                 + " (later override earlier per leg)\n\n")
         md_header = [c for c in header if c != "checkpoint"]
@@ -377,6 +411,10 @@ def main(argv=None):
 
     header, table = _write_tables(out_dir, family, rows,
                                   rehearsal=rehearsal)
+    _write_health_marker(
+        out_dir, family, sum(1 for _, out, _ in rows if out is not None),
+        len(rows), detail="failed legs: " + " ".join(
+            n for n, out, _ in rows if out is None))
     if only is None and not rehearsal and all(out is not None
                                               for _, out, _ in rows):
         # Durable all-legs-green marker: /tmp stamp files die with the VM,

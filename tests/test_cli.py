@@ -427,7 +427,7 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
     # distinguishable from a chip result
     for col in ("platform", "epochs", "dataset", "git_sha", "rehearsal"):
         assert col in lines[0]
-    assert lines[1].rstrip().endswith(",false")  # not a rehearsal
+    assert ",false,2/3" in lines[1]  # not a rehearsal + family health
     assert ",cpu(" in lines[1] and ",2," in lines[1]  # platform + epochs
     # sweep.md keeps the error column so a failed run is distinguishable
     # from "metric not applicable" (it drops only the checkpoint path)
@@ -438,6 +438,14 @@ def test_sweep_family_end_to_end(tmp_path, monkeypatch):
     assert md[4].rstrip().endswith("| error |")
     broken_row = next(ln for ln in md if ln.startswith("| broken"))
     assert "Error" in broken_row  # the exception text made it to the table
+    # family health is visible at a glance (VERDICT r4 weak #4): the md
+    # header + every csv row carry legs_green, and a non-green family
+    # leaves a durable .incomplete marker naming the dead leg
+    assert "legs_green=2/3" in md[2]
+    assert lines[0].endswith("legs_green") and lines[1].endswith(",2/3")
+    with open(os.path.join(sweeps[0], ".incomplete")) as f:
+        marker = f.read()
+    assert "legs_green=2/3" in marker and "broken" in marker
 
     # every real family references only shipped configs
     for fam, runs in sweep.FAMILIES.items():
@@ -461,8 +469,8 @@ def test_sweep_rehearsal_flag_stamps_tables(tmp_path, monkeypatch):
     out_dir = _glob.glob(str(tmp_path / "runs" / "sweeps" / "tiny_r_*"))[0]
     with open(os.path.join(out_dir, "sweep.csv")) as f:
         lines = f.read().strip().split("\n")
-    assert lines[0].endswith("git_sha,rehearsal")
-    assert lines[1].endswith(",true")
+    assert lines[0].endswith("git_sha,rehearsal,legs_green")
+    assert lines[1].endswith(",true,0/1")
     with open(os.path.join(out_dir, "sweep.md")) as f:
         assert "rehearsal=true" in f.read()
 
@@ -498,6 +506,9 @@ def test_sweep_ok_marker_on_full_green_family(tmp_path, monkeypatch):
     assert len(ok_files) == 1
     content = open(ok_files[0]).read()
     assert "family=tiny_ok" in content and "legs=1" in content
+    # all-green family: no .incomplete marker anywhere
+    assert not _glob.glob(
+        str(tmp_path / "runs" / "sweeps" / "tiny_ok_*" / ".incomplete"))
 
 
 def test_sweep_merge_tables(tmp_path, monkeypatch):
@@ -557,6 +568,11 @@ def test_sweep_merge_tables(tmp_path, monkeypatch):
     # comes out empty — never the old run's value under the new git_sha
     assert row_b["rollout@32"] == ""
     assert row_a["rollout@32"] == "0.50"
+    # merged-table health is recomputed from the folded rows (both legs
+    # error-free here -> 2/2, no .incomplete marker)
+    assert row_a["legs_green"] == "2/2" and row_b["legs_green"] == "2/2"
+    assert "legs_green: 2/2" in open("merged/sweep.md").read()
+    assert not os.path.exists("merged/.incomplete")
 
     with open("merged/sweep.md") as f:
         md = f.read()
