@@ -163,6 +163,7 @@ def _register_factories():
         "ks_window_dataset",
         "load_burger_data_from_mat",
         "load_darcy_data_from_mat",
+        "load_darcy_data",
         "ks_pino_markov_dataset",
         "active_matter_all_markov_dataset",
         "ks_multires_markov_dataset",
@@ -207,6 +208,7 @@ def _register_factories():
             "load_burger_data_from_mat",
         "dataloaders.load_data.load_darcy_data_from_mat":
             "load_darcy_data_from_mat",
+        "dataloaders.load_data.load_darcy_data": "load_darcy_data",
         "dataloaders.ks_pino_resize_markov.ks_pino_markov_dataset":
             "ks_pino_markov_dataset",
         "dataloaders.active_matter_all_markov."

