@@ -90,7 +90,7 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
                  batch_size: int = 16,
                  per_step_losses: Optional[list] = None,
                  resize_to: Optional[int] = None,
-                 spatial_ndim: int = 1) -> float:
+                 spatial_ndim: int = 1, mesh=None) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2
     (autoregressive_step.py:190-197).
 
@@ -99,6 +99,9 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
     (active matter) — distinguished via `spatial_ndim`. per_step_losses:
     optional list, filled IN PLACE with the (steps,) per-step loss curve
     (the reference's rollout CSV content, autoregressive_step.py:415).
+    mesh: optional jax.sharding.Mesh — shard each trajectory batch over
+    the mesh's data axes; the lax.scan rollout and per-step losses then
+    run GSPMD-partitioned (straggler batches replicate, staying exact).
     """
     n, t = trajectories.shape[0], trajectories.shape[1]
     has_channel = trajectories.ndim == 3 + spatial_ndim
@@ -144,7 +147,14 @@ def rollout_loss(model, params, trajectories, rollout_steps: int,
 
     total, batches = None, 0
     for i in range(0, n, batch_size):
-        traj = jnp.asarray(trajectories[i:i + batch_size])
+        if mesh is not None:
+            from resolution_pde_tpu.parallel.mesh import shard_batch
+
+            (traj,), _ = shard_batch(
+                (trajectories[i:i + batch_size],), mesh,
+                straggler="replicate")
+        else:
+            traj = jnp.asarray(trajectories[i:i + batch_size])
         losses = batch_step_losses(params, traj)
         total = losses if total is None else total + losses
         batches += 1
@@ -170,6 +180,7 @@ def evaluate_rollout_all_resolutions(
     per_step_out: Optional[Dict[int, list]] = None,
     resize_to_train: bool = False,
     spatial_ndim: int = 1,
+    mesh=None,
 ) -> Dict[int, float]:
     """Rollout loss at every resolution. `rollout_builder(res)` returns raw
     trajectories (N, T, *spatial) at that resolution. window_size > 1
@@ -194,14 +205,14 @@ def evaluate_rollout_all_resolutions(
                 results[res] = window_rollout_loss(
                     model, params, u, rollout_steps, window_size,
                     x_normalizer, y_normalizer, batch_size,
-                    per_step_losses=per_step)
+                    per_step_losses=per_step, mesh=mesh)
             else:
                 results[res] = rollout_loss(
                     model, params, u, rollout_steps, x_normalizer,
                     y_normalizer, batch_size, per_step_losses=per_step,
                     resize_to=(current_res if resize_to_train
                                and res != current_res else None),
-                    spatial_ndim=spatial_ndim)
+                    spatial_ndim=spatial_ndim, mesh=mesh)
             if per_step_out is not None:
                 per_step_out[res] = per_step
         except Exception as e:
@@ -242,7 +253,8 @@ def perform_window_rollout(model, params, initial_window, rollout_steps: int,
 def window_rollout_loss(model, params, trajectories, rollout_steps: int,
                         window_size: int, x_normalizer=None,
                         y_normalizer=None, batch_size: int = 16,
-                        per_step_losses: Optional[list] = None) -> float:
+                        per_step_losses: Optional[list] = None,
+                        mesh=None) -> float:
     """Mean-over-steps of per-step batch-mean rel-L2 for window models:
     seed with the first `window_size` frames, score the decoded rollout
     against frames [W, W + steps)."""
@@ -279,7 +291,14 @@ def window_rollout_loss(model, params, trajectories, rollout_steps: int,
 
     total, batches = None, 0
     for i in range(0, n, batch_size):
-        traj = jnp.asarray(trajectories[i:i + batch_size])
+        if mesh is not None:
+            from resolution_pde_tpu.parallel.mesh import shard_batch
+
+            (traj,), _ = shard_batch(
+                (trajectories[i:i + batch_size],), mesh,
+                straggler="replicate")
+        else:
+            traj = jnp.asarray(trajectories[i:i + batch_size])
         losses = batch_step_losses(params, traj)
         total = losses if total is None else total + losses
         batches += 1
