@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -134,64 +135,71 @@ class FSpectralConv2d(nn.Module):
                 # of the spectral stack on TPU). f32-exact path unchanged.
                 xin = (x if self.compute_dtype is not None
                        else x.astype(jnp.float32))
-                if self.spectral_impl == "dft":
-                    x = factorized_spectral_conv_2d_dft(
-                        xin, wy, wx, self.n_modes,
-                        gemm_dtype=self.compute_dtype).astype(dt)
-                elif self.spectral_impl == "dft_v2":
-                    x = factorized_spectral_conv_2d_dft_v2(
-                        xin, wy, wx, self.n_modes,
-                        gemm_dtype=self.compute_dtype).astype(dt)
-                elif self.spectral_impl in ("dft_v3", "dft_v3s"):
-                    x = factorized_spectral_conv_2d_dft_v3(
-                        xin, wy, wx, self.n_modes,
-                        gemm_dtype=self.compute_dtype,
-                        store_dtype=(self.compute_dtype
-                                     if self.spectral_impl == "dft_v3s"
-                                     else None)).astype(dt)
-                elif self.spectral_impl == "dft_v4":
-                    x = factorized_spectral_conv_2d_dft_v4(
-                        xin, wy, wx, self.n_modes,
-                        gemm_dtype=self.compute_dtype).astype(dt)
-                elif self.spectral_impl == "pallas2":
-                    from resolution_pde_tpu.ops.pallas.spectral_mix2 import (
-                        factorized_spectral_conv_2d_pallas2)
-                    import jax as _jax
+                # the scope name rides into XLA op/fusion names (fwd AND
+                # the vjp's transposed ops), letting a profiler trace
+                # attribute device time to {specconv, ffstack} — the
+                # bench's in-program step decomposition (probe13_trace.py)
+                spec_scope = jax.named_scope("specconv")
+                with spec_scope:
+                    if self.spectral_impl == "dft":
+                        x = factorized_spectral_conv_2d_dft(
+                            xin, wy, wx, self.n_modes,
+                            gemm_dtype=self.compute_dtype).astype(dt)
+                    elif self.spectral_impl == "dft_v2":
+                        x = factorized_spectral_conv_2d_dft_v2(
+                            xin, wy, wx, self.n_modes,
+                            gemm_dtype=self.compute_dtype).astype(dt)
+                    elif self.spectral_impl in ("dft_v3", "dft_v3s"):
+                        x = factorized_spectral_conv_2d_dft_v3(
+                            xin, wy, wx, self.n_modes,
+                            gemm_dtype=self.compute_dtype,
+                            store_dtype=(self.compute_dtype
+                                         if self.spectral_impl == "dft_v3s"
+                                         else None)).astype(dt)
+                    elif self.spectral_impl == "dft_v4":
+                        x = factorized_spectral_conv_2d_dft_v4(
+                            xin, wy, wx, self.n_modes,
+                            gemm_dtype=self.compute_dtype).astype(dt)
+                    elif self.spectral_impl == "pallas2":
+                        from resolution_pde_tpu.ops.pallas.spectral_mix2 import (
+                            factorized_spectral_conv_2d_pallas2)
+                        import jax as _jax
 
-                    x = factorized_spectral_conv_2d_pallas2(
-                        xin, wy, wx, self.n_modes,
-                        compute_dtype=self.compute_dtype,
-                        interpret=_jax.default_backend() not in
-                        ("tpu", "axon")).astype(dt)
-                elif self.spectral_impl == "pallas":
-                    from resolution_pde_tpu.ops.spectral import (
-                        factorized_spectral_conv_2d_pallas)
-                    import jax as _jax
+                        x = factorized_spectral_conv_2d_pallas2(
+                            xin, wy, wx, self.n_modes,
+                            compute_dtype=self.compute_dtype,
+                            interpret=_jax.default_backend() not in
+                            ("tpu", "axon")).astype(dt)
+                    elif self.spectral_impl == "pallas":
+                        from resolution_pde_tpu.ops.spectral import (
+                            factorized_spectral_conv_2d_pallas)
+                        import jax as _jax
 
-                    x = factorized_spectral_conv_2d_pallas(
-                        x.astype(jnp.float32), wy, wx, self.n_modes,
-                        interpret=_jax.default_backend() not in
-                        ("tpu", "axon")).astype(dt)
-                elif self.spectral_impl == "fft":
-                    x = factorized_spectral_conv_2d(
-                        x.astype(jnp.float32), wy, wx,
-                        self.n_modes).astype(dt)
-                else:
-                    raise ValueError(
-                        f"unknown spectral_impl {self.spectral_impl!r}")
+                        x = factorized_spectral_conv_2d_pallas(
+                            x.astype(jnp.float32), wy, wx, self.n_modes,
+                            interpret=_jax.default_backend() not in
+                            ("tpu", "axon")).astype(dt)
+                    elif self.spectral_impl == "fft":
+                        x = factorized_spectral_conv_2d(
+                            x.astype(jnp.float32), wy, wx,
+                            self.n_modes).astype(dt)
+                    else:
+                        raise ValueError(
+                            f"unknown spectral_impl {self.spectral_impl!r}")
             else:
                 raise ValueError(f"unsupported 2D mode {self.mode!r}")
-        return FeedForward(
-            self.d_model,
-            self.factor,
-            self.n_ff_layers,
-            self.ff_weight_norm,
-            self.layer_norm,
-            self.dropout,
-            dtype=self.compute_dtype,
-            approx_gelu=self.approx_gelu,
-            ff_impl=self.ff_impl,
-        )(x, deterministic=deterministic, residual=residual)
+        with jax.named_scope("ffstack"):
+            return FeedForward(
+                self.d_model,
+                self.factor,
+                self.n_ff_layers,
+                self.ff_weight_norm,
+                self.layer_norm,
+                self.dropout,
+                dtype=self.compute_dtype,
+                approx_gelu=self.approx_gelu,
+                ff_impl=self.ff_impl,
+            )(x, deterministic=deterministic, residual=residual)
 
 
 class FFNO1D(nn.Module):

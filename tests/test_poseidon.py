@@ -318,3 +318,88 @@ def test_scot_encoder_import_from_synthesized_hf_checkpoint(tmp_path, rng):
     out = model.apply({"params": params}, x, 1.0)["output"]
     assert out.shape == (1, 1, img, img)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scot_encoder_full_poseidon_b_config_parity(tmp_path, rng):
+    """Poseidon-B gate kept warm at REAL dimensions (VERDICT r4 next #8):
+    synthesize a full-size HF SwinV2 checkpoint at the reference's pos
+    config (conf/model/pos/pos.yaml: embed 96, depths 8/8/8/8, heads
+    3/6/12/24, window 16, patch 4, image 128 — NOT a toy), import it
+    through the POSEIDON_CKPT machinery, and check ENCODER forward parity
+    against transformers.Swinv2Model end-to-end (32 blocks, 3 merges,
+    runtime window clamping at the 8x8 and 4x4 stages)."""
+    import flax.linen as nn
+    import torch
+    from transformers import Swinv2Config, Swinv2Model
+
+    from resolution_pde_tpu.models.poseidon import PatchMerging, Swinv2Block
+    from resolution_pde_tpu.utils.torch_import import (
+        import_scot_encoder, load_torch_state_dict)
+
+    depths, heads = (8, 8, 8, 8), (3, 6, 12, 24)
+    dim, ws, img, patch, eps = 96, 16, 128, 4, 1e-5
+    torch.manual_seed(0)
+    ref = Swinv2Model(Swinv2Config(
+        image_size=img, patch_size=patch, num_channels=3, embed_dim=dim,
+        depths=list(depths), num_heads=list(heads), window_size=ws,
+        drop_path_rate=0.0, use_absolute_embeddings=False))
+    ref.eval()
+    ckpt = str(tmp_path / "poseidon_b_fixture.pt")
+    torch.save({"model_state_dict": {
+        f"swinv2.{k}": v for k, v in ref.state_dict().items()}}, ckpt)
+
+    sd = load_torch_state_dict(ckpt)
+    imported = import_scot_encoder(sd, depths=depths, base="swinv2")
+
+    class _Enc(nn.Module):
+        """ScOT2d's encoder half, names matching import_scot_encoder."""
+
+        @nn.compact
+        def __call__(self, x):  # (B, H, W, C) channels-last image
+            x = nn.Conv(dim, (patch, patch), strides=(patch, patch),
+                        name="patch_embed")(x)
+            x = nn.LayerNorm(epsilon=eps, name="patch_norm")(x)
+            for level in range(len(depths)):
+                for j in range(depths[level]):
+                    x = Swinv2Block(
+                        x.shape[-1], heads[level], ws,
+                        shift=(ws // 2) if j % 2 else 0,
+                        layer_norm_eps=eps, use_conditioning=False,
+                        name=f"enc{level}_block{j}")(x, None)
+                if level < len(depths) - 1:
+                    x = PatchMerging(eps, name=f"merge{level}")(x)
+            return x
+
+    x = rng.standard_normal((1, 3, img, img)).astype(np.float32)
+    enc = _Enc()
+    xj = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    params = jax.jit(enc.init)(jax.random.key(0), xj)["params"]
+
+    def graft(dst, src, path):
+        if not isinstance(src, dict):
+            assert np.asarray(dst).shape == np.asarray(src).shape, (
+                f"{path}: init {np.asarray(dst).shape} vs imported "
+                f"{np.asarray(src).shape}")
+            return jnp.asarray(src)
+        out = dict(dst)
+        for k, v in src.items():
+            assert k in dst, f"imported key {path}/{k} not in model tree"
+            out[k] = graft(dst[k], v, f"{path}/{k}")
+        return out
+
+    params = graft(params, imported, "")
+    ours = np.asarray(jax.jit(enc.apply)({"params": params}, xj))
+    # bottleneck: (1, 4, 4, 768) tokens
+    assert ours.shape == (1, img // patch // 8, img // patch // 8, dim * 8)
+
+    # HF applies a final LayerNorm before last_hidden_state; apply the
+    # checkpoint's to ours and compare flattened token sequences
+    g = np.asarray(sd["swinv2.layernorm.weight"])
+    b = np.asarray(sd["swinv2.layernorm.bias"])
+    mu = ours.mean(-1, keepdims=True)
+    var = ours.var(-1, keepdims=True)
+    ours_ln = (ours - mu) / np.sqrt(var + eps) * g + b
+    with torch.no_grad():
+        hf = ref(torch.from_numpy(x)).last_hidden_state.numpy()
+    np.testing.assert_allclose(
+        ours_ln.reshape(hf.shape), hf, rtol=1e-3, atol=2e-3)
