@@ -393,6 +393,12 @@ def main(argv=None):
         for name, driver, overrides in legs:
             print(f"=== sweep[{family}] run {name}: "
                   f"{' '.join(overrides + extras)}", flush=True)
+            # Per-leg checkpoint dirs via the job-id path component
+            # (cli/common.run_checkpoint_path, mirroring the reference's
+            # SLURM_JOB_ID layout): without this every ffno_1d-on-KS leg
+            # of a ladder overwrites checkpoints/ffno1d/ks_local, and the
+            # multi-checkpoint eval drivers have nothing to compare.
+            os.environ["SLURM_JOB_ID"] = name
             try:
                 if isolate:
                     # each leg is a subprocess with its own client, so

@@ -84,6 +84,22 @@ for fam in ks_ladder burger_ladder; do
     fi
 done
 
+# Multi-checkpoint (alpha-style, utils/multiresolution_analysis.py:67-73)
+# frequency decomposition across two ladder checkpoints: FFNO trained with
+# the naive vs the resize strategy, decomposed on the same KS test set.
+# Artifact: runs/<project>_freq/<ts>/frequency_{naive,resize}.csv.
+CK_N=checkpoints/ffno1d/ks_ffno1d_ks_naive
+CK_R=checkpoints/ffno1d/ks_ffno1d_ks_resize
+if [ -d "$CK_N" ] && [ -d "$CK_R" ] && [ ! -f "$STAMPS/ffno_freq" ]; then
+    if flock "$LOCK" python -m resolution_pde_tpu.cli.frequency_evaluation \
+        model=ffno_1d dataset=ks_naive \
+        "dataset.model_checkpoints={naive: $CK_N, resize: $CK_R}"; then
+        touch "$STAMPS/ffno_freq"
+    else
+        echo "ffno frequency sweep failed; leaving unstamped for retry"
+    fi
+fi
+
 if [ ! -f data/well/active_matter/train/active_matter_3.hdf5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=active \
         out=data/well/active_matter/train n=24 resolutions=[256] \

@@ -304,6 +304,47 @@ def test_eval_drivers_end_to_end(tmp_path, monkeypatch):
     assert err.shape == (32 // 2 + 1,) and np.isfinite(err).all()
 
 
+def test_frequency_evaluation_multi_checkpoint(tmp_path, monkeypatch):
+    """The alpha-style MULTI-checkpoint sweep (frequency_evaluation.py:
+    31-165 + utils/multiresolution_analysis.py:67-73): two checkpoints of
+    the same architecture decomposed in one invocation via the
+    dataset.model_checkpoints dict — the exact surface
+    scripts/run_ladders_tail.sh drives on two ladder checkpoints. The
+    dict arrives as a CLI yaml string, as on the chip."""
+    _make_ks_dir(tmp_path, s=32, n=8, t=6)
+    monkeypatch.chdir(tmp_path)
+    from resolution_pde_tpu.cli.main_1d import main as train_main
+
+    common_args = [
+        "model=ffno_1d", "dataset=ks_naive",
+        f"dataset.dataset_params.saved_folder={tmp_path}",
+        "dataset.original_res=32", "dataset.max_test_resolution=32",
+        "model.width=8", "model.n_layers=1", "model.n_modes=4",
+        "training.batch_size=8", "dataset.rollout_steps=0",
+        "training.epochs=1",
+    ]
+    ckpts = {}
+    for tag in ("alpha0", "alpha1"):
+        monkeypatch.setenv("SLURM_JOB_ID", tag)
+        ckpts[tag] = train_main(common_args)["checkpoint"]
+    assert ckpts["alpha0"] != ckpts["alpha1"]  # per-job dirs, no overwrite
+
+    from resolution_pde_tpu.cli.frequency_evaluation import main as fq_main
+
+    res = fq_main(common_args + [
+        "dataset.model_checkpoints={alpha0: %s, alpha1: %s}"
+        % (ckpts["alpha0"], ckpts["alpha1"]),
+    ])
+    assert set(res) == {"alpha0", "alpha1"}
+    for v in res.values():
+        assert v["error_per_mode"].shape == (32 // 2 + 1,)
+        assert np.isfinite(v["error_per_mode"]).all()
+    # the driver leaves a per-checkpoint CSV artifact under runs/
+    csvs = glob.glob(str(tmp_path / "runs" / "*_freq" / "*" /
+                         "frequency_alpha*.csv"))
+    assert len(csvs) == 2
+
+
 def test_eval_drivers_s4_window(tmp_path, monkeypatch):
     """BASELINE config 5's full surface: S4 on the KS window dataset, then
     the standalone rollout and frequency drivers re-load its checkpoint
