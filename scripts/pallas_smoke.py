@@ -37,6 +37,43 @@ import numpy as np  # noqa: E402
 _FAILURES = []
 
 
+def _cpu_reference(code: str, **arrays) -> dict:
+    """Compute the complex-kernel REFERENCE values in a CPU child.
+
+    Compiled complex-arithmetic XLA programs are not guaranteed on the
+    tunnel backend (a backend update turned them UNIMPLEMENTED mid-build
+    while every Pallas kernel still compiled fine), and the references
+    never needed the chip. `code` runs with `A` (the input arrays) and
+    `ssm_ops` in scope and must fill the `OUT` dict."""
+    import subprocess
+    import tempfile
+
+    from resolution_pde_tpu.utils.backend_probe import child_env
+
+    fi, fin = tempfile.mkstemp(suffix=".npz")
+    os.close(fi)
+    fo, fout = tempfile.mkstemp(suffix=".npz")
+    os.close(fo)
+    np.savez(fin, **arrays)
+    src = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from resolution_pde_tpu.ops import ssm as ssm_ops\n"
+        f"A = dict(np.load({fin!r}))\n"
+        "OUT = {}\n"
+        + code
+        + f"\nnp.savez({fout!r}, **OUT)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", src], env=child_env())
+        if r.returncode != 0:
+            raise RuntimeError(f"cpu reference child exited {r.returncode}")
+        return dict(np.load(fout))
+    finally:
+        os.unlink(fin)
+        os.unlink(fout)
+
+
 def check(name: str, got, want, rtol: float, atol: float):
     got = np.asarray(got, np.float64) if not np.iscomplexobj(
         np.asarray(got)) else np.asarray(got)
@@ -178,8 +215,11 @@ def main():
          + 1j * rng.standard_normal((h, L))).astype(np.complex64)
     got = jax.jit(lambda v, g, lam: cauchy_pallas(
         v, g, lam, interpret=interp))(v, g, lam)
-    want = jax.jit(jax.vmap(jax.vmap(ssm_ops.cauchy, (0, 0, 0)),
-                            (0, None, None)))(v, g, lam)
+    want = _cpu_reference(
+        "OUT['want'] = np.asarray(jax.jit(jax.vmap(jax.vmap("
+        "ssm_ops.cauchy, (0, 0, 0)), (0, None, None)))("
+        "A['v'], A['g'], A['lam']))",
+        v=v, g=g, lam=lam)["want"]
     check("cauchy", got, want, 5e-4, 5e-4)
 
     # ---- dplr kernel
@@ -192,9 +232,11 @@ def main():
     log_dt = np.log(rng.uniform(1e-3, 1e-1, h)).astype(np.float32)
     got = jax.jit(lambda *a: dplr_kernel_pallas(
         *a, L, interpret=interp))(Lam, P, B, C_t, log_dt)
-    want = jax.jit(jax.vmap(
-        lambda l, p, b, c, d: ssm_ops.dplr_kernel(l, p, b, c, d, L)))(
-        Lam, P, B, C_t, log_dt)
+    want = _cpu_reference(
+        "OUT['want'] = np.asarray(jax.jit(jax.vmap("
+        f"lambda l, p, b, c, d: ssm_ops.dplr_kernel(l, p, b, c, d, {L})))("
+        "A['Lam'], A['P'], A['B'], A['C_t'], A['log_dt']))",
+        Lam=Lam, P=P, B=B, C_t=C_t, log_dt=log_dt)["want"]
     check("dplr_kernel", got, want, 1e-3, 1e-3)
 
     # ---- vandermonde (S4D)
@@ -205,8 +247,11 @@ def main():
          + 1j * rng.standard_normal((h, n))).astype(np.complex64)
     got = jax.jit(lambda C, A, d: ssm_ops_pallas_vandermonde(
         C, A, d, L, interp))(C, A, log_dt)
-    want = jax.jit(lambda C, A, d: ssm_ops.s4d_kernel_zoh(
-        C, A, d, L))(C, A, log_dt)
+    want = _cpu_reference(
+        "OUT['want'] = np.asarray(jax.jit("
+        f"lambda C, A_, d: ssm_ops.s4d_kernel_zoh(C, A_, d, {L}))("
+        "A['C'], A['Amat'], A['log_dt']))",
+        C=C, Amat=A, log_dt=log_dt)["want"]
     check("vandermonde (s4d)", got, want, 1e-3, 1e-3)
 
     if _FAILURES:
