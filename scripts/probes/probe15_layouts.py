@@ -24,14 +24,14 @@ from resolution_pde_tpu.utils.tpu_lock import tpu_lock
 
 
 def _time_step(call, state, x, y, n=20, reps=2):
-    state2, loss = call(state, x, y, None)
+    # the step DONATES state — always chain the freshest one
+    state, loss = call(state, x, y, None)
     float(loss)
     best = float("inf")
     for _ in range(reps):
-        s = state
         t0 = time.perf_counter()
         for _ in range(n):
-            s, loss = call(s, x, y, None)
+            state, loss = call(state, x, y, None)
         float(loss)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
