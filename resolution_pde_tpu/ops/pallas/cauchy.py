@@ -20,6 +20,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from resolution_pde_tpu.ops.ssm import cexp as ssm_cexp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -110,7 +112,7 @@ def dplr_kernel_pallas(Lambda, P, B, C_tilde, log_dt, L: int,
     Returns (H, L) f32 — matches vmap(ops.ssm.dplr_kernel) bit-for-bit in
     f32 (tests/test_pallas.py)."""
     step = jnp.exp(log_dt)[:, None]            # (H, 1)
-    omega = jnp.exp(-2j * jnp.pi * jnp.arange(L) / L)[None, :]
+    omega = ssm_cexp(-2j * jnp.pi * jnp.arange(L) / L)[None, :]
     g = (2.0 / step) * ((1.0 - omega) / (1.0 + omega))    # (H, L)
     c = 2.0 / (1.0 + omega)                               # (1, L)
 

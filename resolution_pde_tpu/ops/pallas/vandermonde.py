@@ -14,6 +14,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from resolution_pde_tpu.ops.ssm import cexp as ssm_cexp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,7 +58,7 @@ def s4d_kernel_pallas(C, A, log_dt, L: int, h_tile: int = 8,
     h, n = C.shape[-2:]
     dt = jnp.exp(log_dt)[:, None]
     dtA = A * dt
-    c_scaled = C * (jnp.exp(dtA) - 1.0) / A   # broadcasts over channels
+    c_scaled = C * (ssm_cexp(dtA) - 1.0) / A   # broadcasts over channels
 
     ar = jnp.real(dtA).astype(jnp.float32)
     ai = jnp.imag(dtA).astype(jnp.float32)

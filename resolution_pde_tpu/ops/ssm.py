@@ -31,6 +31,30 @@ import jax.numpy as jnp
 PARAM_TRANSFORMS = ("none", "exp", "relu", "sigmoid", "softplus")
 
 
+def cexp(z):
+    """exp for complex arrays via real decomposition.
+
+    The tunnel TPU backend dropped complex-exp lowering in a round-5
+    update (jnp.exp(complex64) in-jit -> UNIMPLEMENTED) while real
+    exp/cos/sin and complex mul/div still compile. exp(a+bi) =
+    e^a (cos b + i sin b) is the same math XLA would emit."""
+    if not jnp.iscomplexobj(z):
+        return jnp.exp(z)
+    e = jnp.exp(jnp.real(z))
+    im = jnp.imag(z)
+    return jax.lax.complex(e * jnp.cos(im), e * jnp.sin(im))
+
+
+def clog(z):
+    """log for complex arrays via real decomposition (see cexp):
+    log z = log|z| + i atan2(Im z, Re z)."""
+    if not jnp.iscomplexobj(z):
+        return jnp.log(z)
+    re, im = jnp.real(z), jnp.imag(z)
+    return jax.lax.complex(0.5 * jnp.log(re * re + im * im),
+                           jnp.arctan2(im, re))
+
+
 def param_transform(x, kind: str = "none"):
     """Positive-parameter transform (models/s4.py:650-664). jnp-traceable."""
     if kind == "none":
@@ -301,7 +325,7 @@ def s4d_kernel_zoh(C, A, log_dt, L: int, dt=None):
     dtA = A * dt  # (H, N)
     # Vandermonde: exp(dtA * l) for l in [0, L)
     # contraction in complex split form (TPU-friendly; no complex matmul)
-    C_scaled = C * (jnp.exp(dtA) - 1.0) / A  # (H, N)
+    C_scaled = C * (cexp(dtA) - 1.0) / A  # (H, N)
     # K[h, l] = 2 Re sum_n C_scaled[h, n] * exp(dtA[h, n] * l)
     l_range = jnp.arange(L)
     # exp((a+bi) l) = e^{al} (cos bl + i sin bl)
@@ -322,7 +346,7 @@ def s4d_kernel_bilinear(C, A, log_dt, L: int, dt=None):
     dt = _dt_cols(log_dt, dt)
     dtA = A * dt
     C_scaled = C * dt / (1.0 - dtA / 2.0)
-    log_dA = jnp.log((1.0 + dtA / 2.0) / (1.0 - dtA / 2.0))  # (H, N)
+    log_dA = clog((1.0 + dtA / 2.0) / (1.0 - dtA / 2.0))  # (H, N)
     l_range = jnp.arange(L)
     a = jnp.real(log_dA)[..., None] * l_range  # (H, N, L)
     b = jnp.imag(log_dA)[..., None] * l_range
@@ -344,10 +368,10 @@ def s4d_kernel_dss(C, A, log_dt, L: int, dt=None):
     p = dtA[..., None] * l_range  # (H, N, L)
     p_max = dtA * jnp.where(pos, float(L - 1), 0.0)
     p = p - jax.lax.stop_gradient(p_max)[..., None]
-    s = jnp.exp(p)  # (H, N, L) complex
+    s = cexp(p)  # (H, N, L) complex
     dtA_neg = dtA * (1.0 - 2.0 * pos)
-    num = jnp.exp(dtA_neg) - 1.0
-    den = jnp.exp(dtA_neg * L) - 1.0
+    num = cexp(dtA_neg) - 1.0
+    den = cexp(dtA_neg * L) - 1.0
     x = den * A
     r = jnp.conj(x) / (x * jnp.conj(x) + 1e-7)
     C_scaled = C * num * r  # (H, N)
@@ -386,7 +410,7 @@ def dplr_kernel(Lambda, P, B, C_tilde, log_dt, L: int, dt=None):
         P = P[None]  # (1, N)
     R = P.shape[0]
     step = jnp.exp(log_dt) if dt is None else dt    # scalar or (N,)
-    omega_l = jnp.exp(-2j * jnp.pi * jnp.arange(L) / L)
+    omega_l = cexp(-2j * jnp.pi * jnp.arange(L) / L)
     z = 2.0 * (1.0 - omega_l) / (1.0 + omega_l)
     c = 2.0 / (1.0 + omega_l)
     # rows a_i in {conj(C~), conj(P_r)}, cols b_j in {B, P_r}
@@ -450,8 +474,8 @@ def discretize_diag_zoh(A, log_dt, dt=None):
     """
     dt = jnp.exp(log_dt) if dt is None else dt
     dtA = A * dt
-    Ab = jnp.exp(dtA)
-    dB = (jnp.exp(dtA) - 1.0) / A
+    Ab = cexp(dtA)
+    dB = (cexp(dtA) - 1.0) / A
     return Ab, dB
 
 
