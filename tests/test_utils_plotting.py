@@ -103,3 +103,26 @@ def test_frequency_analysis_overlay(tmp_path, rng):
     path = plot_frequency_analysis(fd, pde="ks", current_res=64,
                                    save_dir=str(tmp_path / "figs"))
     assert path is not None and os.path.exists(path)
+
+
+def test_trace_decomp_stage_map():
+    """stage_map_from_compiled extracts {hlo op -> stage} from optimized
+    HLO op_name metadata (utils/trace_decomp.py — the bench's in-program
+    step decomposition; named scopes specconv/ffstack ride the metadata)."""
+    from resolution_pde_tpu.utils.trace_decomp import (
+        classify_path, stage_map_from_compiled)
+
+    hlo = '''
+  %fusion.351 = bf16[64]{0} fusion(...), metadata={op_name="jit(train_step)/jvp(FFNO2D)/specconv/dot_general" source_file="x.py"}
+  %custom-call.7 = f32[8]{0} custom-call(...), metadata={op_name="jit(train_step)/transpose(jvp(FFNO2D))/ffstack/pallas_call" source_file="y.py"}
+  %copy.448 = f32[2]{0} copy(...), metadata={op_name="jit(train_step)/convert_element_type"}
+  %add.1 = f32[2]{0} add(...)
+'''
+    m = stage_map_from_compiled(hlo)
+    assert m["fusion.351"] == "spectral"
+    assert m["custom-call.7"] == "ff"
+    assert m["copy.448"] == "other"
+    assert "add.1" not in m  # no metadata -> defaults to other at lookup
+    assert classify_path("a/specconv/b") == "spectral"
+    assert classify_path("a/ffstack/b") == "ff"
+    assert classify_path("a/b") == "other"
