@@ -35,6 +35,15 @@ if [ ! -f "$STAMPS/cno_original_refresh" ]; then
         only=cno2d_original_ns isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
         touch "$STAMPS/cno_original_refresh"
+        # Fold the post-fix leg over the committed (pre-fix) family table
+        # NOW (VERDICT r4 next #1) so a correct durable table exists even
+        # if the session ends before the full ns_models re-run at the
+        # tail's end. Later override earlier per leg.
+        REFRESH=$(ls -dt runs/sweeps/ns_models_* | head -1)
+        python -m resolution_pde_tpu.cli.sweep merge \
+            out="runs/sweeps/ns_models_merged_$(date +%s)" \
+            runs/sweeps/ns_models_1787155138 "$REFRESH" \
+            || echo "ns_models merge failed (non-fatal)"
     else
         echo "cno_original refresh failed; leaving unstamped for retry"
     fi
