@@ -64,6 +64,151 @@ def _set_lr(opt_state, lr: float):
     return opt_state._replace(hyperparams=hp)
 
 
+class _AutoLayoutStep:
+    """AOT-compiled train step with XLA-chosen (AUTO) boundary layouts
+    for the donated TrainState.
+
+    probe14 (RESULTS.md round 5) measured ~8 ms of pure layout copies in
+    the 33 ms bench step: the optimizer writes params in the default
+    layout while the fused-FF Pallas custom calls want another, so XLA
+    re-copies the weight kernels EVERY step. Compiling with
+    jax.experimental.layout.Format(Layout.AUTO) over the state lets XLA
+    pick the compute-preferred layout at the jit boundary; donation
+    aliases the output state to the input buffers, so the layout
+    circulates across steps with no per-step copies. Batch/target/weight
+    arrays keep default layouts — they arrive fresh from the host each
+    step, and a non-default layout would just move the copy to the
+    transfer path.
+
+    Shape-bucketed like jax.jit's cache (one executable per
+    (x, y, weights, normalizer-structure) bucket); the live state is
+    device_put into the executable's chosen input format on every call
+    (a no-op once it circulates). Any failure to compile with AUTO
+    layouts (backend support, extended dtypes) degrades permanently to
+    the plain donated jit — behavior identical, copies unfixed.
+    """
+
+    def __init__(self, fn, mesh=None):
+        self._fn = fn
+        self._mesh = mesh
+        self.__wrapped__ = fn
+        self._cache: dict = {}
+        self._fallback = None
+
+    def _state_sharding(self):
+        # On a multi-device mesh the state must be explicitly replicated:
+        # plain jit reconciles a single-device state against sharded
+        # batches, but explicit in_shardings are checked strictly.
+        if self._mesh is not None and self._mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(self._mesh, PartitionSpec())
+        return None
+
+    def _auto_tree(self, state):
+        from jax.experimental.layout import Format, Layout
+
+        repl = self._state_sharding()
+
+        def leaf_fmt(leaf):
+            # PRNG keys and other extended dtypes keep their current
+            # sharding with the default layout: AUTO over them is
+            # undefined (PRNGKeyArray carries no .format), and they are
+            # scalars/small anyway.
+            if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.extended):
+                return repl if repl is not None else leaf.sharding
+            if repl is not None:
+                return Format(Layout.AUTO, repl)
+            return Format(Layout.AUTO)
+
+        return jax.tree_util.tree_map(leaf_fmt, state)
+
+    @staticmethod
+    def _arg_sharding(tree):
+        # Non-state args keep whatever sharding the caller put them in
+        # (train_epoch shard_batches x/y over the mesh's data axis);
+        # plain jit infers this from the args, the AOT path must pin it.
+        return jax.tree_util.tree_map(
+            lambda l: l.sharding if isinstance(l, jax.Array) else None,
+            tree)
+
+    def _jit(self, state, x, y, y_normalizer, weights):
+        auto = self._auto_tree(state)
+        xs, ys, ns, ws = (self._arg_sharding(a)
+                          for a in (x, y, y_normalizer, weights))
+        return jax.jit(self._fn, donate_argnums=(0,),
+                       in_shardings=(auto, xs, ys, ns, ws),
+                       out_shardings=(auto, None))
+
+    @staticmethod
+    def _key(state, x, y, y_normalizer, weights):
+        aux_leaves, aux_def = jax.tree_util.tree_flatten(
+            (y_normalizer, weights))
+        shardings = tuple(
+            a.sharding if isinstance(a, jax.Array) else None
+            for a in (x, y, *aux_leaves))
+        return (
+            x.shape, str(x.dtype), y.shape, str(y.dtype), aux_def,
+            tuple((np.shape(a), str(getattr(a, "dtype", type(a))))
+                  for a in aux_leaves),
+            shardings,
+            jax.tree_util.tree_structure(state),
+        )
+
+    @staticmethod
+    def _abstract(tree):
+        # AUTO-layout lowering requires abstract avals: a concrete
+        # jax.Array pins its current layout and the lower() call rejects
+        # the AUTO annotation against it.
+        return jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), tree)
+
+    def lower(self, state, x, y, y_normalizer=None, weights=None):
+        """Mirror of jit's .lower() (used by utils/trace_decomp.py) —
+        lowers the SAME auto-layout program __call__ executes."""
+        return self._jit(state, x, y, y_normalizer, weights).lower(
+            *self._abstract((state, x, y, y_normalizer, weights)))
+
+    def __call__(self, state, x, y, y_normalizer=None, weights=None):
+        if self._fallback is not None:
+            return self._fallback(state, x, y, y_normalizer, weights)
+        key = self._key(state, x, y, y_normalizer, weights)
+        hit = self._cache.get(key)
+        if hit is None:
+            try:
+                compiled = self.lower(
+                    state, x, y, y_normalizer, weights).compile()
+                state_fmt = compiled.input_formats[0][0]
+                hit = self._cache[key] = (compiled, state_fmt)
+            except Exception as e:  # noqa: BLE001 — degrade, don't break
+                import warnings
+
+                warnings.warn(
+                    "auto_layout compile failed "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    "default-layout jit", stacklevel=2)
+                self._fallback = jax.jit(self._fn, donate_argnums=(0,))
+                return self._fallback(state, x, y, y_normalizer, weights)
+        compiled, state_fmt = hit
+
+        def put_fmt(leaf, fmt):
+            # input_formats reports extended-dtype leaves (PRNG keys) and
+            # scalars at their PHYSICAL rank/tiling, which device_put
+            # rejects for the logical value — re-put those by sharding
+            # only (a scalar/key has exactly one logical layout anyway).
+            if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.extended):
+                return getattr(fmt, "sharding", None) or leaf.sharding
+            lay = getattr(fmt, "layout", None)
+            m2m = getattr(lay, "major_to_minor", None)
+            if m2m is not None and len(m2m) != np.ndim(leaf):
+                return fmt.sharding
+            return fmt
+
+        state = jax.device_put(
+            state, jax.tree_util.tree_map(put_fmt, state, state_fmt))
+        return compiled(state, x, y, y_normalizer, weights)
+
+
 class Trainer:
     """Builds and runs jitted train/eval steps for a flax model.
 
@@ -84,6 +229,7 @@ class Trainer:
         seed: int = 0,
         param_specs=None,
         accum_steps: int = 1,
+        auto_layout: bool = False,
     ):
         """ssm_lr: per-parameter optimizer override for SSM kernel params
         (S4 family): those params train at min(ssm_lr, learning_rate) with
@@ -135,6 +281,10 @@ class Trainer:
         self.optimizer = optax.inject_hyperparams(make_tx)(
             learning_rate=learning_rate)
         self.seed = seed
+        # auto_layout: compile the train step with XLA-chosen boundary
+        # layouts for the donated state (kills the per-step param
+        # relayout copies probe14 found — see _AutoLayoutStep).
+        self.auto_layout = auto_layout
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
@@ -180,7 +330,6 @@ class Trainer:
 
         accum = self.accum_steps
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, x, y, y_normalizer, weights=None):
             mutable = list(state.model_state)
 
@@ -278,7 +427,9 @@ class Trainer:
             )
             return new_state, loss
 
-        return train_step
+        if self.auto_layout:
+            return _AutoLayoutStep(train_step, mesh=self.mesh)
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model = self.model

@@ -4,12 +4,13 @@ probe14's breakdown of the bench step's 11 ms "other" stage showed ~8 ms
 of layout copies, including per-step relayouts of the fused-FF weight
 kernels (state.params[...]['kernel'] copies at ~315 us each): the
 optimizer writes params in one layout, the Pallas custom call wants
-another, and XLA re-copies every step. jax.jit(in_shardings/out_shardings
-= Format(Layout.AUTO)) lets XLA pick boundary layouts to match internal
-use, so the donated state can circulate in the compute-preferred layout.
+another, and XLA re-copies every step. Trainer(auto_layout=True)
+(train/trainer._AutoLayoutStep) compiles the donated step with
+jax.experimental.layout Format(Layout.AUTO) over the state so XLA keeps
+params in the compute-preferred layout across steps.
 
-Measures the CURRENT step (cache-hit compile) and the AUTO-layout step
-(fresh compile, one-time) at the bench shapes; prints one JSON line.
+A/B's the PRODUCTION paths: Trainer(auto_layout=False) vs
+Trainer(auto_layout=True) at the bench shapes; prints one JSON line.
 """
 
 from __future__ import annotations
@@ -39,9 +40,7 @@ def _time_step(call, state, x, y, n=20, reps=2):
 
 def main():
     enable_compile_cache()
-    import jax
     import jax.numpy as jnp
-    from jax.experimental.layout import Format, Layout
 
     from resolution_pde_tpu.models import FFNO2D
     from resolution_pde_tpu.train import Trainer
@@ -51,36 +50,22 @@ def main():
                    n_ff_layers=3, layer_norm=True, dropout=0.0,
                    compute_dtype=jnp.bfloat16, spectral_impl="dft_v3",
                    approx_gelu=True, ff_impl="fused")
-    trainer = Trainer(model, learning_rate=1e-3)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((8, 1, 256, 256)), jnp.float32)
     y = jnp.roll(x, 7, axis=-1)
-    state = trainer.init(x[:1])
 
     out = {}
-    # a fresh step per variant: donated buffers cannot be reused
-    base_ms = _time_step(trainer._train_step, state, x, y)
-    out["base_ms"] = round(base_ms, 2)
-
-    try:
-        fn = trainer._train_step.__wrapped__
-        auto = jax.tree_util.tree_map(
-            lambda _: Format(Layout.AUTO), (state, x, y))
-        step_auto = jax.jit(fn, donate_argnums=(0,),
-                            in_shardings=(*auto, None),
-                            out_shardings=Format(Layout.AUTO))
-        state2 = trainer.init(x[:1])
-        lowered = step_auto.lower(state2, x, y, None)
-        compiled = lowered.compile()
-        in_fmts = compiled.input_formats[0]
-        args = jax.tree_util.tree_map(
-            lambda a, f: jax.device_put(a, f), (state2, x, y),
-            in_fmts[:3])
-        auto_ms = _time_step(lambda s, xx, yy, _:
-                             compiled(s, xx, yy, None), *args)
-        out["auto_ms"] = round(auto_ms, 2)
-    except Exception as e:  # noqa: BLE001
-        out["auto_error"] = f"{type(e).__name__}: {e}"[:300]
+    for name, auto in (("base_ms", False), ("auto_ms", True)):
+        try:
+            trainer = Trainer(model, learning_rate=1e-3, auto_layout=auto)
+            state = trainer.init(x[:1])
+            out[name] = round(
+                _time_step(trainer._train_step, state, x, y), 2)
+            if auto and trainer._train_step._fallback is not None:
+                out["auto_fellback"] = True
+        except Exception as e:  # noqa: BLE001
+            out[name.replace("_ms", "_error")] = (
+                f"{type(e).__name__}: {e}"[:300])
     print(json.dumps(out))
 
 

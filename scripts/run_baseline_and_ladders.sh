@@ -21,19 +21,20 @@ LOCK="${RPDE_TPU_LOCK:-/tmp/rpde_tpu.lock}"
 # recompute backward vs saved-pre-activation backward, isolated stack and
 # full train step. One process per stage (cold compiles can be long).
 # RUN_PROBES=0 skips (e.g. when the stages already ran this session).
-if [ "${RUN_PROBES:-1}" != "0" ]; then
-    # compiled-Mosaic correctness smoke for every Pallas kernel first
-    # (self-locking; one PASS/FAIL line per kernel, nonzero on any FAIL).
-    # A FAIL gates the session: hours of training on a broken kernel is
-    # the exact scenario the smoke exists to prevent.
-    if ! python scripts/pallas_smoke.py; then
-        if [ "${ALLOW_SMOKE_FAIL:-0}" = "1" ]; then
-            echo "PALLAS SMOKE FAILED (ALLOW_SMOKE_FAIL=1, continuing)"
-        else
-            echo "PALLAS SMOKE FAILED — aborting (ALLOW_SMOKE_FAIL=1 overrides)"
-            exit 1
-        fi
+# compiled-Mosaic correctness smoke for every Pallas kernel first
+# (self-locking; one PASS/FAIL line per kernel, nonzero on any FAIL).
+# A FAIL gates the session: hours of training on a broken kernel is
+# the exact scenario the smoke exists to prevent. Unconditional — the
+# smoke is a gate, not a probe; RUN_PROBES only governs the A/B stages.
+if ! python scripts/pallas_smoke.py; then
+    if [ "${ALLOW_SMOKE_FAIL:-0}" = "1" ]; then
+        echo "PALLAS SMOKE FAILED (ALLOW_SMOKE_FAIL=1, continuing)"
+    else
+        echo "PALLAS SMOKE FAILED — aborting (ALLOW_SMOKE_FAIL=1 overrides)"
+        exit 1
     fi
+fi
+if [ "${RUN_PROBES:-1}" != "0" ]; then
     for st in ff ff_saved step8 step8_ffsaved spec spec_s step8_v3s step8_best; do
         flock "$LOCK" python scripts/probes/probe11_stage.py "$st" || true
     done

@@ -148,6 +148,46 @@ def test_trainer_multires_buckets(rng):
     assert np.isfinite(loss)
 
 
+def test_auto_layout_step_matches_plain(rng):
+    """auto_layout=True (XLA-chosen boundary layouts for the donated
+    state, trainer._AutoLayoutStep) must be a pure perf knob: bitwise
+    the same losses as the default jit across steps AND across shape
+    buckets, with no silent fallback."""
+    x, y = _toy_data(rng, n=8, res=32)
+    x64, y64 = _toy_data(rng, n=8, res=64)
+    model = FFNO1D(in_channels=1, out_channels=1, width=8, n_layers=1,
+                   n_modes=8)
+
+    losses = {}
+    for auto in (False, True):
+        trainer = Trainer(model, learning_rate=1e-3, auto_layout=auto)
+        state = trainer.init(x[:2])
+        ls = []
+        for _ in range(3):
+            state, loss = trainer._train_step(state, x, y, None)
+            ls.append(float(loss))
+        # cross a shape bucket and come back (two compiled programs,
+        # state format possibly differing between them)
+        state, l64 = trainer._train_step(state, x64, y64, None)
+        state, l32 = trainer._train_step(state, x, y, None)
+        ls += [float(l64), float(l32)]
+        losses[auto] = ls
+        if auto:
+            step = trainer._train_step
+            assert step._fallback is None, "AUTO compile silently fell back"
+            assert len(step._cache) == 2
+            # the lower() mirror trace_decomp uses must produce the same
+            # executable surface
+            assert step.lower(state, x, y, None).compile() is not None
+            # mesh-sharded batches (train_epoch -> shard_batch) must reach
+            # the SAME auto-layout executables, not the fallback: the AOT
+            # path pins the batch shardings explicitly
+            state, ep_loss = trainer.train_epoch(state, [(x, y)])
+            assert step._fallback is None, "sharded batch fell back"
+            assert np.isfinite(ep_loss)
+    assert losses[True] == losses[False]
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from resolution_pde_tpu.train.checkpoint import (
         save_checkpoint,
