@@ -107,7 +107,14 @@ def _bench():
         # backward (no recompute GEMMs) for A/B on hardware.
         ff_impl=os.environ.get("RPDE_FF_IMPL", "fused"),
     )
-    trainer = Trainer(model, learning_rate=1e-3)
+    # AUTO boundary layouts for the donated state (trainer._AutoLayoutStep):
+    # probe14 found ~8 ms/step of param relayout copies between the
+    # optimizer's default layout and the Pallas custom calls' preferred
+    # one; XLA-chosen layouts let the state circulate copy-free.
+    # RPDE_AUTO_LAYOUT=0 reverts for A/B on hardware.
+    trainer = Trainer(model, learning_rate=1e-3,
+                      auto_layout=os.environ.get(
+                          "RPDE_AUTO_LAYOUT", "1") != "0")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)), jnp.float32)
@@ -186,6 +193,12 @@ def _bench():
         # provenance: which code produced this number (same stamp the
         # sweep tables carry per row)
         "git_sha": _git_sha(),
+        # layout mode actually measured: "on" = AUTO-layout executables,
+        # "fallback" = AUTO compile failed and the plain jit ran instead
+        "auto_layout": (
+            "off" if not trainer.auto_layout
+            else "fallback" if trainer._train_step._fallback is not None
+            else "on"),
     }
     print(json.dumps(out))
 
