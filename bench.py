@@ -107,14 +107,14 @@ def _bench():
         # backward (no recompute GEMMs) for A/B on hardware.
         ff_impl=os.environ.get("RPDE_FF_IMPL", "fused"),
     )
-    # AUTO boundary layouts for the donated state (trainer._AutoLayoutStep):
-    # probe14 found ~8 ms/step of param relayout copies between the
-    # optimizer's default layout and the Pallas custom calls' preferred
-    # one; XLA-chosen layouts let the state circulate copy-free.
-    # RPDE_AUTO_LAYOUT=0 reverts for A/B on hardware.
+    # AUTO boundary layouts for the donated state (trainer._AutoLayoutStep)
+    # were measured NEUTRAL on the chip (probe15: base 34.36 ms vs auto
+    # 34.60 ms): the in-step relayout copies live inside the program, not
+    # at the jit boundary, so XLA's layout choice at entry doesn't remove
+    # them. Off by default; RPDE_AUTO_LAYOUT=1 for A/B on hardware.
     trainer = Trainer(model, learning_rate=1e-3,
                       auto_layout=os.environ.get(
-                          "RPDE_AUTO_LAYOUT", "1") != "0")
+                          "RPDE_AUTO_LAYOUT", "0") != "0")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 1, RES, RES)), jnp.float32)
