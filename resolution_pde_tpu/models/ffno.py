@@ -35,6 +35,7 @@ from resolution_pde_tpu.ops.spectral import (
     factorized_spectral_conv_2d_dft_v2,
     factorized_spectral_conv_2d_dft_v3,
     factorized_spectral_conv_2d_dft_v4,
+    factorized_spectral_conv_2d_dft_v5,
 )
 
 
@@ -160,6 +161,13 @@ class FSpectralConv2d(nn.Module):
                         x = factorized_spectral_conv_2d_dft_v4(
                             xin, wy, wx, self.n_modes,
                             gemm_dtype=self.compute_dtype).astype(dt)
+                    elif self.spectral_impl in ("dft_v5", "dft_v5s"):
+                        x = factorized_spectral_conv_2d_dft_v5(
+                            xin, wy, wx, self.n_modes,
+                            gemm_dtype=self.compute_dtype,
+                            store_dtype=(self.compute_dtype
+                                         if self.spectral_impl == "dft_v5s"
+                                         else None)).astype(dt)
                     elif self.spectral_impl == "pallas2":
                         from resolution_pde_tpu.ops.pallas.spectral_mix2 import (
                             factorized_spectral_conv_2d_pallas2)

@@ -474,6 +474,79 @@ def factorized_spectral_conv_2d_dft_v4(x, weight_y, weight_x, n_modes: int,
     return jnp.moveaxis(xx + yy, 1, -1)
 
 
+def _dft_pass_axis_v5(x, weight, axis: int, n_modes: int, fft_norm: str,
+                      gemm_dtype, store_dtype=None):
+    """One spectral pass along `axis` (1 = H, 2 = W) of CHANNELS-LAST
+    (B, H, W, C), with no spatial-minor relayouts: every contraction is
+    an einsum whose requested output order IS dot_general's natural
+    (batch, lhs_free, rhs_free) order, so nothing forces XLA to
+    materialize a transposed copy of an activation-sized tensor.
+
+    Motivation (probe14_other.py on the chip): the v3 formulation's
+    moveaxis/swapaxes chain costs ~4-5 ms/step of {1,2,3,0}/{2,1,3,0}
+    layout copies around the spectral GEMMs — attributed to "other"
+    because copies carry no scope metadata. Here the factor matrices are
+    packed host-side in the orders the CHAIN consumes:
+
+      fwd  : 'nms,bnrc->msbrc'   f5 (n, m, s)    [s = re/im]
+      mix  : 'msbri,msiot->mbrot' w5 (m, s, i, o, t)
+      inv  : 'mtn,mbrot->nbro'   i5 (m, t, n)
+
+    leaving one coarse block-permute per pass at the very end
+    ((n, b, r, c) -> (b, ..., c)) that XLA can fold into the following
+    add/FF boundary. Same math as _dft_pass_last_axis_v3 (complex
+    product as the 2x2 real block); numerics match the fft path.
+    """
+    n = x.shape[axis]
+    m = min(n_modes, n // 2 + 1)
+    fc, fs, ic, is_ = (jnp.asarray(a) for a in
+                       _dft_matrices(n, m, fft_norm))
+    prec = (None if gemm_dtype is not None else jax.lax.Precision.HIGHEST)
+
+    def cast(a):
+        return a.astype(gemm_dtype) if gemm_dtype is not None else a
+
+    def store(a):
+        return a.astype(store_dtype) if store_dtype is not None else a
+
+    f5 = jnp.stack([fc, fs], axis=2)          # (n, m, s)
+    i5 = jnp.stack([ic, is_], axis=1)         # (m, t, n)
+    wr, wi = weight[:, :, :m, 0], weight[:, :, :m, 1]
+    # (i, o, s, t, m) as in v3, host-reordered to (m, s, i, o, t)
+    w5 = jnp.stack([jnp.stack([wr, wi], axis=2),
+                    jnp.stack([-wi, wr], axis=2)], axis=2)
+    w5 = jnp.transpose(w5, (4, 2, 0, 1, 3))
+
+    spec = "bnrc" if axis == 1 else "brnc"
+    z = store(jnp.einsum(f"nms,{spec}->msbrc", cast(f5), cast(x),
+                         preferred_element_type=jnp.float32,
+                         precision=prec))
+    out = store(jnp.einsum("msbri,msiot->mbrot", cast(z), cast(w5),
+                           preferred_element_type=jnp.float32,
+                           precision=prec))
+    y = jnp.einsum("mtn,mbrot->nbro", cast(i5), cast(out),
+                   preferred_element_type=jnp.float32, precision=prec)
+    # (n, b, r, c) -> channels-last with n back at `axis`
+    return jnp.transpose(y, (1, 0, 2, 3) if axis == 1 else (1, 2, 0, 3))
+
+
+def factorized_spectral_conv_2d_dft_v5(x, weight_y, weight_x, n_modes: int,
+                                       fft_norm: str = "ortho",
+                                       gemm_dtype=None, store_dtype=None):
+    """Transpose-free packed-complex truncated-DFT factorized conv: both
+    axis passes run directly on the channels-last activation (see
+    _dft_pass_axis_v5). Numerics match the fft/dft/dft_v3 paths
+    (tests/test_spectral.py); reference semantics per
+    models/spectral_convolution.py:256-313."""
+    # weight pairing matches dft_v3: weight_y transforms along W (the
+    # last axis of its (B,C,H,W) view), weight_x along H.
+    yy = _dft_pass_axis_v5(x, weight_y, 2, n_modes, fft_norm, gemm_dtype,
+                           store_dtype)
+    xx = _dft_pass_axis_v5(x, weight_x, 1, n_modes, fft_norm, gemm_dtype,
+                           store_dtype)
+    return yy + xx
+
+
 def factorized_spectral_conv_2d_pallas(x, weight_y, weight_x, n_modes: int,
                                        fft_norm: str = "ortho",
                                        interpret: bool = False):

@@ -257,6 +257,43 @@ def test_dft_v4_matches_fft_path():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_dft_v5_matches_fft_path():
+    """Transpose-free channels-last DFT (natural-dot-order einsums,
+    probe14's relayout-copy fix) must match the FFT path — values AND
+    weight gradients — including the full-spectrum case m == n//2+1 and
+    non-square grids; the bf16 store path must run."""
+    import jax
+    import numpy as np
+    from resolution_pde_tpu.ops.spectral import (
+        factorized_spectral_conv_2d, factorized_spectral_conv_2d_dft_v5)
+
+    rng = np.random.default_rng(7)
+    for shape, modes in (((2, 12, 16, 6), 5), ((2, 8, 8, 6), 5),
+                         ((1, 16, 10, 6), 9)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        wy = jnp.asarray(rng.standard_normal((6, 6, modes, 2)) * 0.3,
+                         jnp.float32)
+        wx = jnp.asarray(rng.standard_normal((6, 6, modes, 2)) * 0.3,
+                         jnp.float32)
+        ref = factorized_spectral_conv_2d(x, wy, wx, modes)
+        out = factorized_spectral_conv_2d_dft_v5(x, wy, wx, modes)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss(fn, w):
+            return jnp.sum(fn(x, w, wx, modes) ** 2)
+
+        gref = jax.grad(lambda w: loss(factorized_spectral_conv_2d, w))(wy)
+        gout = jax.grad(
+            lambda w: loss(factorized_spectral_conv_2d_dft_v5, w))(wy)
+        np.testing.assert_allclose(np.asarray(gout), np.asarray(gref),
+                                   rtol=2e-3, atol=2e-4)
+    out16 = factorized_spectral_conv_2d_dft_v5(
+        x.astype(jnp.bfloat16), wy, wx, modes,
+        gemm_dtype=jnp.bfloat16, store_dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(out16, np.float32)).all()
+
+
 def test_spectral_conv_2d_mode_guard_rejects_overlapping_corners():
     """The two first-axis corner blocks must not overlap: modes1 in
     (h//2, h//2+1] used to pass the guard and then crash with a negative
