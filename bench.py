@@ -90,11 +90,12 @@ def _bench():
         # see ops/spectral.py factorized_spectral_conv_2d_dft). Measured
         # 2.7x over the f32+FFT baseline on v5e.
         compute_dtype=jnp.bfloat16,
-        # packed-complex truncated-DFT: re/im packed into single GEMMs
-        # (K,N = 128/256 instead of 64) — 40% faster than 'dft' on TPU.
-        # RPDE_SPECTRAL_IMPL=dft_v3s stores the HBM-resident spectrum
-        # intermediates bf16 (producer-side casts) for A/B on hardware.
-        spectral_impl=os.environ.get("RPDE_SPECTRAL_IMPL", "dft_v3"),
+        # transpose-free packed-complex truncated-DFT (natural-dot-order
+        # einsums on the channels-last activation): measured 239.7
+        # samples/s vs dft_v3's 232.4 on the chip (the v3 formulation's
+        # moveaxis/swapaxes chain cost ~1 ms/step in materialized layout
+        # copies, probe14). RPDE_SPECTRAL_IMPL switches variants for A/B.
+        spectral_impl=os.environ.get("RPDE_SPECTRAL_IMPL", "dft_v5"),
         # tanh-approx GELU: the exact-erf GELU costs ~1/3 of the step on
         # the VPU; the tanh form is the standard training substitution
         # (max deviation ~1e-3 relative). Exact GELU stays the default

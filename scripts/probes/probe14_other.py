@@ -38,6 +38,7 @@ def per_op_times(trace_dir: str):
                       recursive=True)
     totals: dict = {}
     counts: dict = {}
+    names: dict = {}
     steps: list = []
     for path in paths:
         with open(path, "rb") as f:
@@ -54,7 +55,8 @@ def per_op_times(trace_dir: str):
                     op = event.name.split(" ", 1)[0].lstrip("%")
                     totals[op] = totals.get(op, 0.0) + event.duration_ns / 1e3
                     counts[op] = counts.get(op, 0) + 1
-    return totals, counts, steps
+                    names.setdefault(op, event.name[:200])
+    return totals, counts, steps, names
 
 
 def main():
@@ -80,7 +82,9 @@ def main():
         kw = {}
     else:
         RES, WIDTH, LAYERS, MODES, BATCH = 256, 64, 4, 64, 8
-        kw = dict(compute_dtype=jnp.bfloat16, spectral_impl="dft_v3",
+        kw = dict(compute_dtype=jnp.bfloat16,
+                  spectral_impl=os.environ.get("RPDE_SPECTRAL_IMPL",
+                                               "dft_v3"),
                   approx_gelu=True, ff_impl="fused")
     model = FFNO2D(in_channels=1, out_channels=1, width=WIDTH,
                    n_layers=LAYERS, n_modes=MODES, factor=4,
@@ -101,7 +105,7 @@ def main():
 
     trace_dir = tempfile.mkdtemp(prefix="rpde_p14_")
     state, _ = trainer.profile_step(state, x, y, trace_dir, n_steps=5)
-    totals, counts, steps = per_op_times(trace_dir)
+    totals, counts, steps, names = per_op_times(trace_dir)
     n = max(len(steps), 5)
 
     other = [(v / n / 1e3, counts[op] / n, op) for op, v in totals.items()
@@ -109,9 +113,10 @@ def main():
     other.sort(reverse=True)
     top = []
     for ms, cnt, op in other[:25]:
+        hlo = lines.get(op, "") or names.get(op, "")
         top.append({"op": op, "ms": round(ms, 3), "n": round(cnt, 1),
-                    "hlo": lines.get(op, "")[:110]})
-        print(f"{ms:8.3f} ms  x{cnt:4.1f}  {op:<28} {lines.get(op, '')[:90]}",
+                    "hlo": hlo[:160]})
+        print(f"{ms:8.3f} ms  x{cnt:4.1f}  {op:<28} {hlo[:160]}",
               flush=True)
     out = {
         "step_ms": round(sum(steps) / len(steps) / 1e3, 2) if steps
