@@ -49,13 +49,15 @@ if [ ! -f "$STAMPS/cno_original_refresh" ]; then
     fi
 fi
 
-# ks_models needs only the data/ks tree the baseline stage materialized;
-# darcy's generator is ~2 min on-chip and the family is 2 short legs.
+# darcy FIRST (its committed table carries the SIGTERM'd FFNO leg — the
+# other known-bad committed row): generator is ~2 min on-chip and the
+# family is 2 short legs. ks_models needs only the data/ks tree the
+# baseline stage materialized.
 if [ ! -f data/darcy/darcy_flow.h5 ]; then
     python -m resolution_pde_tpu.cli.generate_data pde=darcy \
         out=data/darcy n=256 resolutions=[128] seed=31
 fi
-for fam in ks_models darcy; do
+for fam in darcy ks_models; do
     fam_done "$fam" && continue
     if python -m resolution_pde_tpu.cli.sweep family=$fam isolate=true \
         training.epochs=$EPOCHS training.t_max=$EPOCHS; then
