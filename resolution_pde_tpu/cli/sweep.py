@@ -184,7 +184,8 @@ def _git_sha() -> str:
         return ""
 
 
-def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
+def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False,
+                  n_total: int = None):
     """rows: [(name, out_dict | None, error | None)]. Produces sweep.csv +
     sweep.md with one row per run and one column per eval resolution.
 
@@ -227,7 +228,7 @@ def _write_tables(out_dir: str, family: str, rows, rehearsal: bool = False):
     # must be visible at a glance in the committed table, not only as an
     # error cell buried in one row.
     n_green = sum(1 for _, out, _ in rows if out is not None)
-    legs_green = f"{n_green}/{len(rows)}"
+    legs_green = f"{n_green}/{n_total if n_total is not None else len(rows)}"
     # per-row sha when the leg self-stamped one (legs run code as-of THEIR
     # start; a long family sweep can span commits), table-level otherwise
     row_shas = [((out or {}).get("provenance") or {}).get("git_sha") or sha
@@ -414,6 +415,18 @@ def main(argv=None):
             except Exception as e:  # defensive per-run guard: one failing
                 traceback.print_exc()  # run must not kill the family sweep
                 rows.append((name, None, f"{type(e).__name__}: {e}"))
+            # Incremental durability: rewrite the table after EVERY leg so
+            # a family killed mid-sweep (end-of-round SIGTERM, VM loss)
+            # leaves its completed rows on disk instead of only in this
+            # process's memory. The final write below is then a no-op
+            # refresh; .incomplete marks the table non-green meanwhile.
+            _write_tables(out_dir, family, rows, rehearsal=rehearsal,
+                          n_total=len(legs))
+            _write_health_marker(
+                out_dir, family,
+                sum(1 for _, o, _ in rows if o is not None), len(legs),
+                detail="family still running; completed legs: " + " ".join(
+                    n for n, o, _ in rows if o is not None))
 
     header, table = _write_tables(out_dir, family, rows,
                                   rehearsal=rehearsal)
